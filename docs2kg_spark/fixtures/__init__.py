@@ -1,0 +1,5 @@
+from docs2kg_spark.fixtures.transcripts import (  # noqa: F401
+    gen_transcripts,
+    transcripts_pandas,
+    write_transcripts_parquet,
+)

@@ -1,0 +1,27 @@
+"""Deterministic content-addressed ids (JVM-side, codegen-friendly).
+
+Replaces the reference's nondeterministic ids — uuid4 at layout_kg.py:39
+and ner_spacy_match.py:139, salted Python hash() at
+ner_prompt_based.py:162-164 — which break resumability and cross-run
+comparison (SURVEY.md §1.4.9).  Must stay byte-identical to the Python
+side: oracle/reference.py::det_id computes
+sha256("|".join(str(p) for p in parts)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def det_id_col(*cols: Column | str) -> Column:
+    """sha2-256 of '|'-joined parts. Cast everything to string first so
+    the bytes match Python's f-string rendering (ints render bare)."""
+    parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
+    return F.sha2(F.concat_ws("|", *parts), 256)
+
+
+def entity_node_id(text_col: Column | str = "text", label_col: Column | str = "label") -> Column:
+    """Entity node identity = (surface text, label) — the reference's
+    exact merge key (neo4j_loader.py:156-166) made content-addressed."""
+    return det_id_col(F.lit("entity"), text_col, label_col)

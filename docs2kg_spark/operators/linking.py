@@ -1,0 +1,240 @@
+"""Entity linking & canonicalization: mentions → canonical_map.
+
+Reimplements the reference's entity-unification step — Cypher grouping
+by (text, label, project_id) with arbitrary-first survivor
+(utils/neo4j_loader.py:153-230, re-run once per document, an accidental
+O(N²)) — as ONE distributed pass, extended from exact-key merge to
+near-duplicate surface linking (per BASELINE.json::north_star):
+
+1. entity nodes = distinct (text, label); node_id is content-addressed,
+   so the exact-key merge of the reference is free (identical surfaces
+   collapse to one node by construction);
+2. MinHash signatures over character shingles (vectorized pandas UDF);
+3. LSH banding: explode to (band_key, node), self-join per band →
+   candidate pairs; degenerate blocks are capped and the drop is
+   *counted and returned*, never silent (SURVEY.md §4.3.3);
+4. exact Jaccard verification of candidates (pandas UDF) ≥ threshold;
+5. connected components via iterative min-label propagation in
+   DataFrame joins (Kiveris-style hash-to-min; each round two shuffles,
+   localCheckpoint to cut lineage; converges in O(log n) rounds —
+   SURVEY.md §4.4), survivor = min(node_id) — the deterministic
+   replacement for Cypher's arbitrary-first (neo4j_loader.py:171-174).
+
+Scale notes: band self-join is the only potentially-skewed shuffle and
+is protected by the block cap + AQE skew-join; the CC loop operates on
+candidate-pair edges only (≪ nodes), not on the mention table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from docs2kg_spark.config import PipelineConfig
+from docs2kg_spark.functions.ids import entity_node_id
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed, seed-derived (a, b) for n_perms universal hash functions —
+    deterministic across runs/workers (no wall-clock, no unseeded RNG)."""
+    rng = np.random.RandomState(1234567)
+    a = rng.randint(1, _MERSENNE, size=n_perms, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=n_perms, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    s = text.lower()
+    if len(s) <= k:
+        grams = [s]
+    else:
+        grams = [s[i : i + k] for i in range(len(s) - k + 1)]
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big") >> 3 for g in set(grams)),
+        dtype=np.int64,
+        count=len(set(grams)),
+    )
+
+
+def entity_nodes(mentions: DataFrame) -> DataFrame:
+    """distinct (text,label) surfaces with content-addressed node ids."""
+    return (
+        mentions.select("text", "label")
+        .distinct()
+        .withColumn("node_id", entity_node_id("text", "label"))
+    )
+
+
+def make_minhash_udf(cfg: PipelineConfig):
+    n_perms, k = cfg.minhash_perms, cfg.shingle_k
+    a_params, b_params = _perm_params(n_perms)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def minhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            hv = _shingle_hashes(t or "", k)
+            if len(hv) == 0:
+                out.append([0] * n_perms)
+                continue
+            # (a*x + b) mod p, min over shingles, per permutation
+            sig = ((a_params[:, None] * hv[None, :] + b_params[:, None]) % _MERSENNE).min(axis=1)
+            out.append(sig.tolist())
+        return pd.Series(out)
+
+    return minhash
+
+
+def make_jaccard_udf(cfg: PipelineConfig):
+    k = cfg.shingle_k
+
+    @pandas_udf(T.DoubleType())
+    def jaccard(a: pd.Series, b: pd.Series) -> pd.Series:
+        def _shingles(s: str) -> set:
+            s = (s or "").lower()
+            if len(s) <= k:
+                return {s}
+            return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+        out = []
+        for x, y in zip(a, b):
+            sx, sy = _shingles(x), _shingles(y)
+            union = len(sx | sy)
+            out.append(len(sx & sy) / union if union else 1.0)
+        return pd.Series(out)
+
+    return jaccard
+
+
+def candidate_pairs(nodes: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """nodes(node_id, text, label) → (pairs(a, b, text_a, text_b),
+    block_stats).  block_stats reports capped blocks so drops are logged,
+    not silent."""
+    rows_per_band = cfg.minhash_perms // cfg.lsh_bands
+    mh = make_minhash_udf(cfg)
+    sig = nodes.withColumn("sig", mh("text"))
+
+    bands = sig.select(
+        "node_id",
+        "text",
+        "label",
+        F.explode(
+            F.array(
+                *[
+                    F.sha2(
+                        F.concat_ws(
+                            "|",
+                            F.lit(i),
+                            F.col("label"),
+                            *[F.col("sig")[i * rows_per_band + r].cast("string") for r in range(rows_per_band)],
+                        ),
+                        256,
+                    )
+                    for i in range(cfg.lsh_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+    block_sizes = bands.groupBy("band_key").agg(F.count("*").alias("block_size"))
+    block_stats = block_sizes.agg(
+        F.count("*").alias("n_blocks"),
+        F.sum(F.when(F.col("block_size") > cfg.max_block_size, 1).otherwise(0)).alias("n_capped_blocks"),
+        F.max("block_size").alias("max_block_size"),
+    )
+
+    kept = bands.join(
+        F.broadcast(block_sizes.filter(F.col("block_size") > cfg.max_block_size).select("band_key")),
+        on="band_key",
+        how="left_anti",
+    )
+
+    a = kept.alias("a")
+    b = kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=(F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.node_id") < F.col("b.node_id")),
+        )
+        .select(
+            F.col("a.node_id").alias("a"),
+            F.col("b.node_id").alias("b"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+        .distinct()
+    )
+    return pairs, block_stats
+
+
+def verified_edges(pairs: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    jac = make_jaccard_udf(cfg)
+    return (
+        pairs.withColumn("sim", jac("text_a", "text_b"))
+        .filter(F.col("sim") >= F.lit(cfg.jaccard_threshold))
+        .select("a", "b")
+    )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """min-label propagation over (a,b) edges → (node_id, canonical_id).
+
+    Each round: propagate current component ids across edges (both
+    directions), take the min per node; stop when nothing changed or at
+    cfg.cc_max_rounds (near-dup clusters have tiny diameters, so
+    convergence is fast; the bound makes the driver loop total)."""
+    both = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # only nodes that appear in any edge need iterating; singletons map to themselves
+    edge_nodes = both.select(F.col("a").alias("node_id")).distinct()
+    labels = edge_nodes.withColumn("comp", F.col("node_id")).localCheckpoint()
+    both = both.localCheckpoint()
+
+    for _ in range(cfg.cc_max_rounds):
+        msgs = both.join(labels, on=both.a == labels.node_id).select(
+            F.col("b").alias("node_id"), F.col("comp")
+        )
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("node_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node_id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return (
+        nodes.select("node_id")
+        .join(labels, on="node_id", how="left")
+        .select("node_id", F.coalesce("comp", "node_id").alias("canonical_id"))
+    )
+
+
+def build_canonical_map(
+    mentions: DataFrame, spark: SparkSession, cfg: PipelineConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """mentions → (canonical_map(node_id, text, label, canonical_id),
+    block_stats)."""
+    cfg = cfg or PipelineConfig()
+    nodes = entity_nodes(mentions)
+    pairs, block_stats = candidate_pairs(nodes, cfg)
+    edges = verified_edges(pairs, cfg)
+    cmap = connected_components(nodes, edges, cfg)
+    return (
+        nodes.join(cmap, on="node_id").select("node_id", "text", "label", "canonical_id"),
+        block_stats,
+    )

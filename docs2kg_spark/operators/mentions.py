@@ -1,0 +1,165 @@
+"""Mention extraction: segments → mentions, one Arrow-batched pass.
+
+Replaces the reference's two per-element extraction loops — the spaCy
+gazetteer matcher (ner_spacy_match.py:84-157, plus one synchronous LLM
+judge HTTP call *per candidate mention*, :132-136) and the LLM prompt
+extractor (ner_prompt_based.py:38-133, one HTTP call *per sentence
+chunk*) — with a single vectorized pandas UDF that runs both methods and
+the (start,end,text,label) first-wins dedup (semantic_kg/base.py:107-121)
+inside the batch.
+
+Scale design:
+- ONE narrow pass over segments: no shuffle at all for this stage (the
+  dedup key is intra-segment, so dedup happens inside the UDF);
+- gazetteer is shipped once per executor via a Spark broadcast and the
+  token-indexed matcher is compiled once per Python worker (module-level
+  cache) — not per batch, not per row;
+- Arrow batch transfer (spark.sql.execution.arrow.maxRecordsPerBatch)
+  amortizes the Python boundary; inside the batch the matcher is a
+  first-token hash index, O(tokens · patterns-per-first-token), not the
+  reference's accidental O(matches · |patterns|) linear probe
+  (ner_spacy_match.py:122-125).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from docs2kg_spark.config import PipelineConfig
+
+_TOKEN_RE = re.compile(r"\w+|[^\w\s]")
+
+MENTION_STRUCT = T.StructType(
+    [
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("label", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("method", T.StringType()),
+    ]
+)
+MENTION_ARRAY = T.ArrayType(MENTION_STRUCT)
+
+# compiled matcher index, one per (gazetteer hash) per Python worker
+_INDEX_CACHE: dict = {}
+
+
+def _build_index(gazetteer):
+    """first token → [(pattern token tuple, entity_lower, entity_type)]"""
+    index: dict[str, list] = {}
+    for entity, etype in gazetteer:
+        entity_lower = entity.lower()
+        pattern = tuple(entity_lower.split())
+        if not pattern:
+            continue
+        index.setdefault(pattern[0], []).append((pattern, entity_lower, etype))
+    return index
+
+
+def _get_index(gazetteer):
+    key = hash(gazetteer)
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = _build_index(gazetteer)
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+def _extract_one(text, gazetteer, index, entity_types, min_judge_len):
+    """Both extraction methods + dedup for one segment text.  Semantics
+    mirror oracle/reference.py (which mirrors the reference, SURVEY §1.4)."""
+    if not text:
+        return []
+    results = []
+
+    # --- gazetteer token-sequence match (ner_spacy_match.py:84-157) ---
+    lowered = text.lower()
+    toks = [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(lowered)]
+    tok_texts = [t[0] for t in toks]
+    n_toks = len(toks)
+    for i, tok in enumerate(tok_texts):
+        for pattern, entity_lower, etype in index.get(tok, ()):
+            n = len(pattern)
+            if i + n > n_toks or tuple(tok_texts[i : i + n]) != pattern:
+                continue
+            # boundary rule (ner_spacy_match.py:159-178)
+            if i > 0 and tok_texts[i - 1].isalpha():
+                continue
+            if i + n < n_toks and tok_texts[i + n].isalpha():
+                continue
+            start, end = toks[i][1], toks[i + n - 1][2]
+            matched = lowered[start:end]
+            if len(matched) < min_judge_len:  # judge stand-in
+                continue
+            conf = 0.95 if matched == entity_lower else 0.9
+            results.append((start, end, matched, etype, conf, "gazetteer"))
+    results.sort(key=lambda r: r[0])
+
+    # --- LLM-standin chunked substring extraction -----------------------
+    # (ner_prompt_based.py:60-62,128,150-155,201-206 — offset drift kept)
+    chunks = [c.strip() + "." for c in text.split(".") if c.strip()]
+    pos = 0
+    for chunk in chunks:
+        chunk_lower = chunk.lower()
+        for entity, etype in gazetteer:
+            surface = entity.lower()
+            if etype not in entity_types:
+                continue
+            start = chunk_lower.find(surface)
+            if start == -1:
+                continue
+            results.append((start + pos, start + pos + len(surface), surface, etype, 1.0, "llm_standin"))
+        pos += len(chunk)
+
+    # --- first-wins dedup on (start,end,text,label) ----------------------
+    seen = set()
+    out = []
+    for r in results:
+        key = (r[0], r[1], r[2], r[3])
+        if key not in seen:
+            seen.add(key)
+            out.append(r)
+    return out
+
+
+def make_extract_mentions_udf(spark: SparkSession, cfg: PipelineConfig):
+    payload = (tuple(cfg.gazetteer), tuple(cfg.ontology.entity_types), cfg.min_judge_len)
+    bc = spark.sparkContext.broadcast(payload)
+
+    @pandas_udf(MENTION_ARRAY)
+    def extract_mentions(texts: pd.Series) -> pd.Series:
+        gazetteer, entity_types, min_judge_len = bc.value
+        index = _get_index(gazetteer)
+        etypes = set(entity_types)
+        return pd.Series(
+            [_extract_one(t, gazetteer, index, etypes, min_judge_len) for t in texts]
+        )
+
+    return extract_mentions
+
+
+def extract_mentions(segments: DataFrame, spark: SparkSession, cfg: PipelineConfig | None = None) -> DataFrame:
+    """segments → mentions(conv_id, seg_id, start, end, text, label,
+    confidence, method).  Narrow (shuffle-free) transformation."""
+    cfg = cfg or PipelineConfig()
+    udf = make_extract_mentions_udf(spark, cfg)
+    return (
+        segments.select("conv_id", "seg_id", F.explode(udf(F.col("text"))).alias("m"))
+        .select(
+            "conv_id",
+            "seg_id",
+            F.col("m.start").alias("start"),
+            F.col("m.end").alias("end"),
+            F.col("m.text").alias("text"),
+            F.col("m.label").alias("label"),
+            F.col("m.confidence").alias("confidence"),
+            F.col("m.method").alias("method"),
+        )
+    )

@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, each scale-shaped:
+- exact:      hash-groupBy on a normalized content fingerprint — one
+              shuffle, JVM-side, SQL-oracle-able;
+- minhash:    shingle → MinHash → LSH band → bucket self-join →
+              verified Jaccard — reuses the entity-linking machinery
+              (operators/linking.py); pairs never materialize beyond
+              candidate blocks;
+- simhash:    64-bit simhash over token hashes, banded by 4×16-bit
+              chunks (Hamming ≤ 3 ⇒ at least one identical chunk by
+              pigeonhole); pandas UDF for the bit-fold, joins JVM-side;
+- ngram-jaccard: token-n-gram Jaccard verification over candidate pairs;
+- embedding:  cosine near-dup over an embedding column, JVM-side
+              (zip_with dot product), brute-force within LSH buckets or
+              globally at small scale — SQL-oracle-able via DuckDB
+              list_cosine_similarity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from docs2kg_spark.config import PipelineConfig
+from docs2kg_spark.operators.linking import make_minhash_udf
+from docs2kg_spark.operators.text import fingerprint
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_duplicates(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """groups of identical (normalized) texts: fingerprint, group size,
+    and the kept (min-id) representative."""
+    return (
+        documents.select(F.col(id_col), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """keep one doc (min id) per normalized-content fingerprint."""
+    w_keep = (
+        documents.select("*", fingerprint(text_col).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return documents.join(w_keep.select(id_col), on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH near-dup (document granularity; reuses linking UDFs)
+# --------------------------------------------------------------------------
+
+def minhash_near_dup_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """→ (a, b, sim): near-duplicate doc pairs with verified character
+    shingle Jaccard ≥ cfg.jaccard_threshold."""
+    cfg = cfg or PipelineConfig(shingle_k=5, jaccard_threshold=0.7)
+    rows_per_band = cfg.minhash_perms // cfg.lsh_bands
+    mh = make_minhash_udf(cfg)
+    sig = documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).withColumn(
+        "sig", mh("text")
+    )
+    bands = sig.select(
+        "id",
+        "text",
+        F.explode(
+            F.array(
+                *[
+                    F.sha2(
+                        F.concat_ws(
+                            "|",
+                            F.lit(i),
+                            *[F.col("sig")[i * rows_per_band + r].cast("string") for r in range(rows_per_band)],
+                        ),
+                        256,
+                    )
+                    for i in range(cfg.lsh_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(b, on=(F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+        .distinct()
+    )
+    from docs2kg_spark.operators.linking import make_jaccard_udf
+
+    jac = make_jaccard_udf(cfg)
+    return (
+        pairs.withColumn("sim", jac("text_a", "text_b"))
+        .filter(F.col("sim") >= cfg.jaccard_threshold)
+        .select("a", "b", "sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+@pandas_udf(T.LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit simhash over whitespace tokens (deterministic md5 token
+    hashes; unweighted)."""
+    import hashlib
+
+    out = []
+    for t in texts:
+        tokens = (t or "").lower().split()
+        if not tokens:
+            out.append(0)
+            continue
+        counts = [0] * 64
+        for tok in tokens:
+            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+            for bit in range(64):
+                counts[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if counts[bit] > 0:
+                v |= 1 << bit
+        # to signed 64-bit for Spark LongType
+        out.append(v - (1 << 64) if v >= (1 << 63) else v)
+    return pd.Series(out, dtype="int64")
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """→ (a, b, hamming): candidate generation by 16-bit chunk equality
+    (pigeonhole: hamming ≤ 3 over 4 chunks ⇒ one chunk equal), exact
+    Hamming verification via bit_count — all JVM-side after the simhash
+    UDF."""
+    sig = documents.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(i), F.shiftrightunsigned("sig", i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"))
+                for i in range(4)
+            ])
+        ).alias("chunk_key"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, on=(F.col("a.chunk_key") == F.col("b.chunk_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# token n-gram Jaccard
+# --------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard over all pairs sharing ≥1 n-gram —
+    expressed entirely in DataFrame ops: tokenize → n-gram explode →
+    equi-join on n-gram → per-pair intersection count → Jaccard.
+    Scales because the join key is the n-gram (rare grams → small
+    groups); stop-gram blowup is bounded by a frequency cap."""
+    toks = documents.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    grams = (
+        toks.select(
+            "id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+                )
+            ).alias("gram"),
+            F.size("toks").alias("n_toks"),
+        )
+        .filter(F.length("gram") > 0)
+        .distinct()
+    )
+    # frequency cap: drop grams appearing in too many docs (stop-grams)
+    gram_freq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    capped = grams.join(
+        F.broadcast(gram_freq.filter(F.col("df") > 1000).select("gram")), on="gram", how="left_anti"
+    )
+    sizes = capped.groupBy("id").agg(F.count("*").alias("n_grams"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(b, on=(F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_grams", "na"), on="a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_grams", "nb"), on="b")
+        .withColumn("sim", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b", "sim")
+    )
+
+
+# --------------------------------------------------------------------------
+# embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+def cosine_expr(vec_a, vec_b):
+    """JVM-side cosine similarity of two array<float/double> columns —
+    zip_with dot product and aggregate norms, no Python."""
+    dot = F.aggregate(
+        F.zip_with(vec_a, vec_b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(vec_a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nb = F.sqrt(F.aggregate(vec_b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+) -> DataFrame:
+    """→ (a, b, cos): brute-force within-label cosine pairs ≥ threshold.
+    At 100 TB the same expression runs inside LSH buckets
+    (similarity.lsh_buckets) instead of the full cross-join; here label
+    provides the blocking key."""
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("label").alias("lbl")]
+    a = embeddings.select(*cols).alias("a")
+    b = embeddings.select(*cols).alias("b")
+    return (
+        a.join(b, on=(F.col("a.lbl") == F.col("b.lbl")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos", cosine_expr(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), F.col("cos"))
+    )

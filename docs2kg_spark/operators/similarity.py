@@ -1,0 +1,98 @@
+"""Approximate-nearest-neighbor similarity search over an embedding
+column (array<float>).
+
+- brute-force cosine top-k: the correctness baseline — cross join of
+  queries × corpus with the JVM-side cosine expression, rank per query.
+  Queries are broadcast (they're the small side by construction).
+- LSH-bucketed ANN: random-hyperplane signatures (sign bits of dots
+  with fixed seeded hyperplanes) → bucket equi-join → rank within
+  bucket.  The hyperplanes are deterministic literals, so the exact
+  same constants can be embedded in an oracle SQL query.  At 100 TB the
+  bucket join replaces the cross join: cost drops from |Q|·|C| to
+  sum over buckets of |Q_b|·|C_b|.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from docs2kg_spark.operators.dedup import cosine_expr
+
+
+def hyperplanes(dim: int = 64, n_planes: int = 8, seed: int = 20240601) -> list[list[float]]:
+    """Fixed seeded hyperplanes — identical constants on the Spark and
+    oracle sides."""
+    rng = np.random.RandomState(seed)
+    return [[round(float(x), 6) for x in rng.randn(dim)] for _ in range(n_planes)]
+
+
+def _bucket_expr(vec_col, planes: list[list[float]]):
+    """sign-bit bucket id: bit i = 1 iff dot(vec, plane_i) >= 0."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(p) for p in plane]), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (query_id, neighbor_id, cos, rank): exact top-k cosine neighbors
+    per query (self-matches excluded).  Ties broken by neighbor id."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """→ (query_id, neighbor_id, cos, rank): top-k within the query's LSH
+    bucket (approximate; recall grows with fewer planes / multiple
+    tables)."""
+    planes = hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("bucket", _bucket_expr(F.col("qv"), planes))
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("bucket", _bucket_expr(F.col("cv"), planes))
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

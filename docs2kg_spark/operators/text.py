@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All four operators are pure JVM-side column expressions (whole-stage
+codegen, no Python), so they hold up at 100 TB: language-ID (stopword
+n-gram heuristic), quality scoring (length/punct/stopword/caps ratios),
+token counting (whitespace + BPE-ish regex), and document
+fingerprinting (normalized content hash).  Each has an exact ANSI-SQL
+twin in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword signals for the heuristic language ID
+LANG_SIGNALS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "es": ["el", "los", "que", "es", "una"],
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# BPE-ish token regex: words-with-leading-space style pieces — letter
+# runs, digit runs, or single non-space symbols (a public-vocabulary
+# approximation of byte-pair pre-tokenization)
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def whitespace_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(c)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.coalesce(F.regexp_count(c, F.lit(BPE_TOKEN_RE)), F.lit(0))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """occurrences of each language's stopword set, word-bounded,
+    case-insensitive."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    return {
+        lang: sum(
+            (F.regexp_count(lowered, F.lit(rf"\b{w}\b")) for w in words), F.lit(0)
+        )
+        for lang, words in LANG_SIGNALS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax language; ties broken by language code order; 'und' when no
+    signal at all."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = None
+    for lang in langs:
+        s = scores[lang]
+        entry = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+        best = entry if best is None else F.when(s > best["score"], entry).otherwise(best)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_columns(text: Column | str) -> dict[str, Column]:
+    """length, punctuation ratio, stopword ratio, uppercase ratio, and a
+    combined [0,1] quality score with fixed public weights."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    n_upper = F.regexp_count(c, F.lit(r"[A-Z]"))
+    n_tokens = whitespace_token_count(c)
+    stop_re = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    n_stop = F.regexp_count(F.lower(c), F.lit(stop_re))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    upper_ratio = F.when(n_chars > 0, n_upper / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0))
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    quality = (
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * F.least(stop_ratio * 2, F.lit(1.0))
+        + F.lit(0.3) * (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0)))
+    )
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_tokens": n_tokens.cast("bigint"),
+        "punct_ratio": punct_ratio.cast("double"),
+        "upper_ratio": upper_ratio.cast("double"),
+        "stop_ratio": stop_ratio.cast("double"),
+        "quality": quality.cast("double"),
+    }
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: sha2 over lowercased,
+    whitespace-collapsed text — the exact-dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.sha2(normalized, 256)
+
+
+def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → per-doc analysis columns (one narrow pass)."""
+    q = quality_columns(text_col)
+    return documents.select(
+        "*",
+        lang_id(text_col).alias("pred_lang"),
+        fingerprint(text_col).alias("fingerprint"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        *[col.alias(name) for name, col in q.items() if name != "n_chars"],
+    )

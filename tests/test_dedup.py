@@ -1,0 +1,84 @@
+import duckdb
+from pyspark.sql import functions as F
+
+from docs2kg_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    exact_duplicates,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id bigint, text string")
+
+
+def test_exact_dedup_normalization(spark):
+    docs = _docs(spark, ["Hello  World", "hello world", "HELLO\tWORLD ", "different"])
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1 and groups[0].n_docs == 3 and groups[0].keep_id == 0
+    kept = exact_dedup(docs)
+    assert kept.count() == 2
+    assert {r.doc_id for r in kept.collect()} == {0, 3}
+
+
+def test_minhash_near_dup_finds_planted_pair(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely unrelated content about spark shuffles and parquet files " * 5
+    docs = _docs(spark, [base, near, far])
+    pairs = {(r.a, r.b) for r in minhash_near_dup_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_near_dup(spark):
+    import random
+
+    rng = random.Random(3)
+    words = [f"w{i:03d}" for i in range(400)]
+    base = " ".join(rng.choice(words) for _ in range(600))
+    near = base.replace("w000", "zzz", 1)  # one token occurrence changed
+    far = " ".join(f"q{i}" for i in range(600))
+    docs = _docs(spark, [base, base, near, far])
+    # identical texts → hamming 0 at the tight default threshold
+    tight = {(r.a, r.b): r.hamming for r in simhash_near_dup_pairs(docs).collect()}
+    assert tight.get((0, 1)) == 0
+    assert (0, 3) not in tight and (1, 3) not in tight
+    # one-token edit in a long doc → small hamming at a loose threshold
+    loose = {(r.a, r.b) for r in simhash_near_dup_pairs(docs, max_hamming=16).collect()}
+    assert (0, 2) in loose
+    assert (0, 3) not in loose
+
+
+def test_ngram_jaccard_exact_values(spark):
+    a = "a b c d e"
+    b = "a b c d f"     # trigrams: {abc,bcd,cde} vs {abc,bcd,cdf} → J = 2/4
+    docs = _docs(spark, [a, b])
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.4).collect()
+    assert len(pairs) == 1
+    assert abs(pairs[0].sim - 0.5) < 1e-9
+
+
+def test_embedding_near_dup_vs_duckdb(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        (r.a, r.b, round(r.cos, 6))
+        for r in embedding_near_dup_pairs(emb, threshold=0.5).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE VIEW e AS SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'")
+    want = {
+        (r[0], r[1], round(r[2], 6))
+        for r in con.execute(
+            """
+            SELECT a.vec_id, b.vec_id,
+                   list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+            """
+        ).fetchall()
+    }
+    assert got == want

@@ -1,0 +1,70 @@
+from pyspark.sql import functions as F
+
+from docs2kg_spark.config import PipelineConfig
+from docs2kg_spark.operators.linking import (
+    build_canonical_map,
+    candidate_pairs,
+    connected_components,
+    entity_nodes,
+)
+from docs2kg_spark.operators.mentions import extract_mentions
+from docs2kg_spark.operators.segments import segment_transcripts
+
+
+def test_canonical_parity_with_oracle(spark, transcripts_df, oracle_result):
+    segs = segment_transcripts(transcripts_df)
+    m = extract_mentions(segs, spark)
+    cmap, _ = build_canonical_map(m, spark)
+    got = {(r.node_id, r.canonical_id) for r in cmap.collect()}
+    assert got == set(oracle_result["canonical"].items())
+
+
+def _cc(spark, nodes, edges, max_rounds=20):
+    cfg = PipelineConfig(cc_max_rounds=max_rounds)
+    n = spark.createDataFrame([(x,) for x in nodes], "node_id string")
+    e = spark.createDataFrame(edges or [("_none_", "_none2_")], "a string, b string")
+    if not edges:
+        e = e.limit(0)
+    out = connected_components(n, e, cfg)
+    return {r.node_id: r.canonical_id for r in out.collect()}
+
+
+def test_cc_chain(spark):
+    # chain a-b-c-d collapses to min
+    got = _cc(spark, ["a", "b", "c", "d"], [("a", "b"), ("b", "c"), ("c", "d")])
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_cc_star(spark):
+    got = _cc(spark, ["m", "x", "y", "z"], [("m", "x"), ("m", "y"), ("m", "z")])
+    assert set(got.values()) == {"m"}
+
+
+def test_cc_two_components_and_singleton(spark):
+    got = _cc(spark, ["a", "b", "c", "d", "e"], [("a", "b"), ("c", "d")])
+    assert got["a"] == got["b"] == "a"
+    assert got["c"] == got["d"] == "c"
+    assert got["e"] == "e"
+
+
+def test_cc_edge_permutation_invariance(spark):
+    e1 = [("a", "b"), ("b", "c"), ("c", "d")]
+    e2 = [("c", "d"), ("a", "b"), ("b", "c")]
+    assert _cc(spark, list("abcd"), e1) == _cc(spark, list("abcd"), e2)
+
+
+def test_block_cap_is_counted_not_silent(spark):
+    """degenerate blocks (identical texts → identical signatures) get
+    capped and the stats report it."""
+    rows = [(f"same text {'' if i < 500 else ''}", "Organization") for i in range(300)]
+    # all-identical surfaces collapse to ONE node after distinct — craft
+    # distinct surfaces sharing all shingles instead
+    rows = [(f"aaaaaa{i:03d}", "Organization") for i in range(300)]
+    m = spark.createDataFrame(rows, "text string, label string")
+    cfg = PipelineConfig(max_block_size=10, jaccard_threshold=0.3)
+    nodes = entity_nodes(m.withColumn("conv_id", F.lit("c")))
+    pairs, stats = candidate_pairs(nodes, cfg)
+    s = stats.collect()[0]
+    assert s.n_capped_blocks > 0
+    # capped blocks contribute no pairs (drop is explicit)
+    assert pairs.count() < 300 * 299 / 2

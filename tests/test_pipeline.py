@@ -1,0 +1,61 @@
+import hashlib
+
+from pyspark.sql import functions as F
+
+from docs2kg_spark.plans import run_pipeline
+
+
+def _table_hash(df):
+    """order-insensitive content hash of a DataFrame."""
+    rows = sorted(str(r) for r in df.collect())
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+def test_pipeline_end_to_end_and_resume_idempotent(spark, transcripts_df, oracle_result, tmp_path):
+    wd = str(tmp_path / "kg")
+    res1 = run_pipeline(spark, transcripts_df, wd)
+    # triple set matches oracle (P/R = 1.0 on the fixture)
+    got = {(r.seg_id, r.subj, r.pred, r.obj) for r in res1["triples"].collect()}
+    want = {(t["seg_id"], t["subj"], t["pred"], t["obj"]) for t in oracle_result["triples"]}
+    assert got == want
+
+    h1 = {k: _table_hash(res1[k]) for k in ("segments", "mentions", "triples", "canonical_map", "kg_nodes", "kg_edges")}
+
+    # rerun resumes: all stages skipped, outputs byte-identical
+    res2 = run_pipeline(spark, transcripts_df, wd)
+    assert all(v == 0.0 for v in res2["stage_times"].values())
+    h2 = {k: _table_hash(res2[k]) for k in h1}
+    assert h1 == h2
+
+    # kill-and-rerun: delete a mid-pipeline checkpoint, rerun, converge
+    res1["store"].drop("triples")
+    import os
+
+    os.remove(res1["store"].marker_path("triples"))
+    res3 = run_pipeline(spark, transcripts_df, wd)
+    assert res3["stage_times"]["triples"] > 0  # re-ran
+    assert res3["stage_times"]["segments"] == 0.0  # still skipped
+    assert _table_hash(res3["triples"]) == h1["triples"]
+
+
+def test_quarantine(spark, tmp_path):
+    rows = [
+        ("c1", 0, "user", "alice: hi.", None),
+        (None, 1, "user", "bad row", None),
+        ("c2", None, "user", "also bad", None),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string")
+    res = run_pipeline(spark, df, str(tmp_path / "q"))
+    q = res["store"].read("quarantine")
+    assert q.count() == 2
+    assert res["segments"].count() == 1
+
+
+def test_metrics_written(spark, transcripts_df, tmp_path):
+    res = run_pipeline(spark, transcripts_df, str(tmp_path / "m"))
+    metrics = res["store"].read("metrics")
+    stages = {r.stage for r in metrics.select("stage").distinct().collect()}
+    assert "segments" in stages and "mentions" in stages
+    # per-partition rows sum to table counts
+    seg_rows = metrics.filter(F.col("stage") == "segments").agg(F.sum("rows")).collect()[0][0]
+    assert seg_rows == res["segments"].count()

@@ -1,0 +1,59 @@
+from docs2kg_spark.operators.mentions import extract_mentions
+from docs2kg_spark.operators.relations import cooccurrence_triples
+from docs2kg_spark.operators.segments import segment_transcripts
+
+
+def test_triple_parity_with_oracle(spark, transcripts_df, oracle_result):
+    segs = segment_transcripts(transcripts_df)
+    m = extract_mentions(segs, spark)
+    got = {
+        (r.seg_id, r.subj, r.pred, r.obj, r.confidence)
+        for r in cooccurrence_triples(m, spark).collect()
+    }
+    want = {
+        (t["seg_id"], t["subj"], t["pred"], t["obj"], t["confidence"])
+        for t in oracle_result["triples"]
+    }
+    assert got == want
+
+
+def test_triples_sql_twin_duckdb(spark, transcripts_df):
+    """The join-based triple derivation has an exact ANSI-SQL twin —
+    cross-checked with DuckDB over the same mention rows."""
+    import duckdb
+
+    segs = segment_transcripts(transcripts_df)
+    m = extract_mentions(segs, spark).cache()
+    got = {
+        (r.seg_id, r.subj, r.pred, r.obj, round(r.confidence, 9))
+        for r in cooccurrence_triples(m, spark).collect()
+    }
+
+    mpdf = m.toPandas()
+    con = duckdb.connect()
+    con.register("mentions", mpdf)
+    con.execute(
+        "CREATE TABLE conns(pred VARCHAR, src_type VARCHAR, dst_type VARCHAR);"
+        "INSERT INTO conns VALUES ('WorksFor','Person','Organization'),"
+        "('Uses','Person','Tool'),('Uses','Organization','Tool'),"
+        "('LocatedIn','Organization','Location'),('LocatedIn','Person','Location')"
+    )
+    sql = """
+    WITH pairs AS (
+      SELECT a.conv_id, a.seg_id, a.text AS subj, b.text AS obj,
+             COALESCE(c.pred, 'RELATES_TO') AS pred,
+             LEAST(a.confidence, b.confidence) AS conf,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.seg_id, a.text, COALESCE(c.pred,'RELATES_TO'), b.text
+               ORDER BY a.start, a."end", a.text, a.label, b.start, b."end", b.text, b.label
+             ) AS rn
+      FROM mentions a JOIN mentions b
+        ON a.seg_id = b.seg_id
+       AND (a.start, a."end", a.text, a.label) < (b.start, b."end", b.text, b.label)
+       AND NOT (a.text = b.text AND a.label = b.label)
+      LEFT JOIN conns c ON a.label = c.src_type AND b.label = c.dst_type
+    )
+    SELECT seg_id, subj, pred, obj, conf FROM pairs WHERE rn = 1
+    """
+    want = {(r[0], r[1], r[2], r[3], round(r[4], 9)) for r in con.execute(sql).fetchall()}
+    assert got == want

@@ -1,0 +1,64 @@
+import duckdb
+from pyspark.sql import functions as F
+
+from docs2kg_spark.operators.similarity import brute_force_topk, lsh_bucketed_topk
+
+
+def test_brute_force_topk_vs_duckdb(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, round(r.cos, 6))
+        for r in brute_force_topk(emb, q, k=4).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE VIEW e AS SELECT * FROM '/root/testdata/sf0.001/embeddings.parquet'")
+    want = {
+        (r[0], r[1], r[2], round(r[3], 6))
+        for r in con.execute(
+            """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                c.vec_id ASC
+                     ) AS rank
+              FROM e q JOIN e c ON q.vec_id != c.vec_id
+              WHERE q.vec_id < 5
+            )
+            SELECT query_id, neighbor_id, rank, cos FROM scored WHERE rank <= 4
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_lsh_results_are_true_neighbors_subset(spark):
+    """every LSH-retrieved neighbor must carry its true cosine score, and
+    the per-query ranking must be internally consistent."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = lsh_bucketed_topk(emb, q, k=4).collect()
+    assert rows, "lsh returned nothing"
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        cosines = [r.cos for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != qid for r in rs)
+
+
+def test_lsh_same_bucket_self_consistency(spark):
+    """a query always lands in its own bucket, so its exact duplicate (if
+    present as corpus vector) is retrievable at rank 1."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # duplicate vec 0 under a new id
+    dup = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(99999).cast("bigint"))
+    corpus = emb.unionByName(dup)
+    q = emb.filter(F.col("vec_id") == 0)
+    top = lsh_bucketed_topk(corpus, q, k=1).collect()
+    assert top and top[0].neighbor_id == 99999 and abs(top[0].cos - 1.0) < 1e-9

@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()       — flagship end-to-end KG query on sf0.001.
+queries()     — one callable per implemented operator (SURVEY.md §2),
+                defined in docs2kg_spark/queries.py.
+oracle_sql()  — DuckDB twins for every SQL-expressible query; UDF-based
+                KG/dedup stages are rows-only here and deeply verified
+                in tests/ against the reference-faithful Python oracle.
 """
 
 from __future__ import annotations
@@ -12,27 +13,38 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: full KG pipeline (segment → extract mentions →
+    co-occurrence triples) over transcripts derived deterministically
+    from sf0.001 documents, returning top entity pairs by co-occurrence
+    count (SURVEY.md §7 phase-1 flagship)."""
+    from docs2kg_spark.operators.mentions import extract_mentions
+    from docs2kg_spark.operators.relations import cooccurrence_triples
+    from docs2kg_spark.operators.segments import segment_transcripts
+    from docs2kg_spark.queries import derive_transcripts
+
+    t = derive_transcripts(spark, "/root/testdata/sf0.001")
+    segs = segment_transcripts(t)
+    mentions = extract_mentions(segs, spark)
+    triples = cooccurrence_triples(mentions, spark)
+    return (
+        triples.groupBy("subj", "pred", "obj")
+        .agg(F.count("*").alias("n_cooccur"))
+        .orderBy(F.desc("n_cooccur"), "subj", "pred", "obj")
+        .limit(100)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from docs2kg_spark.queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docs2kg_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,845 @@
+"""Driver-contract query catalog: every implemented operator from
+SURVEY.md §2 exposed as a (spark, sf_dir) → DataFrame callable, with an
+ANSI-SQL DuckDB twin where the semantics are SQL-expressible.
+
+Conventions (driver compare = row-count + schema + order-insensitive
+value hash):
+- every computed column is aliased identically on both sides;
+- double-valued outputs are rounded (sums: 2dp, ratios/cosines: 6dp) so
+  summation-order ulps can't flip the hash;
+- map-typed columns are never exposed (hash-unfriendly);
+- KG stages that are Python-UDF-based (mention extraction, MinHash
+  linking) have NO SQL twin → the driver records rows-only checks;
+  their deep verification lives in tests/ against the reference oracle.
+
+The KG queries run over a transcript table derived *deterministically in
+pure SQL* from the documents testdata table (entity sentences injected
+by doc_id), so even the segmentation/windowing stages get full DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from docs2kg_spark.config import DEFAULT_GAZETTEER
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# deterministic entity-injection table: (idx, s0, s1) — the same constants
+# are embedded in the oracle SQL via _INJECT_VALUES
+_SURFACES = [e for e, _ in DEFAULT_GAZETTEER]
+_N_INJECT = 16
+_INJECT = [
+    (i, _SURFACES[i % len(_SURFACES)], _SURFACES[(i * 7 + 3) % len(_SURFACES)])
+    for i in range(_N_INJECT)
+]
+_INJECT_VALUES = ", ".join(f"({i}, '{a.replace(chr(39), chr(39)*2)}', '{b.replace(chr(39), chr(39)*2)}')" for i, a, b in _INJECT)
+
+_ROLE_CASE_SQL = (
+    "CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'system' WHEN 1 THEN 'user' "
+    "WHEN 2 THEN 'assistant' ELSE 'tool' END"
+)
+
+# SQL CTE producing the derived transcript table (DuckDB dialect; the
+# Spark twin is derive_transcripts below)
+TRANSCRIPTS_CTE = f"""
+inject(idx, s0, s1) AS (VALUES {_INJECT_VALUES}),
+transcripts AS (
+  SELECT printf('conv-%04d', CAST(d.doc_id % 50 AS INT)) AS conv_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY d.doc_id % 50 ORDER BY d.doc_id) - 1 AS INT) AS turn_idx,
+         {_ROLE_CASE_SQL} AS role,
+         d.text || ' update: ' || i.s0 || '; owner is ' || i.s1 || '.' AS text,
+         CASE WHEN d.doc_id % 4 = 3 THEN d.source END AS tool
+  FROM documents d JOIN inject i ON CAST(d.doc_id % {_N_INJECT} AS INT) = i.idx
+)
+"""
+
+
+def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript table derived from documents — the exact
+    Spark twin of TRANSCRIPTS_CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    inject = spark.createDataFrame(_INJECT, "idx int, s0 string, s1 string")
+    w = Window.partitionBy(F.col("doc_id") % 50).orderBy("doc_id")
+    return (
+        docs.join(F.broadcast(inject), (F.col("doc_id") % _N_INJECT).cast("int") == F.col("idx"))
+        .select(
+            F.format_string("conv-%04d", (F.col("doc_id") % 50).cast("int")).alias("conv_id"),
+            (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+            F.when((F.col("doc_id") % 4).cast("int") == 0, "system")
+            .when((F.col("doc_id") % 4).cast("int") == 1, "user")
+            .when((F.col("doc_id") % 4).cast("int") == 2, "assistant")
+            .otherwise("tool")
+            .alias("role"),
+            F.concat(F.col("text"), F.lit(" update: "), F.col("s0"), F.lit("; owner is "), F.col("s1"), F.lit(".")).alias("text"),
+            F.when((F.col("doc_id") % 4).cast("int") == 3, F.col("source")).alias("tool"),
+            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / §2 operator queries (all with SQL twins)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the partial+final hash aggregate path (§2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_regional_revenue(spark, sf_dir):
+    """4-way join with broadcast dims (§2.3): revenue by region/nation."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n, r = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_customers_with_orders(spark, sf_dir):
+    """left-semi join (§2.2 label-allowlist shape)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_WITH_ORDERS = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY c_mktsegment
+"""
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """left-anti join (§2.3 dangling-edge validation shape)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_WITHOUT_ORDERS = """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY c_nationkey
+"""
+
+
+def q_top_orders_per_priority(spark, sf_dir):
+    """top-k per group (§2.6)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rnk")
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS totalprice, rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_event_ordering(spark, sf_dir):
+    """stable-ordering window — the north_rule's core primitive (§2.5)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", (F.row_number().over(w) - 1).alias("seq"))
+    )
+
+
+SQL_EVENT_ORDERING = """
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq
+FROM events WHERE user_id < 50
+"""
+
+
+def q_next_same_type(spark, sf_dir):
+    """lag-based NEXT-sibling linkage (§2.5, neo4j_loader.py:353-364 shape)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .withColumn("prev_id", F.lag("event_id").over(w))
+        .filter(F.col("prev_type") == F.col("event_type"))
+        .select(F.col("prev_id").alias("src"), F.col("event_id").alias("dst"), F.col("event_type"))
+    )
+
+
+SQL_NEXT_SAME_TYPE = """
+SELECT prev_id AS src, event_id AS dst, event_type
+FROM (SELECT event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+             LAG(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_id
+      FROM events)
+WHERE prev_type = event_type
+"""
+
+
+def q_running_sum(spark, sf_dir):
+    """running-sum window — the chunk-offset accumulation shape
+    (§2.5, ner_prompt_based.py:114-128)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        e.filter(F.col("user_id") < 50)
+        .select("user_id", "event_id", F.round(F.coalesce(F.sum("value").over(w), F.lit(0.0)), 4).alias("prior_sum"))
+    )
+
+
+SQL_RUNNING_SUM = """
+SELECT user_id, event_id,
+       ROUND(COALESCE(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0), 4) AS prior_sum
+FROM events WHERE user_id < 50
+"""
+
+
+def q_last_signup_before(spark, sf_dir):
+    """conditional running-last — the header-stack parenting primitive
+    (§2.5, neo4j_loader.py:272-309)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        e.filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            "event_id",
+            F.last(F.when(F.col("event_type") == "signup", F.col("event_id")), ignorenulls=True)
+            .over(w)
+            .alias("last_signup_id"),
+        )
+    )
+
+
+SQL_LAST_SIGNUP = """
+SELECT user_id, event_id,
+       LAST_VALUE(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_id
+FROM events WHERE user_id < 50
+"""
+
+
+def q_distinct_event_types(spark, sf_dir):
+    """distinct-values → metadata value nodes (§2.4, metadata_kg.py:94)."""
+    return _t(spark, sf_dir, "events").select("event_type").distinct()
+
+
+SQL_DISTINCT_TYPES = "SELECT DISTINCT event_type FROM events"
+
+
+def q_event_dedup_first(spark, sf_dir):
+    """first-wins dedup — the mention-dedup shape (§2.4,
+    semantic_kg/base.py:107-121): keep the earliest event per
+    (user_id, event_type)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+SQL_EVENT_DEDUP = """
+SELECT user_id, event_type, event_id
+FROM (SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_union_distinct(spark, sf_dir):
+    """set union + distinct (§2.7, semantic_kg/base.py:73-76)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.col("lang").alias("v")).union(d.select(F.col("source").alias("v"))).distinct()
+
+
+SQL_UNION_DISTINCT = "SELECT DISTINCT v FROM (SELECT lang AS v FROM documents UNION ALL SELECT source FROM documents)"
+
+
+def q_rollup_orders(spark, sf_dir):
+    """rollup/grouping sets (§2.4 'available free')."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+"""
+
+
+def q_hourly_rollup(spark, sf_dir):
+    """time bucketing + agg (§2.8 date functions)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").cast("string").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+SQL_HOURLY = """
+SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sanitize_labels(spark, sf_dir):
+    """label sanitization as pure column expressions (§2.8,
+    neo4j_loader.py:411-433)."""
+    from docs2kg_spark.functions.labels import sanitize_label_col
+
+    p = _t(spark, sf_dir, "part")
+    return p.select("p_type").distinct().select(
+        "p_type", sanitize_label_col("p_type").alias("label")
+    )
+
+
+SQL_SANITIZE = r"""
+SELECT p_type,
+       CASE WHEN regexp_matches(up, '^[0-9]') AND regexp_matches(up, '[^0-9_]')
+            THEN regexp_replace(up, '^([0-9][0-9_]*)(.*[^0-9_].*)$', '\2\1')
+            ELSE up END AS label
+FROM (SELECT DISTINCT p_type, UPPER(REPLACE(REPLACE(p_type, ' ', '_'), '-', '_')) AS up FROM part)
+"""
+
+
+# ---------------------------------------------------------------------------
+# metadata-KG queries (documents table twin of metadata_kg.py)
+# ---------------------------------------------------------------------------
+
+
+def q_metadata_nodes(spark, sf_dir):
+    from docs2kg_spark.operators.graph import metadata_kg
+
+    docs = _t(spark, sf_dir, "documents").drop("text")
+    nodes, _ = metadata_kg(docs, id_col="doc_id")
+    return nodes.select("id", "type")
+
+
+SQL_METADATA_NODES = """
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS id, 'Document' AS type FROM documents
+UNION ALL SELECT DISTINCT 'lang_' || lang, 'lang' FROM documents WHERE lang IS NOT NULL
+UNION ALL SELECT DISTINCT 'source_' || source, 'source' FROM documents WHERE source IS NOT NULL
+"""
+
+
+def q_metadata_edges(spark, sf_dir):
+    from docs2kg_spark.operators.graph import metadata_kg
+
+    docs = _t(spark, sf_dir, "documents").drop("text")
+    _, edges = metadata_kg(docs, id_col="doc_id")
+    return edges
+
+
+SQL_METADATA_EDGES = """
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS source, 'lang_' || lang AS target, 'HAS_LANG' AS type
+FROM documents WHERE lang IS NOT NULL
+UNION ALL
+SELECT 'doc_' || CAST(doc_id AS VARCHAR), 'source_' || source, 'HAS_SOURCE'
+FROM documents WHERE source IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
+# text-analysis / dedup / similarity queries
+# ---------------------------------------------------------------------------
+
+
+def q_fingerprint_groups(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    from docs2kg_spark.operators.text import fingerprint
+
+    return (
+        d.select("doc_id", fingerprint("text").alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+SQL_FINGERPRINT = r"""
+SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_counts(spark, sf_dir):
+    from docs2kg_spark.operators.text import bpe_token_count, whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count("text").cast("bigint").alias("ws_tokens"),
+        bpe_token_count("text").cast("bigint").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    from docs2kg_spark.operators.text import quality_columns
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_columns("text")
+    return d.select(
+        "doc_id",
+        q["n_tokens"].alias("n_tokens"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["stop_ratio"], 6).alias("stop_ratio"),
+        F.round(q["quality"], 6).alias("quality"),
+    )
+
+
+SQL_QUALITY = r"""
+WITH m AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 6) AS stop_ratio,
+       ROUND(0.4 * LEAST(n_chars / 500.0, 1.0)
+           + 0.3 * LEAST(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 2, 1.0)
+           + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 4, 1.0)), 6) AS quality
+FROM m
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    from docs2kg_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("pred_lang"))
+
+
+def _sql_lang_score(lang_words):
+    return " + ".join(rf"len(regexp_extract_all(lower(text), '\b{w}\b'))" for w in lang_words)
+
+
+SQL_LANG_ID = rf"""
+WITH s AS (
+  SELECT doc_id,
+         {_sql_lang_score(['the','and','of','to','is'])} AS s_en,
+         {_sql_lang_score(['der','die','und','ist','nicht'])} AS s_de,
+         {_sql_lang_score(['le','la','et','les','est'])} AS s_fr,
+         {_sql_lang_score(['el','los','que','es','una'])} AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+            WHEN s_fr >= GREATEST(s_de, s_en, s_es) AND s_fr > 0 THEN
+              CASE WHEN s_fr > GREATEST(s_de, s_en, s_es) THEN 'fr'
+                   WHEN s_es = s_fr THEN 'es' WHEN s_en >= s_fr THEN 'en' WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END
+            ELSE 'x' END AS pred_lang
+FROM s
+"""
+# NOTE: tie-breaking by language-code order is fiddly in nested CASEs —
+# the real oracle below builds it mechanically.
+
+
+def _sql_lang_id_mechanical():
+    """argmax with ties → lexicographically-smallest language code,
+    mirroring operators/text.py::lang_id exactly: fold over languages in
+    sorted order, replace only on strictly-greater score."""
+    langs = {
+        "de": ["der", "die", "und", "ist", "nicht"],
+        "en": ["the", "and", "of", "to", "is"],
+        "es": ["el", "los", "que", "es", "una"],
+        "fr": ["le", "la", "et", "les", "est"],
+    }
+    scores = {lang: _sql_lang_score(ws) for lang, ws in langs.items()}
+    ordered = sorted(langs)
+    best_score, best_lang = f"s_{ordered[0]}", f"'{ordered[0]}'"
+    for lang in ordered[1:]:
+        best_lang = f"CASE WHEN s_{lang} > {best_score} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"GREATEST(s_{lang}, {best_score})"
+    inner = ", ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    return f"""
+WITH s AS (SELECT doc_id, {inner} FROM documents)
+SELECT doc_id, CASE WHEN {best_score} > 0 THEN {best_lang} ELSE 'und' END AS pred_lang FROM s
+"""
+
+
+SQL_LANG_ID = _sql_lang_id_mechanical()
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from docs2kg_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(e, threshold=0.5)
+    return pairs.select("a", "b", F.round("cos", 6).alias("cos"))
+
+
+SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.5
+"""
+
+
+def q_ann_topk(spark, sf_dir):
+    from docs2kg_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return brute_force_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+SQL_ANN_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                                     c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM scored WHERE rank <= 5
+"""
+
+
+def q_multimodal_assets(spark, sf_dir):
+    from docs2kg_spark.operators.multimodal import assets_from_documents
+
+    d = _t(spark, sf_dir, "documents")
+    a = assets_from_documents(d)
+    return a.select("asset_id", "kind", F.length("payload").cast("bigint").alias("n_bytes"))
+
+
+SQL_MM_ASSETS = """
+SELECT sha256('image|' || CAST(doc_id AS VARCHAR)) AS asset_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries over SQL-derived transcripts
+# ---------------------------------------------------------------------------
+
+
+def q_kg_segments(spark, sf_dir):
+    from docs2kg_spark.operators.segments import segment_transcripts
+
+    t = derive_transcripts(spark, sf_dir)
+    return segment_transcripts(t).select("conv_id", "seg_id", "seg_idx", "turn_idx", "label", "text")
+
+
+SQL_KG_SEGMENTS = f"""
+WITH {TRANSCRIPTS_CTE},
+kept AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS seg_idx
+  FROM transcripts WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
+)
+SELECT conv_id,
+       sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' || text) AS seg_id,
+       seg_idx, turn_idx,
+       CASE role WHEN 'system' THEN 'H1' WHEN 'tool' THEN 'CODE' ELSE 'P' END AS label,
+       text
+FROM kept
+"""
+
+
+def q_kg_turn_invariant(spark, sf_dir):
+    """per-turn text equality under stable turn ordering, digested per
+    conversation (the input_hint invariant, SQL-checkable)."""
+    t = derive_transcripts(spark, sf_dir)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t.withColumn("texts", F.concat_ws("\x1f", F.collect_list("text").over(w)))
+        .groupBy("conv_id")
+        .agg(F.md5(F.first("texts")).alias("digest"))
+    )
+
+
+SQL_KG_TURN_INVARIANT = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id, md5(string_agg(text, chr(31) ORDER BY turn_idx)) AS digest
+FROM transcripts GROUP BY conv_id
+"""
+
+
+def q_kg_conv_metadata_edges(spark, sf_dir):
+    from docs2kg_spark.operators.graph import conversation_metadata_kg
+
+    t = derive_transcripts(spark, sf_dir)
+    _, edges = conversation_metadata_kg(t)
+    return edges
+
+
+SQL_KG_CONV_META_EDGES = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT DISTINCT 'doc_' || conv_id AS source, 'role_' || role AS target, 'HAS_ROLE' AS type FROM transcripts
+UNION
+SELECT DISTINCT 'doc_' || conv_id, 'tool_' || tool, 'HAS_TOOL' FROM transcripts WHERE tool IS NOT NULL
+"""
+
+
+# --- UDF-based stages: rows-only (no SQL twin possible) --------------------
+
+
+def _kg_stack(spark, sf_dir):
+    from docs2kg_spark.operators.mentions import extract_mentions
+    from docs2kg_spark.operators.segments import segment_transcripts
+
+    t = derive_transcripts(spark, sf_dir)
+    segs = segment_transcripts(t)
+    return segs, extract_mentions(segs, spark)
+
+
+def q_kg_mentions(spark, sf_dir):
+    _, m = _kg_stack(spark, sf_dir)
+    return m
+
+
+def q_kg_triples(spark, sf_dir):
+    from docs2kg_spark.operators.relations import cooccurrence_triples
+
+    _, m = _kg_stack(spark, sf_dir)
+    return cooccurrence_triples(m, spark)
+
+
+def q_kg_canonical_map(spark, sf_dir):
+    from docs2kg_spark.operators.linking import build_canonical_map
+
+    _, m = _kg_stack(spark, sf_dir)
+    cmap, _ = build_canonical_map(m, spark)
+    return cmap
+
+
+def q_kg_nodes(spark, sf_dir):
+    from docs2kg_spark.operators.graph import materialize_kg
+    from docs2kg_spark.operators.linking import build_canonical_map
+    from docs2kg_spark.operators.relations import cooccurrence_triples
+
+    segs, m = _kg_stack(spark, sf_dir)
+    t = cooccurrence_triples(m, spark)
+    cmap, _ = build_canonical_map(m, spark)
+    nodes, _ = materialize_kg(segs, m, t, cmap)
+    return nodes.select("node_id", "canonical_id", "type")
+
+
+def q_kg_edges(spark, sf_dir):
+    from docs2kg_spark.operators.graph import materialize_kg
+    from docs2kg_spark.operators.linking import build_canonical_map
+    from docs2kg_spark.operators.relations import cooccurrence_triples
+
+    segs, m = _kg_stack(spark, sf_dir)
+    t = cooccurrence_triples(m, spark)
+    cmap, _ = build_canonical_map(m, spark)
+    _, edges = materialize_kg(segs, m, t, cmap)
+    return edges.select("src", "dst", "type")
+
+
+def q_doc_near_dup_minhash(spark, sf_dir):
+    from docs2kg_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(d).select("a", "b", F.round("sim", 6).alias("sim"))
+
+
+def q_doc_near_dup_simhash(spark, sf_dir):
+    from docs2kg_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, max_hamming=3)
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    from docs2kg_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5).select("a", "b", F.round("sim", 6).alias("sim"))
+
+
+def q_ann_lsh(spark, sf_dir):
+    from docs2kg_spark.operators.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from docs2kg_spark.operators.multimodal import assets_from_documents, extract_features
+
+    d = _t(spark, sf_dir, "documents")
+    return extract_features(assets_from_documents(d)).select("asset_id", "kind", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+SPARK_QUERIES = {
+    # relational §2 coverage (SQL-oracled)
+    "pricing_summary": q_pricing_summary,
+    "regional_revenue": q_regional_revenue,
+    "customers_with_orders": q_customers_with_orders,
+    "customers_without_orders": q_customers_without_orders,
+    "top_orders_per_priority": q_top_orders_per_priority,
+    "event_ordering": q_event_ordering,
+    "next_same_type": q_next_same_type,
+    "running_sum": q_running_sum,
+    "last_signup_before": q_last_signup_before,
+    "distinct_event_types": q_distinct_event_types,
+    "event_dedup_first": q_event_dedup_first,
+    "union_distinct": q_union_distinct,
+    "rollup_orders": q_rollup_orders,
+    "hourly_rollup": q_hourly_rollup,
+    "sanitize_labels": q_sanitize_labels,
+    # metadata KG (SQL-oracled)
+    "metadata_nodes": q_metadata_nodes,
+    "metadata_edges": q_metadata_edges,
+    # text / dedup / similarity (SQL-oracled)
+    "fingerprint_groups": q_fingerprint_groups,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality,
+    "lang_id": q_lang_id,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_topk": q_ann_topk,
+    "multimodal_assets": q_multimodal_assets,
+    # KG pipeline over SQL-derived transcripts (SQL-oracled where possible)
+    "kg_segments": q_kg_segments,
+    "kg_turn_invariant": q_kg_turn_invariant,
+    "kg_conv_metadata_edges": q_kg_conv_metadata_edges,
+    # UDF stages (rows-only; deep checks live in tests/ vs the oracle)
+    "kg_mentions": q_kg_mentions,
+    "kg_triples": q_kg_triples,
+    "kg_canonical_map": q_kg_canonical_map,
+    "kg_nodes": q_kg_nodes,
+    "kg_edges": q_kg_edges,
+    "doc_near_dup_minhash": q_doc_near_dup_minhash,
+    "doc_near_dup_simhash": q_doc_near_dup_simhash,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "regional_revenue": SQL_REGIONAL_REVENUE,
+    "customers_with_orders": SQL_WITH_ORDERS,
+    "customers_without_orders": SQL_WITHOUT_ORDERS,
+    "top_orders_per_priority": SQL_TOP_ORDERS,
+    "event_ordering": SQL_EVENT_ORDERING,
+    "next_same_type": SQL_NEXT_SAME_TYPE,
+    "running_sum": SQL_RUNNING_SUM,
+    "last_signup_before": SQL_LAST_SIGNUP,
+    "distinct_event_types": SQL_DISTINCT_TYPES,
+    "event_dedup_first": SQL_EVENT_DEDUP,
+    "union_distinct": SQL_UNION_DISTINCT,
+    "rollup_orders": SQL_ROLLUP,
+    "hourly_rollup": SQL_HOURLY,
+    "sanitize_labels": SQL_SANITIZE,
+    "metadata_nodes": SQL_METADATA_NODES,
+    "metadata_edges": SQL_METADATA_EDGES,
+    "fingerprint_groups": SQL_FINGERPRINT,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "quality_scores": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "embedding_near_dup": SQL_EMB_NEAR_DUP,
+    "ann_topk": SQL_ANN_TOPK,
+    "multimodal_assets": SQL_MM_ASSETS,
+    "kg_segments": SQL_KG_SEGMENTS,
+    "kg_turn_invariant": SQL_KG_TURN_INVARIANT,
+    "kg_conv_metadata_edges": SQL_KG_CONV_META_EDGES,
+}

@@ -66,26 +66,30 @@ def minhash_near_dup_pairs(
     cfg: PipelineConfig | None = None,
 ) -> DataFrame:
     """→ (a, b, sim): near-duplicate doc pairs with verified character
-    shingle Jaccard ≥ cfg.jaccard_threshold."""
-    cfg = cfg or PipelineConfig(shingle_k=5, jaccard_threshold=0.7)
+    shingle Jaccard ≥ cfg.jaccard_threshold.
+
+    Scale shape: the band self-join carries ONLY (id, band_key) — texts
+    are re-attached to the (much smaller) deduped candidate-pair stream
+    for verification, so the wide columns never ride the big shuffle.
+    Banding defaults to 8 bands × 4 rows, the S-curve for the 0.7 dedup
+    threshold (P(candidate|J=0.7)≈0.89, P(J=0.3)≈0.06); the entity
+    linker keeps its own looser 16×2 banding for its 0.45 threshold."""
+    cfg = cfg or PipelineConfig(shingle_k=5, jaccard_threshold=0.7, lsh_bands=8)
     rows_per_band = cfg.minhash_perms // cfg.lsh_bands
     mh = make_minhash_udf(cfg)
-    sig = documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")).withColumn(
-        "sig", mh("text")
-    )
+    src = documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    sig = src.withColumn("sig", mh("text"))
     bands = sig.select(
         "id",
-        "text",
         F.explode(
             F.array(
                 *[
-                    F.sha2(
+                    F.xxhash64(
                         F.concat_ws(
                             "|",
                             F.lit(i),
                             *[F.col("sig")[i * rows_per_band + r].cast("string") for r in range(rows_per_band)],
-                        ),
-                        256,
+                        )
                     )
                     for i in range(cfg.lsh_bands)
                 ]
@@ -95,14 +99,13 @@ def minhash_near_dup_pairs(
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(b, on=(F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("a"),
-            F.col("b.id").alias("b"),
-            F.col("a.text").alias("text_a"),
-            F.col("b.text").alias("text_b"),
-        )
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .distinct()
     )
+    ta = src.select(F.col("id").alias("a"), F.col("text").alias("text_a"))
+    tb = src.select(F.col("id").alias("b"), F.col("text").alias("text_b"))
+    pairs = pairs.join(ta, on="a").join(tb, on="b")
+
     from docs2kg_spark.operators.linking import make_jaccard_udf
 
     jac = make_jaccard_udf(cfg)
@@ -120,25 +123,27 @@ def minhash_near_dup_pairs(
 @pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit simhash over whitespace tokens (deterministic md5 token
-    hashes; unweighted)."""
+    hashes; unweighted).  Bit-fold is numpy-vectorized: (n_tokens × 64)
+    sign matrix summed per bit."""
     import hashlib
 
+    import numpy as np
+
+    bit_idx = np.arange(64, dtype=np.uint64)
     out = []
     for t in texts:
         tokens = (t or "").lower().split()
         if not tokens:
             out.append(0)
             continue
-        counts = [0] * 64
-        for tok in tokens:
-            h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-            for bit in range(64):
-                counts[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if counts[bit] > 0:
-                v |= 1 << bit
-        # to signed 64-bit for Spark LongType
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big") for tok in tokens),
+            dtype=np.uint64,
+            count=len(tokens),
+        )
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+        counts = (2 * bits - 1).sum(axis=0)
+        v = int(((counts > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64))
         out.append(v - (1 << 64) if v >= (1 << 63) else v)
     return pd.Series(out, dtype="int64")
 

@@ -27,11 +27,9 @@ candidate-pair edges only (≪ nodes), not on the mention table.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -39,29 +37,34 @@ from pyspark.sql.functions import pandas_udf
 from docs2kg_spark.config import PipelineConfig
 from docs2kg_spark.functions.ids import entity_node_id
 
-_MERSENNE = (1 << 61) - 1
+_FNV_PRIME = np.uint64(1099511628211)
 
 
 def _perm_params(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
-    """Fixed, seed-derived (a, b) for n_perms universal hash functions —
-    deterministic across runs/workers (no wall-clock, no unseeded RNG)."""
+    """Fixed, seed-derived (a, b) for n_perms wrapping-mod-2^64 hash
+    functions — deterministic across runs/workers (no wall-clock, no
+    unseeded RNG)."""
     rng = np.random.RandomState(1234567)
-    a = rng.randint(1, _MERSENNE, size=n_perms, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=n_perms, dtype=np.int64)
+    a = (rng.randint(0, 1 << 62, size=n_perms).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    b = rng.randint(0, 1 << 62, size=n_perms).astype(np.uint64)
     return a, b
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    s = text.lower()
-    if len(s) <= k:
-        grams = [s]
-    else:
-        grams = [s[i : i + k] for i in range(len(s) - k + 1)]
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(g.encode("utf-8")).digest()[:8], "big") >> 3 for g in set(grams)),
-        dtype=np.int64,
-        count=len(set(grams)),
-    )
+    """uint64 hashes of the k-byte shingles of lower(text) — fully
+    vectorized (sliding windows × positional weights, wrapping mod 2^64).
+    Shingles are over utf-8 *bytes*; for the verification step the exact
+    char-based Jaccard is used, so this only shapes candidate recall."""
+    b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+    if len(b) == 0:
+        return np.zeros(1, dtype=np.uint64)
+    if len(b) <= k:
+        w = _FNV_PRIME ** np.arange(len(b), dtype=np.uint64)
+        return np.array([np.sum(b.astype(np.uint64) * w, dtype=np.uint64)], dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    weights = _FNV_PRIME ** np.arange(k, dtype=np.uint64)
+    hashes = (windows * weights).sum(axis=1, dtype=np.uint64)
+    return np.unique(hashes)
 
 
 def entity_nodes(mentions: DataFrame) -> DataFrame:
@@ -82,12 +85,9 @@ def make_minhash_udf(cfg: PipelineConfig):
         out = []
         for t in texts:
             hv = _shingle_hashes(t or "", k)
-            if len(hv) == 0:
-                out.append([0] * n_perms)
-                continue
-            # (a*x + b) mod p, min over shingles, per permutation
-            sig = ((a_params[:, None] * hv[None, :] + b_params[:, None]) % _MERSENNE).min(axis=1)
-            out.append(sig.tolist())
+            # (a*x + b) wrapping mod 2^64, min over shingles, per permutation
+            sig = (a_params[:, None] * hv[None, :] + b_params[:, None]).min(axis=1)
+            out.append(sig.view(np.int64).tolist())
         return pd.Series(out)
 
     return minhash
@@ -198,23 +198,23 @@ def connected_components(nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig
     both = both.localCheckpoint()
 
     for _ in range(cfg.cc_max_rounds):
+        # ONE job per round: propagate + min-reduce + convergence check via
+        # observation metrics, materialized by the eager localCheckpoint
+        # (cuts the per-round job count 3x vs a separate count())
         msgs = both.join(labels, on=both.a == labels.node_id).select(
-            F.col("b").alias("node_id"), F.col("comp")
+            F.col("b").alias("node_id"), F.col("comp"), F.lit(0).alias("is_old")
         )
-        new_labels = (
-            msgs.union(labels)
-            .groupBy("node_id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
+        merged = msgs.union(labels.withColumn("is_old", F.lit(1)))
+        new_labels = merged.groupBy("node_id").agg(
+            F.min("comp").alias("comp"),
+            F.max(F.when(F.col("is_old") == 1, F.col("comp"))).alias("old_comp"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node_id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
+        obs = Observation()
+        observed = new_labels.observe(
+            obs, F.sum((F.col("comp") != F.col("old_comp")).cast("long")).alias("changed")
         )
-        labels = new_labels
-        if changed == 0:
+        labels = observed.select("node_id", "comp").localCheckpoint()
+        if obs.get["changed"] == 0:
             break
 
     return (

@@ -57,7 +57,7 @@ def run_kg_pipeline(spark, sf: str) -> dict:
     from docs2kg_spark.fixtures import transcripts_pandas
     from docs2kg_spark.plans import run_pipeline
 
-    n_convs = SF_TO_CONVS.get(sf, 1200)
+    n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", SF_TO_CONVS.get(sf, 1200)))
     pdf = transcripts_pandas(n_convs=n_convs, mean_turns=10, seed=7)
     tdf = spark.createDataFrame(pdf).repartition(max(int(CPUS), 8), "conv_id")
     tdf.cache().count()  # exclude synthesis/ingest from the measured window
@@ -148,24 +148,46 @@ def main() -> None:
 
 
 def scaling_main() -> None:
-    """north_rule scaling evidence: same job, same input, local[8] vs
-    local[32]; efficiency = T8_wall / T32_wall / 4 (ideal = 1.0)."""
-    results = {}
-    for cpus in ("8", "32"):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run(
-            [sys.executable, __file__, "--pipeline-only"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+    """north_rule scaling evidence: same job, same input, at N and 4N
+    parallelism; efficiency = tput(4N) / (4 · tput(N)), ideal 1.0.
 
-    t8, t32 = results["8"]["secs"], results["32"]["secs"]
-    tput8, tput32 = results["8"]["triples_per_sec"], results["32"]["triples_per_sec"]
-    efficiency = round(tput32 / (4 * tput8), 3)
+    Defaults to local[4] vs local[16] with median-of-3: the sandbox box
+    has 32 cores but is SHARED (external load routinely >12), so pinning
+    the experiment inside the reliably-free core budget keeps the
+    measurement about *our* scaling rather than tenant contention.
+    Override with SPARK_GRAFT_SCALING_CPUS="8,32" and
+    SPARK_GRAFT_SCALING_RUNS when the box is idle."""
+    lo, hi = os.environ.get("SPARK_GRAFT_SCALING_CPUS", "4,16").split(",")
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
+    # compute-dominated input (~1.2M turns) so fixed JVM/driver costs
+    # don't mask the parallelizable work
+    scaling_convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "80000")
+
+    # interleave levels so external-load drift hits both equally
+    runs_lo, runs_hi = [], []
+    for i in range(n_runs):
+        for cpus, acc in ((lo, runs_lo), (hi, runs_hi)):
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_CPUS=cpus,
+                SPARK_GRAFT_SF_DIR=SF_DIR,
+                SPARK_GRAFT_BENCH_CONVS=scaling_convs,
+            )
+            out = subprocess.run(
+                [sys.executable, __file__, "--pipeline-only"],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            acc.append(json.loads(line))
+
+    def median(runs: list[dict]) -> dict:
+        return sorted(runs, key=lambda r: r["secs"])[len(runs) // 2]
+
+    m_lo, m_hi = median(runs_lo), median(runs_hi)
+    efficiency = round(m_hi["triples_per_sec"] / (4 * m_lo["triples_per_sec"]), 3)
     sf = _sf_of(SF_DIR)
 
     os.makedirs("BENCH", exist_ok=True)
@@ -174,21 +196,37 @@ def scaling_main() -> None:
             "# BENCH baseline — KG pipeline throughput & scaling evidence\n\n"
             "End-to-end pipeline (extract → link → canonicalize → materialize,\n"
             "`BASELINE.json::metric`) on the same deterministic synthetic transcript\n"
-            "table at two parallelism levels — the sandbox stand-in for N vs 4N\n"
-            "executors (north_rule scaling criterion).\n\n"
-            f"- input: sf={sf}, {results['32']['n_turns']} turns, "
-            f"{results['32']['n_convs']} conversations (seed=7)\n"
-            f"- triples emitted: {results['32']['n_triples']}\n\n"
-            "| parallelism | wall (s) | triples/sec | turns/sec |\n"
-            "|---|---|---|---|\n"
-            f"| local[8]  | {t8} | {tput8} | {results['8']['turns_per_sec']} |\n"
-            f"| local[32] | {t32} | {tput32} | {results['32']['turns_per_sec']} |\n\n"
-            f"**Scaling efficiency (local[8] → local[32], 4× cores): "
-            f"{efficiency}** (target ≥ 0.8 per north_rule; note the sandbox\n"
-            "shares one JVM/driver, so this under-reports true multi-executor\n"
-            "scaling — fixed driver-side costs are not divided by 4).\n"
+            f"table at two parallelism levels (local[{lo}] vs local[{hi}], fresh JVM\n"
+            "each, median of "
+            f"{n_runs} interleaved runs) — the sandbox stand-in for N vs 4N\n"
+            "executors (north_rule scaling criterion).  The box has 32 cores but is\n"
+            "shared with external load, so the experiment is sized to the reliably\n"
+            "free core budget.\n\n"
+            f"- input: sf={sf}, {m_hi['n_turns']} turns, "
+            f"{m_hi['n_convs']} conversations (seed=7)\n"
+            f"- triples emitted: {m_hi['n_triples']}; kg_edges: {m_hi['n_kg_edges']}\n\n"
+            "| parallelism | wall (s, median) | triples/sec | turns/sec | all runs (s) |\n"
+            "|---|---|---|---|---|\n"
+            f"| local[{lo}]  | {m_lo['secs']} | {m_lo['triples_per_sec']} | "
+            f"{m_lo['turns_per_sec']} | {[r['secs'] for r in runs_lo]} |\n"
+            f"| local[{hi}] | {m_hi['secs']} | {m_hi['triples_per_sec']} | "
+            f"{m_hi['turns_per_sec']} | {[r['secs'] for r in runs_hi]} |\n\n"
+            f"**Scaling efficiency (local[{lo}] → local[{hi}], 4× cores): "
+            f"{efficiency}** (target ≥ 0.8 per north_rule; single shared JVM —\n"
+            "driver-side fixed costs are not divided by 4, so this under-reports\n"
+            "true multi-executor scaling).\n"
         )
-    print(json.dumps({"t8": t8, "t32": t32, "efficiency": efficiency, "detail": results}))
+    print(
+        json.dumps(
+            {
+                f"t{lo}": m_lo["secs"],
+                f"t{hi}": m_hi["secs"],
+                "efficiency": efficiency,
+                "runs_lo": [r["secs"] for r in runs_lo],
+                "runs_hi": [r["secs"] for r in runs_hi],
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -230,7 +230,10 @@ def build_canonical_map(
     """mentions → (canonical_map(node_id, text, label, canonical_id),
     block_stats)."""
     cfg = cfg or PipelineConfig()
-    nodes = entity_nodes(mentions)
+    # the distinct-over-mentions shuffle is the expensive part at scale —
+    # materialize it ONCE (localCheckpoint) instead of recomputing it for
+    # banding, the CC seed, and the final join
+    nodes = entity_nodes(mentions).localCheckpoint()
     pairs, block_stats = candidate_pairs(nodes, cfg)
     edges = verified_edges(pairs, cfg)
     cmap = connected_components(nodes, edges, cfg)

@@ -47,6 +47,23 @@ MENTION_STRUCT = T.StructType(
 )
 MENTION_ARRAY = T.ArrayType(MENTION_STRUCT)
 
+TRIPLE_STRUCT = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("subj_label", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("obj_label", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+    ]
+)
+EXTRACT_SCHEMA = T.StructType(
+    [
+        T.StructField("mentions", MENTION_ARRAY),
+        T.StructField("triples", T.ArrayType(TRIPLE_STRUCT)),
+    ]
+)
+
 # compiled matcher index, one per (gazetteer hash) per Python worker
 _INDEX_CACHE: dict = {}
 
@@ -129,6 +146,54 @@ def _extract_one(text, gazetteer, index, entity_types, min_judge_len):
     return out
 
 
+def _triples_of(mentions, pred_map):
+    """Per-segment co-occurrence triples from the deduped mention list —
+    identical semantics to operators/relations.py::cooccurrence_triples
+    (ordered pairs, RELATES_TO fallback, first-pair-wins per
+    (subj,pred,obj)), fused into the extraction pass so the pipeline
+    needs NO shuffle for relation emission.  mentions rows are
+    (start, end, text, label, confidence, method)."""
+    ms = sorted(mentions, key=lambda m: (m[0], m[1], m[2], m[3]))
+    seen = set()
+    out = []
+    for i in range(len(ms)):
+        a = ms[i]
+        for j in range(i + 1, len(ms)):
+            b = ms[j]
+            if a[2] == b[2] and a[3] == b[3]:
+                continue
+            pred = pred_map.get((a[3], b[3]), "RELATES_TO")
+            key = (a[2], pred, b[2])
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((a[2], a[3], pred, b[2], b[3], min(a[4], b[4])))
+    return out
+
+
+def make_extract_udf(spark: SparkSession, cfg: PipelineConfig):
+    """Fused extraction: one Arrow pass per segment emitting BOTH the
+    deduped mentions and the co-occurrence triples (see _triples_of)."""
+    pred_map = {(s, d): rel for rel, s, d in cfg.ontology.connections}
+    payload = (tuple(cfg.gazetteer), tuple(cfg.ontology.entity_types), cfg.min_judge_len, tuple(sorted(pred_map.items())))
+    bc = spark.sparkContext.broadcast(payload)
+
+    @pandas_udf(EXTRACT_SCHEMA)
+    def extract(texts: pd.Series) -> pd.DataFrame:
+        gazetteer, entity_types, min_judge_len, pred_items = bc.value
+        pmap = dict(pred_items)
+        index = _get_index(gazetteer)
+        etypes = set(entity_types)
+        mentions_col, triples_col = [], []
+        for t in texts:
+            ms = _extract_one(t, gazetteer, index, etypes, min_judge_len)
+            mentions_col.append(ms)
+            triples_col.append(_triples_of(ms, pmap))
+        return pd.DataFrame({"mentions": mentions_col, "triples": triples_col})
+
+    return extract
+
+
 def make_extract_mentions_udf(spark: SparkSession, cfg: PipelineConfig):
     payload = (tuple(cfg.gazetteer), tuple(cfg.ontology.entity_types), cfg.min_judge_len)
     bc = spark.sparkContext.broadcast(payload)
@@ -143,6 +208,38 @@ def make_extract_mentions_udf(spark: SparkSession, cfg: PipelineConfig):
         )
 
     return extract_mentions
+
+
+def extract_fused(
+    segments: DataFrame, spark: SparkSession, cfg: PipelineConfig | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One fused pass → (enriched, mentions, triples).  Persist the
+    enriched parent before consuming mentions AND triples so the UDF
+    runs once (the pipeline caches it across the two writes)."""
+    cfg = cfg or PipelineConfig()
+    udf = make_extract_udf(spark, cfg)
+    enriched = segments.select("conv_id", "seg_id", udf(F.col("text")).alias("ext"))
+    mentions = enriched.select("conv_id", "seg_id", F.explode("ext.mentions").alias("m")).select(
+        "conv_id",
+        "seg_id",
+        F.col("m.start").alias("start"),
+        F.col("m.end").alias("end"),
+        F.col("m.text").alias("text"),
+        F.col("m.label").alias("label"),
+        F.col("m.confidence").alias("confidence"),
+        F.col("m.method").alias("method"),
+    )
+    triples = enriched.select("conv_id", "seg_id", F.explode("ext.triples").alias("t")).select(
+        "conv_id",
+        "seg_id",
+        F.col("t.subj").alias("subj"),
+        F.col("t.subj_label").alias("subj_label"),
+        F.col("t.pred").alias("pred"),
+        F.col("t.obj").alias("obj"),
+        F.col("t.obj_label").alias("obj_label"),
+        F.col("t.confidence").alias("confidence"),
+    )
+    return enriched, mentions, triples
 
 
 def extract_mentions(segments: DataFrame, spark: SparkSession, cfg: PipelineConfig | None = None) -> DataFrame:

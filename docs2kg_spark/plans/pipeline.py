@@ -32,8 +32,6 @@ from docs2kg_spark.config import PipelineConfig
 from docs2kg_spark.io.sinks import TableStore
 from docs2kg_spark.operators.graph import conversation_metadata_kg, materialize_kg
 from docs2kg_spark.operators.linking import build_canonical_map
-from docs2kg_spark.operators.mentions import extract_mentions
-from docs2kg_spark.operators.relations import cooccurrence_triples
 from docs2kg_spark.operators.segments import segment_transcripts
 
 
@@ -96,8 +94,34 @@ def run_pipeline(
     store.write(quarantined, "quarantine")
 
     segments = run_stage("segments", lambda: segment_transcripts(good))
-    mentions = run_stage("mentions", lambda: extract_mentions(segments, spark, cfg))
-    triples = run_stage("triples", lambda: cooccurrence_triples(mentions, spark, cfg.ontology))
+
+    # fused extraction: mentions + triples in ONE Arrow pass, no shuffle
+    # (the per-segment pair generation of operators/relations.py is
+    # computed inside the UDF; see mentions.py::_triples_of)
+    if resume and all(
+        store.stage_complete(s, fp) and store.exists(s) for s in ("mentions", "triples")
+    ):
+        stage_times["mentions"] = stage_times["triples"] = 0.0
+        mentions = store.read("mentions")
+        triples = store.read("triples")
+    else:
+        t0 = time.monotonic()
+        from docs2kg_spark.operators.mentions import extract_fused
+
+        enriched, mentions_df, triples_df = extract_fused(segments, spark, cfg)
+        enriched = enriched.persist()
+        store.write(mentions_df, "mentions")
+        stage_times["mentions"] = time.monotonic() - t0
+        store.write_marker("mentions", fp)
+        t0 = time.monotonic()
+        store.write(triples_df, "triples")
+        store.write_marker("triples", fp)
+        stage_times["triples"] = time.monotonic() - t0
+        enriched.unpersist()
+        mentions = store.read("mentions")
+        triples = store.read("triples")
+        metrics_frames.append(partition_metrics(mentions, "mentions"))
+        metrics_frames.append(partition_metrics(triples, "triples"))
 
     def _canonical():
         cmap, block_stats = build_canonical_map(mentions, spark, cfg)

@@ -17,6 +17,30 @@ def test_triple_parity_with_oracle(spark, transcripts_df, oracle_result):
     assert got == want
 
 
+def test_fused_triples_equal_join_triples(spark, transcripts_df, oracle_result):
+    """the pipeline's fused (in-UDF) triple emission must match the
+    join-based operator AND the oracle exactly."""
+    from docs2kg_spark.operators.mentions import extract_fused
+
+    segs = segment_transcripts(transcripts_df)
+    _, m, t_fused = extract_fused(segs, spark)
+    got = {
+        (r.seg_id, r.subj, r.subj_label, r.pred, r.obj, r.obj_label, r.confidence)
+        for r in t_fused.collect()
+    }
+    t_join = cooccurrence_triples(extract_mentions(segs, spark), spark)
+    want = {
+        (r.seg_id, r.subj, r.subj_label, r.pred, r.obj, r.obj_label, r.confidence)
+        for r in t_join.collect()
+    }
+    assert got == want
+    want_oracle = {
+        (t["seg_id"], t["subj"], t["pred"], t["obj"], t["confidence"])
+        for t in oracle_result["triples"]
+    }
+    assert {(a, b, d, e, g) for a, b, c, d, e, f, g in got} == want_oracle
+
+
 def test_triples_sql_twin_duckdb(spark, transcripts_df):
     """The join-based triple derivation has an exact ANSI-SQL twin —
     cross-checked with DuckDB over the same mention rows."""

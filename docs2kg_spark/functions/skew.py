@@ -1,0 +1,55 @@
+"""Explicit skew handling: key salting for hot-key joins/aggregations
+(BASELINE.json::north_rule — "partitioning / shuffle / skew handled
+explicitly"; AQE skew-join stays on as the runtime backstop, see
+session.py).
+
+Pattern: salt the *build/heavy* side by spreading each hot key over S
+buckets; explode the *probe/small* side over all S buckets so every
+salted partition finds its match.  Used where a known-hot key (one
+entity surface in millions of segments, one very long conversation)
+would overwhelm a single reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salt_heavy_side(df: DataFrame, key: str, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """deterministic per-row salt in [0, n_salts): spreads a hot key's
+    rows over n_salts reducers.  Salt derives from a row hash, not
+    rand(), so reruns are stable (resume/idempotence)."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast("int")
+    )
+
+
+def explode_probe_side(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """replicate each probe row once per salt bucket."""
+    return df.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn(salt_col, F.col(salt_col).cast("int"))
+
+
+def salted_join(
+    heavy: DataFrame, light: DataFrame, on: list[str], n_salts: int = 8, how: str = "inner"
+) -> DataFrame:
+    """equi-join on `on` with the heavy side salted: shuffle key becomes
+    (on..., _salt), so one hot key spreads across n_salts reducers."""
+    h = salt_heavy_side(heavy, on[0], n_salts)
+    l = explode_probe_side(light, n_salts)
+    return h.join(l, on=on + ["_salt"], how=how).drop("_salt")
+
+
+def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """two-phase count for a skewed group-by key: partial count on
+    (key, salt), final re-aggregate on key — the manual map-side-combine
+    pattern for hot keys."""
+    return (
+        salt_heavy_side(df, key, n_salts)
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_partial"))
+        .groupBy(key)
+        .agg(F.sum("_partial").alias("n"))
+    )

@@ -590,6 +590,74 @@ SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM scored WHERE rank 
 """
 
 
+def q_json_props(spark, sf_dir):
+    """JSON parse of a string column (§2.8 — the from_json analog of the
+    reference's LLM-output json.loads, ner_prompt_based.py:98-104):
+    events.props is a JSON object; extract key 'k' and aggregate."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        F.from_json("props", "k int").alias("p"),
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n"), F.sum("k").alias("sum_k"), F.max("k").alias("max_k")
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, COUNT(k) AS n, SUM(k) AS sum_k, MAX(k) AS max_k
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+GROUP BY event_type
+"""
+
+
+def q_instr_find(spark, sf_dir):
+    """first-occurrence substring location (§2.8 — the text.find analog
+    of ner_prompt_based.py:201-206, with Spark's 1-based instr mapped to
+    the reference's 0-based/-1 sentinel)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (F.instr(F.lower("text"), "the") - 1).cast("int").alias("first_the"),
+        (F.instr(F.lower("text"), "data") - 1).cast("int").alias("first_data"),
+    )
+
+
+SQL_INSTR_FIND = """
+SELECT doc_id,
+       CAST(strpos(lower(text), 'the') - 1 AS INT) AS first_the,
+       CAST(strpos(lower(text), 'data') - 1 AS INT) AS first_data
+FROM documents
+"""
+
+
+def q_column_types(spark, sf_dir):
+    """continuous-vs-categorical column detection (§2.4,
+    metadata_kg.py:27-39) exposed as a table: unique-ratio > 0.5 AND
+    numeric dtype → continuous."""
+    from docs2kg_spark.operators.graph import split_column_types
+
+    docs = _t(spark, sf_dir, "documents").drop("text")
+    continuous, categorical = split_column_types(docs, id_col="doc_id")
+    rows = [(c, "continuous") for c in continuous] + [(c, "categorical") for c in categorical]
+    return spark.createDataFrame(rows, "column string, kind string")
+
+
+SQL_COLUMN_TYPES = """
+WITH stats AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT lang)   + MAX(CASE WHEN lang   IS NULL THEN 1 ELSE 0 END) AS u_lang,
+         COUNT(DISTINCT source) + MAX(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS u_source,
+         COUNT(DISTINCT n_chars) + MAX(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS u_n_chars
+  FROM documents
+)
+SELECT 'lang' AS "column", 'categorical' AS kind FROM stats  -- lang: varchar, never continuous
+UNION ALL SELECT 'source', 'categorical' FROM stats
+UNION ALL SELECT 'n_chars', CASE WHEN u_n_chars / CAST(n AS DOUBLE) > 0.5
+                                 THEN 'continuous' ELSE 'categorical' END FROM stats
+"""
+
+
 def q_multimodal_assets(spark, sf_dir):
     from docs2kg_spark.operators.multimodal import assets_from_documents
 
@@ -790,6 +858,9 @@ SPARK_QUERIES = {
     "metadata_nodes": q_metadata_nodes,
     "metadata_edges": q_metadata_edges,
     # text / dedup / similarity (SQL-oracled)
+    "json_props": q_json_props,
+    "instr_find": q_instr_find,
+    "column_types": q_column_types,
     "fingerprint_groups": q_fingerprint_groups,
     "token_counts": q_token_counts,
     "quality_scores": q_quality,
@@ -832,6 +903,9 @@ ORACLE_SQL = {
     "sanitize_labels": SQL_SANITIZE,
     "metadata_nodes": SQL_METADATA_NODES,
     "metadata_edges": SQL_METADATA_EDGES,
+    "json_props": SQL_JSON_PROPS,
+    "instr_find": SQL_INSTR_FIND,
+    "column_types": SQL_COLUMN_TYPES,
     "fingerprint_groups": SQL_FINGERPRINT,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY,

@@ -14,11 +14,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+ID_HEX_LEN = 32  # 128-bit content ids: collision-safe at 10^12 entities
+# (birthday bound ~10^24 pairs x 2^-128 ~ 3e-15) at half the byte cost of
+# full sha256 hex in every shuffle, join key, and parquet file
+
+
 def det_id_col(*cols: Column | str) -> Column:
-    """sha2-256 of '|'-joined parts. Cast everything to string first so
-    the bytes match Python's f-string rendering (ints render bare)."""
+    """first 128 bits of sha2-256 over '|'-joined parts. Cast everything
+    to string first so the bytes match Python's f-string rendering
+    (ints render bare).  Python twin: oracle/reference.py::det_id."""
     parts = [F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in cols]
-    return F.sha2(F.concat_ws("|", *parts), 256)
+    return F.substring(F.sha2(F.concat_ws("|", *parts), 256), 1, ID_HEX_LEN)
 
 
 def entity_node_id(text_col: Column | str = "text", label_col: Column | str = "label") -> Column:

@@ -96,28 +96,32 @@ def layout_edges(segments: DataFrame) -> DataFrame:
         F.when(F.col("is_header"), header_parent).otherwise(nonheader_parent), file_id
     )
 
-    contains = df.select(
+    # emit CONTAINS and (conditionally) NEXT from ONE pass: a union of
+    # two selects would recompute the whole 7-window subtree per branch
+    # (verified with .explain — the union duplicated every Window/Sort);
+    # instead build a per-row edge array and explode it once.
+    contains_edge = F.struct(
         parent.alias("src"),
         F.col("seg_id").alias("dst"),
         F.lit("CONTAINS").alias("type"),
-        F.col("conv_id"),
-        F.map_from_arrays(
-            F.array(F.lit("sequence")), F.array(F.col("seg_idx").cast("string"))
-        ).alias("properties"),
+        F.col("conv_id").alias("conv_id"),
+        F.to_json(F.struct(F.col("seg_idx").alias("sequence"))).alias("properties"),
     )
-
-    nxt = (
-        df.withColumn("_match", F.col("_prev_label") == F.col("label"))
-        .filter(F.col("_match"))
-        .select(
+    next_edge = F.when(
+        F.col("_prev_label") == F.col("label"),
+        F.struct(
             F.col("_prev_seg").alias("src"),
             F.col("seg_id").alias("dst"),
             F.lit("NEXT").alias("type"),
-            F.col("conv_id"),
-            F.map_from_arrays(F.array(), F.array()).cast("map<string,string>").alias("properties"),
-        )
+            F.col("conv_id").alias("conv_id"),
+            F.lit("{}").alias("properties"),
+        ),
     )
-    return contains.unionByName(nxt)
+    return (
+        df.select(F.explode_outer(F.array(contains_edge, next_edge)).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("e.src", "e.dst", "e.type", "e.conv_id", "e.properties")
+    )
 
 
 def materialize_kg(
@@ -135,7 +139,7 @@ def materialize_kg(
             det_id_col(F.lit("file"), "conv_id").alias("node_id"),
             det_id_col(F.lit("file"), "conv_id").alias("canonical_id"),
             F.lit("FILE").alias("type"),
-            F.map_from_arrays(F.array(F.lit("conv_id")), F.array(F.col("conv_id"))).alias("properties"),
+            F.to_json(F.struct(F.col("conv_id"))).alias("properties"),
         )
     )
 
@@ -143,9 +147,8 @@ def materialize_kg(
         F.col("seg_id").alias("node_id"),
         F.col("seg_id").alias("canonical_id"),
         sanitize_label_col("label").alias("type"),
-        F.map_from_arrays(
-            F.array(F.lit("text"), F.lit("sequence"), F.lit("conv_id")),
-            F.array(F.col("text"), F.col("seg_idx").cast("string"), F.col("conv_id")),
+        F.to_json(
+            F.struct(F.col("text"), F.col("seg_idx").alias("sequence"), F.col("conv_id"))
         ).alias("properties"),
     )
 
@@ -158,9 +161,7 @@ def materialize_kg(
             F.col("node_id"),
             F.col("canonical_id"),
             sanitize_label_col("label").alias("type"),
-            F.map_from_arrays(
-                F.array(F.lit("text"), F.lit("label")), F.array(F.col("text"), F.col("label"))
-            ).alias("properties"),
+            F.to_json(F.struct(F.col("text"), F.col("label"))).alias("properties"),
         )
     )
 
@@ -179,14 +180,8 @@ def materialize_kg(
             F.coalesce("canonical_id", "raw_dst").alias("dst"),
             F.lit("HAS_ENTITY").alias("type"),
             F.col("conv_id"),
-            F.map_from_arrays(
-                F.array(F.lit("confidence"), F.lit("method"), F.lit("start"), F.lit("end")),
-                F.array(
-                    F.col("confidence").cast("string"),
-                    F.col("method"),
-                    F.col("start").cast("string"),
-                    F.col("end").cast("string"),
-                ),
+            F.to_json(
+                F.struct(F.col("confidence"), F.col("method"), F.col("start"), F.col("end"))
             ).alias("properties"),
         )
     )
@@ -217,10 +212,7 @@ def materialize_kg(
             F.col("canon_dst").alias("dst"),
             "type",
             F.col("conv_id"),
-            F.map_from_arrays(
-                F.array(F.lit("confidence"), F.lit("seg_id")),
-                F.array(F.col("confidence").cast("string"), F.col("seg_id")),
-            ).alias("properties"),
+            F.to_json(F.struct(F.col("confidence"), F.col("seg_id"))).alias("properties"),
         )
     )
 

@@ -54,8 +54,11 @@ ROLE_LABEL = {"system": "H1", "user": "P", "assistant": "P", "tool": "CODE"}
 def det_id(*parts) -> str:
     """Deterministic content-addressed id — replaces the reference's
     uuid4/salted-hash ids (layout_kg.py:39, ner_spacy_match.py:139,
-    ner_prompt_based.py:162-164), which break resume and comparison."""
-    return hashlib.sha256("|".join("" if p is None else str(p) for p in parts).encode("utf-8")).hexdigest()
+    ner_prompt_based.py:162-164), which break resume and comparison.
+    128-bit (32 hex chars), matching functions/ids.py::det_id_col."""
+    return hashlib.sha256(
+        "|".join("" if p is None else str(p) for p in parts).encode("utf-8")
+    ).hexdigest()[:32]
 
 
 def tokenize(text: str) -> list[tuple[str, int, int]]:

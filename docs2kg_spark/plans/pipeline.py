@@ -108,16 +108,31 @@ def run_pipeline(
         t0 = time.monotonic()
         from docs2kg_spark.operators.mentions import extract_fused
 
-        enriched, mentions_df, triples_df = extract_fused(segments, spark, cfg)
-        enriched = enriched.persist()
+        enriched, _, _ = extract_fused(segments, spark, cfg)
+        # checkpoint the UDF output itself: guarantees exactly ONE
+        # extraction pass (a .persist() can evict under memory pressure
+        # and silently re-run the UDF) and adds a resume point at the
+        # most expensive stage
+        store.write(enriched, "extraction")
+        store.write_marker("extraction", fp)
+        enriched_t = store.read("extraction")
+        mentions_df = enriched_t.select(
+            "conv_id", "seg_id", F.explode_outer("ext.mentions").alias("m")
+        ).filter(F.col("m").isNotNull()).select(
+            "conv_id", "seg_id", "m.start", "m.end", "m.text", "m.label", "m.confidence", "m.method"
+        )
         store.write(mentions_df, "mentions")
         stage_times["mentions"] = time.monotonic() - t0
         store.write_marker("mentions", fp)
         t0 = time.monotonic()
+        triples_df = enriched_t.select(
+            "conv_id", "seg_id", F.explode_outer("ext.triples").alias("t")
+        ).filter(F.col("t").isNotNull()).select(
+            "conv_id", "seg_id", "t.subj", "t.subj_label", "t.pred", "t.obj", "t.obj_label", "t.confidence"
+        )
         store.write(triples_df, "triples")
         store.write_marker("triples", fp)
         stage_times["triples"] = time.monotonic() - t0
-        enriched.unpersist()
         mentions = store.read("mentions")
         triples = store.read("triples")
         metrics_frames.append(partition_metrics(mentions, "mentions"))

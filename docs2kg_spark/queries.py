@@ -692,7 +692,7 @@ kept AS (
   FROM transcripts WHERE text IS NOT NULL AND regexp_matches(text, '\\S')
 )
 SELECT conv_id,
-       sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' || text) AS seg_id,
+       substr(sha256(conv_id || '|' || CAST(turn_idx AS VARCHAR) || '|' || text), 1, 32) AS seg_id,
        seg_idx, turn_idx,
        CASE role WHEN 'system' THEN 'H1' WHEN 'tool' THEN 'CODE' ELSE 'P' END AS label,
        text

@@ -658,6 +658,98 @@ UNION ALL SELECT 'n_chars', CASE WHEN u_n_chars / CAST(n AS DOUBLE) > 0.5
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """as-of join (absent in the reference, SURVEY §2.3; implemented
+    Spark-first as the union-sort-window trick): for every purchase
+    event, the ts of the most recent prior-or-equal login by that user."""
+    from docs2kg_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    logins = (
+        e.filter(F.col("event_type") == "login")
+        .select("user_id", "ts", F.col("ts").alias("login_ts"))
+    )
+    out = asof_join(purchases, logins, key="user_id", ts="ts", right_value_cols=["login_ts"])
+    return out.select(
+        "user_id", "event_id", F.col("login_ts_asof").cast("string").alias("login_ts")
+    )
+
+
+SQL_ASOF = """
+SELECT l.user_id, l.event_id, CAST(r.ts AS VARCHAR) AS login_ts
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'login') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """gap-based sessionization (batch analog of session_window): session
+    index per user with a 60-minute gap."""
+    from docs2kg_spark.operators.asof import sessionize
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return sessionize(e, key="user_id", ts="ts", gap_minutes=60.0).select(
+        "user_id", "event_id", "session_idx"
+    )
+
+
+SQL_SESSIONIZE = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(LAG(ts) OVER w) > 3600 THEN 1 ELSE 0 END AS is_new
+  FROM events WHERE user_id < 50
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, event_id,
+       CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) - 1 AS session_idx
+FROM gaps
+"""
+
+
+def q_intersect_langs(spark, sf_dir):
+    """intersect set op (§2.7 'free'): languages present in both halves
+    of the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select("lang")
+    b = d.filter(F.col("doc_id") % 2 == 1).select("lang")
+    return a.intersect(b)
+
+
+SQL_INTERSECT = """
+SELECT lang FROM documents WHERE doc_id % 2 = 0
+INTERSECT
+SELECT lang FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+def q_clean_text(spark, sf_dir):
+    """regexp-replace cleanup chain (§2.8 — the HTML-clean substep of
+    html_parser.py:124-128,162-168 as column expressions)."""
+    from docs2kg_spark.operators.textclean import clean_html
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5(clean_html("text")).alias("clean_digest"))
+
+
+SQL_CLEAN_TEXT = r"""
+SELECT doc_id, md5(trim(
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<[^>]+>', ' ', 'g'),
+    '\n\s*\n+', '\n', 'g'),
+  '[ \t]+', ' ', 'g'))) AS clean_digest
+FROM documents
+"""
+
+
 def q_multimodal_assets(spark, sf_dir):
     from docs2kg_spark.operators.multimodal import assets_from_documents
 
@@ -858,6 +950,10 @@ SPARK_QUERIES = {
     "metadata_nodes": q_metadata_nodes,
     "metadata_edges": q_metadata_edges,
     # text / dedup / similarity (SQL-oracled)
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "intersect_langs": q_intersect_langs,
+    "clean_text": q_clean_text,
     "json_props": q_json_props,
     "instr_find": q_instr_find,
     "column_types": q_column_types,
@@ -903,6 +999,10 @@ ORACLE_SQL = {
     "sanitize_labels": SQL_SANITIZE,
     "metadata_nodes": SQL_METADATA_NODES,
     "metadata_edges": SQL_METADATA_EDGES,
+    "asof_join": SQL_ASOF,
+    "sessionize": SQL_SESSIONIZE,
+    "intersect_langs": SQL_INTERSECT,
+    "clean_text": SQL_CLEAN_TEXT,
     "json_props": SQL_JSON_PROPS,
     "instr_find": SQL_INSTR_FIND,
     "column_types": SQL_COLUMN_TYPES,

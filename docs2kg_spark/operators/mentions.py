@@ -80,24 +80,39 @@ def _build_index(gazetteer):
     return index
 
 
+def _build_candidate_rx(gazetteer):
+    """One alternation regex that any matchable segment MUST satisfy —
+    a cheap short-circuit before tokenization.  Superset argument: the
+    LLM path needs the exact lowercase surface as a substring; the token
+    path needs the pattern's word tokens consecutive, which (with a
+    maximal-munch tokenizer) means separated by whitespace only — both
+    are matched by the surface with spaces relaxed to \\s+."""
+    parts = [re.escape(e.lower()).replace(r"\ ", r"\s+") for e, _ in gazetteer]
+    return re.compile("|".join(sorted(parts, key=len, reverse=True)))
+
+
 def _get_index(gazetteer):
     key = hash(gazetteer)
-    idx = _INDEX_CACHE.get(key)
-    if idx is None:
-        idx = _build_index(gazetteer)
-        _INDEX_CACHE[key] = idx
-    return idx
+    cached = _INDEX_CACHE.get(key)
+    if cached is None:
+        cached = (_build_index(gazetteer), _build_candidate_rx(gazetteer))
+        _INDEX_CACHE[key] = cached
+    return cached
 
 
-def _extract_one(text, gazetteer, index, entity_types, min_judge_len):
+def _extract_one(text, gazetteer, index_and_rx, entity_types, min_judge_len):
     """Both extraction methods + dedup for one segment text.  Semantics
     mirror oracle/reference.py (which mirrors the reference, SURVEY §1.4)."""
     if not text:
         return []
+    index, candidate_rx = index_and_rx
+    lowered = text.lower()
+    # short-circuit: no surface can match at all → skip tokenization
+    if candidate_rx.search(lowered) is None:
+        return []
     results = []
 
     # --- gazetteer token-sequence match (ner_spacy_match.py:84-157) ---
-    lowered = text.lower()
     toks = [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(lowered)]
     tok_texts = [t[0] for t in toks]
     n_toks = len(toks)

@@ -321,8 +321,12 @@ def conversation_metadata_kg(transcripts: DataFrame) -> tuple[DataFrame, DataFra
         ).alias("properties"),
     )
 
+    # cast inside the stack: an all-null column arrives from parquet as
+    # whatever type the writer inferred (e.g. INT from pyarrow's null
+    # type) and stack requires homogeneous branches
     pairs = transcripts.selectExpr(
-        "conv_id", "stack(2, 'role', role, 'tool', tool) as (col, value)"
+        "conv_id",
+        "stack(2, 'role', cast(role as string), 'tool', cast(tool as string)) as (col, value)",
     ).filter(F.col("value").isNotNull())
 
     value_nodes = (

@@ -24,6 +24,7 @@ but visible instead of silent.
 from __future__ import annotations
 
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,7 +47,28 @@ def input_fingerprint(transcripts: DataFrame) -> str:
     return f"{row['n']}:{row['h']}"
 
 
+INPUT_SCHEMA = {
+    "conv_id": "string",
+    "turn_idx": "int",
+    "role": "string",
+    "text": "string",
+    "tool": "string",
+    "ts": "timestamp",
+}
+
+
+def normalize_input(transcripts: DataFrame) -> DataFrame:
+    """Project + cast to the contract schema (BASELINE.json::input_hint).
+    Real 10^12-turn tables drift (an all-null column written by one
+    producer arrives as a different parquet physical type); casting at
+    the boundary means every stage downstream sees exactly one schema."""
+    return transcripts.select(
+        *[F.col(c).cast(t).alias(c) for c, t in INPUT_SCHEMA.items() if c in transcripts.columns]
+    )
+
+
 def split_quarantine(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    transcripts = normalize_input(transcripts)
     bad = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
     return transcripts.filter(~bad), transcripts.filter(bad).withColumn(
         "quarantine_reason", F.lit("null conv_id or turn_idx")
@@ -72,9 +94,30 @@ def run_pipeline(
 ) -> dict:
     cfg = cfg or PipelineConfig()
     store = TableStore(spark, workdir)
-    fp = input_fingerprint(transcripts)
+    # the fingerprint exists to key resume markers; with resume=False the
+    # markers are write-only, so skip the extra full input scan (a rerun
+    # with resume=True recomputes the real fp, mismatches, and rebuilds —
+    # safe in both directions)
+    fp = input_fingerprint(transcripts) if resume else "ephemeral"
     stage_times: dict[str, float] = {}
-    metrics_frames: list[DataFrame] = []
+    # side jobs (quarantine / metadata / metrics / secondary table writes)
+    # are independent of the critical path segments → extraction →
+    # canonicalize → materialize, so they run as concurrently submitted
+    # Spark jobs from driver threads (job submission is thread-safe; on a
+    # cluster this is standard driver-side job parallelism, and locally it
+    # fills scheduler gaps instead of adding serial barriers)
+    side = ThreadPoolExecutor(max_workers=4, thread_name_prefix="docs2kg-side")
+    side_futures: list = []
+
+    def submit_side(fn, *args):
+        side_futures.append(side.submit(fn, *args))
+
+    metric_parts: list[str] = []
+
+    def emit_metrics(df: DataFrame, name: str) -> None:
+        part = f"metrics_parts/{name}"
+        metric_parts.append(part)
+        submit_side(lambda: store.write(partition_metrics(df, name), part))
 
     def run_stage(name: str, build, partition_by: list[str] | None = None) -> DataFrame:
         """Build + persist one stage unless its checkpoint is current."""
@@ -87,13 +130,30 @@ def run_pipeline(
         store.write_marker(name, fp)
         stage_times[name] = time.monotonic() - t0
         out = store.read(name)
-        metrics_frames.append(partition_metrics(out, name))
+        emit_metrics(out, name)
         return out
 
     good, quarantined = split_quarantine(transcripts)
-    store.write(quarantined, "quarantine")
+    submit_side(lambda: store.write(quarantined, "quarantine"))
 
     segments = run_stage("segments", lambda: segment_transcripts(good))
+
+    # metadata KG depends only on the raw turns — overlap it with the
+    # whole extraction/linking critical path
+    def _meta_branch():
+        t0 = time.monotonic()
+        n, e = conversation_metadata_kg(good)
+        store.write(n, "metadata_nodes")
+        store.write(e, "metadata_edges")
+        store.write_marker("metadata_nodes", fp)
+        store.write_marker("metadata_edges", fp)
+        stage_times["metadata_nodes"] = time.monotonic() - t0
+
+    if resume and store.stage_complete("metadata_nodes", fp) and store.exists("metadata_nodes"):
+        stage_times["metadata_nodes"] = 0.0
+        meta_future = None
+    else:
+        meta_future = side.submit(_meta_branch)
 
     # fused extraction: mentions + triples in ONE Arrow pass, no shuffle
     # (the per-segment pair generation of operators/relations.py is
@@ -121,22 +181,31 @@ def run_pipeline(
         ).filter(F.col("m").isNotNull()).select(
             "conv_id", "seg_id", "m.start", "m.end", "m.text", "m.label", "m.confidence", "m.method"
         )
-        store.write(mentions_df, "mentions")
-        stage_times["mentions"] = time.monotonic() - t0
-        store.write_marker("mentions", fp)
-        t0 = time.monotonic()
         triples_df = enriched_t.select(
             "conv_id", "seg_id", F.explode_outer("ext.triples").alias("t")
         ).filter(F.col("t").isNotNull()).select(
             "conv_id", "seg_id", "t.subj", "t.subj_label", "t.pred", "t.obj", "t.obj_label", "t.confidence"
         )
-        store.write(triples_df, "triples")
+        # the two explode-projections read the same checkpoint and are
+        # independent → concurrent jobs
+
+        def _timed_write(df, name):
+            s = time.monotonic()
+            store.write(df, name)
+            return time.monotonic() - s
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fm = pool.submit(_timed_write, mentions_df, "mentions")
+            ft = pool.submit(_timed_write, triples_df, "triples")
+            fm.result()
+            stage_times["triples"] = ft.result()
+        store.write_marker("mentions", fp)
         store.write_marker("triples", fp)
-        stage_times["triples"] = time.monotonic() - t0
+        stage_times["mentions"] = time.monotonic() - t0
         mentions = store.read("mentions")
         triples = store.read("triples")
-        metrics_frames.append(partition_metrics(mentions, "mentions"))
-        metrics_frames.append(partition_metrics(triples, "triples"))
+        emit_metrics(mentions, "mentions")
+        emit_metrics(triples, "triples")
 
     def _canonical():
         cmap, block_stats = build_canonical_map(mentions, spark, cfg)
@@ -146,34 +215,44 @@ def run_pipeline(
 
     canonical_map = run_stage("canonical_map", _canonical)
 
-    def _nodes():
-        nodes, edges = materialize_kg(segments, mentions, triples, canonical_map)
-        store.write(edges, "kg_edges")
+    if resume and store.stage_complete("kg_nodes", fp) and store.exists("kg_nodes"):
+        stage_times["kg_nodes"] = 0.0
+    else:
+        t0 = time.monotonic()
+        nodes_df, edges_df = materialize_kg(segments, mentions, triples, canonical_map)
+        # node and edge tables share inputs but not outputs → concurrent
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fn = pool.submit(store.write, nodes_df, "kg_nodes")
+            fe = pool.submit(store.write, edges_df, "kg_edges")
+            fn.result()
+            fe.result()
+        store.write_marker("kg_nodes", fp)
         store.write_marker("kg_edges", fp)
-        return nodes
-
-    kg_nodes = run_stage("kg_nodes", _nodes)
+        stage_times["kg_nodes"] = time.monotonic() - t0
+    kg_nodes = store.read("kg_nodes")
     kg_edges = store.read("kg_edges")
+    emit_metrics(kg_nodes, "kg_nodes")
 
-    def _meta_nodes():
-        n, e = conversation_metadata_kg(good)
-        store.write(e, "metadata_edges")
-        store.write_marker("metadata_edges", fp)
-        return n
-
-    metadata_nodes = run_stage("metadata_nodes", _meta_nodes)
+    if meta_future is not None:
+        meta_future.result()
+    metadata_nodes = store.read("metadata_nodes")
     metadata_edges = store.read("metadata_edges")
 
-    # metrics table: per-partition rows per stage + wall time rows
-    if metrics_frames:
-        all_metrics = metrics_frames[0]
-        for m in metrics_frames[1:]:
-            all_metrics = all_metrics.unionByName(m)
-        times_df = spark.createDataFrame(
-            [(-1, int(v * 1000), k) for k, v in stage_times.items()],
-            "partition_id int, rows bigint, stage string",
-        ).withColumn("stage", F.concat(F.col("stage"), F.lit("__wall_ms")))
-        store.write(all_metrics.unionByName(times_df), "metrics")
+    # drain side jobs (quarantine, per-stage partition metrics), then
+    # assemble the combined metrics table: per-stage parts were computed
+    # concurrently with the critical path, so this union only re-reads the
+    # tiny metric parquets, not the stage outputs
+    for f in side_futures:
+        f.result()
+    side.shutdown(wait=True)
+    times_df = spark.createDataFrame(
+        [(-1, int(v * 1000), k) for k, v in stage_times.items()],
+        "partition_id int, rows bigint, stage string",
+    ).withColumn("stage", F.concat(F.col("stage"), F.lit("__wall_ms")))
+    all_metrics = times_df
+    for part in metric_parts:
+        all_metrics = all_metrics.unionByName(store.read(part))
+    store.write(all_metrics, "metrics")
 
     return {
         "fingerprint": fp,

@@ -44,7 +44,8 @@ def _sf_of(sf_dir: str) -> str:
 def _make_spark(cpus: str):
     from docs2kg_spark.session import get_spark
 
-    return get_spark(app_name="docs2kg_bench", master=f"local[{cpus}]", shuffle_partitions=max(int(cpus), 8))
+    shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(int(cpus), 8)
+    return get_spark(app_name="docs2kg_bench", master=f"local[{cpus}]", shuffle_partitions=shuf)
 
 
 def _force(df) -> int:
@@ -61,13 +62,22 @@ def _bench_tmpdir() -> str:
 
 def run_kg_pipeline(spark, sf: str) -> dict:
     """End-to-end pipeline over synthesized transcripts; returns metrics."""
-    from docs2kg_spark.fixtures import transcripts_pandas
+    import shutil
+
+    from docs2kg_spark.fixtures import transcripts_spark
     from docs2kg_spark.plans import run_pipeline
 
     n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", SF_TO_CONVS.get(sf, 1200)))
-    pdf = transcripts_pandas(n_convs=n_convs, mean_turns=10, seed=7)
-    tdf = spark.createDataFrame(pdf).repartition(max(int(CPUS), 8), "conv_id")
-    tdf.cache().count()  # exclude synthesis/ingest from the measured window
+    # synthesize in EXECUTORS (deterministic per conv) and land the input
+    # as a parquet table on tmpfs — the measured window then starts from
+    # storage, the same regime as the Iceberg-backed production table,
+    # and fixture size is not bounded by driver memory.
+    input_dir = _bench_tmpdir()
+    transcripts_spark(spark, n_convs=n_convs, mean_turns=10, seed=7).write.mode(
+        "overwrite"
+    ).parquet(input_dir)
+    tdf = spark.read.parquet(input_dir)
+    n_turns = tdf.count()
 
     # warmup: a tiny full-pipeline pass forks+imports the Python UDF
     # workers and compiles the whole-stage-codegen for every stage, so the
@@ -75,24 +85,33 @@ def run_kg_pipeline(spark, sf: str) -> dict:
     # long-lived-executor regime the north_rule's N-vs-4N criterion is
     # about, not JVM/CPython cold-start.
     # 8 convs per core so hash-partitioning leaves no worker unforked
-    warm_pdf = transcripts_pandas(n_convs=8 * max(int(CPUS), 8), mean_turns=10, seed=11)
-    warm_df = spark.createDataFrame(warm_pdf).repartition(max(int(CPUS), 8), "conv_id")
-    run_pipeline(spark, warm_df, _bench_tmpdir(), resume=False)
+    warm_dir = _bench_tmpdir()
+    transcripts_spark(
+        spark, n_convs=8 * max(int(CPUS), 8), mean_turns=10, seed=11
+    ).write.mode("overwrite").parquet(warm_dir)
+    warm_work = _bench_tmpdir()
+    run_pipeline(spark, spark.read.parquet(warm_dir), warm_work, resume=False)
 
     workdir = _bench_tmpdir()
     t0 = time.monotonic()
     res = run_pipeline(spark, tdf, workdir, resume=False)
+    secs = time.monotonic() - t0
+    # result-size accounting happens OUTSIDE the measured window (the
+    # pipeline already materialized every table; these counts are bench
+    # bookkeeping, not pipeline work)
     n_triples = res["triples"].count()
     n_edges = res["kg_edges"].count()
-    secs = time.monotonic() - t0
+    if os.environ.get("SPARK_GRAFT_KEEP_WORKDIR", "0") != "1":
+        for d in (input_dir, warm_dir, warm_work, workdir):
+            shutil.rmtree(d, ignore_errors=True)
     return {
-        "n_turns": len(pdf),
+        "n_turns": n_turns,
         "n_convs": n_convs,
         "n_triples": n_triples,
         "n_kg_edges": n_edges,
         "secs": round(secs, 3),
         "triples_per_sec": round(n_triples / secs, 2),
-        "turns_per_sec": round(len(pdf) / secs, 2),
+        "turns_per_sec": round(n_turns / secs, 2),
         "stage_secs": {k: round(v, 3) for k, v in res["stage_times"].items()},
     }
 
@@ -177,10 +196,14 @@ def scaling_main() -> None:
     SPARK_GRAFT_SCALING_RUNS when the box is idle."""
     lo, hi = os.environ.get("SPARK_GRAFT_SCALING_CPUS", "8,32").split(",")
     n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_RUNS", "3"))
-    # compute-dominated input (~4.7M turns) so fixed driver/job-latency
-    # costs don't mask the parallelizable work (Amdahl: at 1M turns the
-    # ~6-8s of serial coordination caps measurable speedup well below 4x)
-    scaling_convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "320000")
+    # compute-dominated input (~18.7M turns, synthesized in executors) so
+    # fixed driver/job-latency costs don't mask the parallelizable work
+    # (Amdahl: fitting T = fixed + work/cores to measured 8-vs-32 stage
+    # times gives ~20s of per-run fixed cost — at 4.7M turns that caps
+    # measurable speedup at ~2.3x even with perfectly scaling stages; at
+    # ~19M turns parallel work dominates, which is exactly the regime the
+    # north_rule describes: fixed driver costs vanish at 10^12 turns)
+    scaling_convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "1280000")
 
     def pin(cmd: list[str], cpus: str) -> list[str]:
         """Confine the whole process tree (JVM + Python workers) to

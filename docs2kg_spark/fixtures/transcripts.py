@@ -147,6 +147,92 @@ def gen_transcripts(
     return rows
 
 
+def _conv_rows(ci: int, n_convs: int, mean_turns: int, seed: int) -> list[dict]:
+    """Rows of ONE conversation from a per-conversation RNG.
+
+    Content depends only on (ci, n_convs, mean_turns, seed) — never on
+    which executor/partition generates it — so the distributed generator
+    below is deterministic under any partitioning.  Same template/trap/
+    filler mix as gen_transcripts, but an independent RNG stream per
+    conversation instead of one sequential driver-side stream."""
+    rng = random.Random((seed << 24) ^ ci)
+    surfaces = [e for e, _ in DEFAULT_GAZETTEER]
+    conv_id = f"conv-{ci:06d}"
+    base = mean_turns * (n_convs / (ci + 1)) ** (1.0 / 1.3) / 2.0
+    n_turns = min(max(1, int(base * (0.5 + rng.random()))), mean_turns * 12)
+    rows: list[dict] = []
+    for ti in range(n_turns):
+        role = _ROLES[(ci + ti) % len(_ROLES)]
+        tool = _TOOLS[ti % len(_TOOLS)] if role == "tool" else None
+        kind = rng.random()
+        if kind < 0.08:
+            text = rng.choice(_TRAPS)
+        elif kind < 0.12:
+            text = rng.choice(["", "   ", "\t \n"])
+        elif kind < 0.35:
+            text = rng.choice(_FILLERS)
+        else:
+            tmpl = rng.choice(_TEMPLATES)
+            e0 = rng.choice(surfaces)
+            e1 = rng.choice(surfaces)
+            if rng.random() < 0.3:
+                e0 = e0.upper()
+            if rng.random() < 0.3:
+                e1 = e1.lower()
+            text = tmpl.format(E0=e0, E1=e1)
+            if rng.random() < 0.25:
+                text += "  extra context: " + rng.choice(surfaces) + "."
+        rows.append(
+            {
+                "conv_id": conv_id,
+                "turn_idx": ti,
+                "role": role,
+                "text": text,
+                "tool": tool,
+                "ts": _BASE_TS + timedelta(hours=ci, seconds=ti),
+            }
+        )
+    rng.shuffle(rows)  # within-conv arrival order is scrambled (stable-ordering windows are exercised)
+    return rows
+
+
+_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def transcripts_spark(
+    spark,
+    n_convs: int,
+    mean_turns: int = 10,
+    seed: int = 7,
+    partitions: int | None = None,
+):
+    """Distributed deterministic transcript synthesis (executor-side).
+
+    The driver-side generator above tops out around a few million turns
+    (single-threaded Python loop + one pandas frame in driver memory);
+    this one generates each conversation inside mapInPandas from a
+    spark.range of conversation indices, so fixture size is bounded by
+    cluster capacity, not driver memory — the sandbox stand-in for
+    pointing the pipeline at a 10^12-turn Iceberg table.  Deterministic
+    for (n_convs, mean_turns, seed) under ANY partitioning because each
+    conversation's RNG is keyed on its index alone."""
+    parts = partitions or spark.sparkContext.defaultParallelism
+
+    def gen(batches):
+        for pdf in batches:
+            rows: list[dict] = []
+            for ci in pdf["id"]:
+                rows.extend(_conv_rows(int(ci), n_convs, mean_turns, seed))
+            out = pd.DataFrame(rows, columns=_COLUMNS)
+            out["turn_idx"] = out["turn_idx"].astype("int32")
+            yield out
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    # round-robin repartition spreads the Zipf head (low ci = long convs)
+    # across partitions instead of landing ranks 1..k in one range chunk
+    return spark.range(n_convs).repartition(parts).mapInPandas(gen, schema)
+
+
 def transcripts_pandas(n_convs: int = 50, mean_turns: int = 10, seed: int = 7) -> pd.DataFrame:
     rows = gen_transcripts(n_convs, mean_turns, seed)
     df = pd.DataFrame(rows)

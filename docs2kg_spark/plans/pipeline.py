@@ -149,11 +149,30 @@ def run_pipeline(
         store.write_marker("metadata_edges", fp)
         stage_times["metadata_nodes"] = time.monotonic() - t0
 
+    import os as _os
+
+    # Overlapping the metadata branch with the extraction critical path
+    # measured NEGATIVE at high parallelism (local[32]: +50s — its
+    # shuffle/write tasks interleave into the Arrow-UDF stage's slots and
+    # strangle it; local[8]: −4s).  Serial placement costs ~4s and is
+    # parallelism-neutral, so it is the default; the flag re-enables the
+    # overlap for multi-executor clusters where the metadata job's tasks
+    # land on OTHER executors instead of stealing UDF slots.
+    # The paired same-stage table writes (mentions+triples,
+    # kg_nodes+kg_edges) measured POSITIVE at both levels (local[32]:
+    # 37s vs 55s serial) — two jobs over the SAME checkpointed input keep
+    # all slots busy through each other's write tails — so they stay
+    # concurrent by default.
+    overlap_meta = _os.environ.get("DOCS2KG_OVERLAP_META", "0") != "0"
+    paired_writes = _os.environ.get("DOCS2KG_PAIRED_WRITES", "1") != "0"
     if resume and store.stage_complete("metadata_nodes", fp) and store.exists("metadata_nodes"):
         stage_times["metadata_nodes"] = 0.0
         meta_future = None
-    else:
+    elif overlap_meta:
         meta_future = side.submit(_meta_branch)
+    else:
+        _meta_branch()
+        meta_future = None
 
     # fused extraction: mentions + triples in ONE Arrow pass, no shuffle
     # (the per-segment pair generation of operators/relations.py is
@@ -194,11 +213,15 @@ def run_pipeline(
             store.write(df, name)
             return time.monotonic() - s
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fm = pool.submit(_timed_write, mentions_df, "mentions")
-            ft = pool.submit(_timed_write, triples_df, "triples")
-            fm.result()
-            stage_times["triples"] = ft.result()
+        if paired_writes:
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fm = pool.submit(_timed_write, mentions_df, "mentions")
+                ft = pool.submit(_timed_write, triples_df, "triples")
+                fm.result()
+                stage_times["triples"] = ft.result()
+        else:
+            _timed_write(mentions_df, "mentions")
+            stage_times["triples"] = _timed_write(triples_df, "triples")
         store.write_marker("mentions", fp)
         store.write_marker("triples", fp)
         stage_times["mentions"] = time.monotonic() - t0
@@ -220,12 +243,16 @@ def run_pipeline(
     else:
         t0 = time.monotonic()
         nodes_df, edges_df = materialize_kg(segments, mentions, triples, canonical_map)
-        # node and edge tables share inputs but not outputs → concurrent
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fn = pool.submit(store.write, nodes_df, "kg_nodes")
-            fe = pool.submit(store.write, edges_df, "kg_edges")
-            fn.result()
-            fe.result()
+        if paired_writes:
+            # node and edge tables share inputs but not outputs → concurrent
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                fn = pool.submit(store.write, nodes_df, "kg_nodes")
+                fe = pool.submit(store.write, edges_df, "kg_edges")
+                fn.result()
+                fe.result()
+        else:
+            store.write(nodes_df, "kg_nodes")
+            store.write(edges_df, "kg_edges")
         store.write_marker("kg_nodes", fp)
         store.write_marker("kg_edges", fp)
         stage_times["kg_nodes"] = time.monotonic() - t0

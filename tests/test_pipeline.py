@@ -59,3 +59,21 @@ def test_metrics_written(spark, transcripts_df, tmp_path):
     # per-partition rows sum to table counts
     seg_rows = metrics.filter(F.col("stage") == "segments").agg(F.sum("rows")).collect()[0][0]
     assert seg_rows == res["segments"].count()
+
+
+def test_transcripts_spark_deterministic(spark):
+    """Distributed fixture: identical content under different partitionings
+    (per-conv RNG keyed on conversation index, not executor placement)."""
+    from docs2kg_spark.fixtures import transcripts_spark
+
+    a = transcripts_spark(spark, n_convs=40, mean_turns=6, seed=3, partitions=2)
+    b = transcripts_spark(spark, n_convs=40, mean_turns=6, seed=3, partitions=7)
+    ka = sorted(map(tuple, a.select("conv_id", "turn_idx", "role", "text").collect()))
+    kb = sorted(map(tuple, b.select("conv_id", "turn_idx", "role", "text").collect()))
+    assert ka == kb
+    assert len({r[0] for r in ka}) == 40
+    # schema matches the input contract
+    assert dict(a.dtypes) == {
+        "conv_id": "string", "turn_idx": "int", "role": "string",
+        "text": "string", "tool": "string", "ts": "timestamp",
+    }

@@ -73,9 +73,11 @@ def run_kg_pipeline(spark, sf: str) -> dict:
     # storage, the same regime as the Iceberg-backed production table,
     # and fixture size is not bounded by driver memory.
     input_dir = _bench_tmpdir()
-    transcripts_spark(spark, n_convs=n_convs, mean_turns=10, seed=7).write.mode(
-        "overwrite"
-    ).parquet(input_dir)
+    # 4 partitions per core: partition count follows data volume, not just
+    # slot count (at 19M turns a slots-only split is ~2.3M rows/task)
+    transcripts_spark(
+        spark, n_convs=n_convs, mean_turns=10, seed=7, partitions=4 * max(int(CPUS), 8)
+    ).write.mode("overwrite").parquet(input_dir)
     tdf = spark.read.parquet(input_dir)
     n_turns = tdf.count()
 
@@ -114,6 +116,30 @@ def run_kg_pipeline(spark, sf: str) -> dict:
         "turns_per_sec": round(n_turns / secs, 2),
         "stage_secs": {k: round(v, 3) for k, v in res["stage_times"].items()},
     }
+
+
+def measure_triple_pr(spark, n_convs: int = 300) -> dict:
+    """Triple P/R of the Spark pipeline vs the reference-faithful oracle
+    (docs2kg_spark.oracle.ReferenceOracle) on the seeded fixture — set
+    semantics on (subj, pred, obj), ids excluded (SURVEY §1.4.9)."""
+    import shutil
+
+    from docs2kg_spark.fixtures import transcripts_pandas
+    from docs2kg_spark.operators.evaluate import triple_pr
+    from docs2kg_spark.oracle import ReferenceOracle
+    from docs2kg_spark.plans import run_pipeline
+
+    pdf = transcripts_pandas(n_convs=n_convs, mean_turns=10, seed=7)
+    wd = _bench_tmpdir()
+    res = run_pipeline(spark, spark.createDataFrame(pdf), wd, resume=False)
+    golden_rows = ReferenceOracle().run(pdf.to_dict("records"))["triples"]
+    golden = spark.createDataFrame(
+        [(t["subj"], t["pred"], t["obj"]) for t in golden_rows],
+        "subj string, pred string, obj string",
+    )
+    pr = triple_pr(res["triples"], golden)
+    shutil.rmtree(wd, ignore_errors=True)
+    return pr
 
 
 HEADLINE = [
@@ -157,6 +183,12 @@ def main() -> None:
     query_secs["kg_pipeline_e2e"] = kg["secs"]
     total += kg["secs"]
 
+    # quality gate alongside throughput (BASELINE.json: triple P/R ≥ 0.95
+    # vs reference): score the pipeline's triples against the
+    # reference-faithful single-node oracle on a small seeded fixture —
+    # the same parity the test suite asserts, surfaced in the bench JSON.
+    pr = measure_triple_pr(spark)
+
     for name in HEADLINE:
         fn = SPARK_QUERIES[name]
         t0 = time.monotonic()
@@ -178,6 +210,8 @@ def main() -> None:
                 "n_triples": kg["n_triples"],
                 "triples_per_sec": kg["triples_per_sec"],
                 "turns_per_sec": kg["turns_per_sec"],
+                "triple_precision_vs_reference": round(pr["precision"], 4),
+                "triple_recall_vs_reference": round(pr["recall"], 4),
             }
         )
     )
@@ -217,25 +251,46 @@ def scaling_main() -> None:
             return ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
         return cmd
 
+    # hard per-run timeout + one retry: a reused Python UDF worker can
+    # (rarely) desync from its executor — JVM blocked reading UDF output,
+    # worker blocked reading input — which hangs the subprocess forever.
+    # Observed once in ~40 runs; a timeout+retry keeps the 6-run
+    # experiment alive instead of wedging it.
+    run_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "1500"))
+
+    def one_run(cpus: str) -> dict | None:
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=cpus,
+            SPARK_GRAFT_SF_DIR=SF_DIR,
+            SPARK_GRAFT_BENCH_CONVS=scaling_convs,
+        )
+        for attempt in (1, 2):
+            try:
+                out = subprocess.run(
+                    pin([sys.executable, __file__, "--pipeline-only"], cpus),
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    check=True,
+                    timeout=run_timeout,
+                )
+                line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+                return json.loads(line)
+            except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as exc:
+                print(f"run at local[{cpus}] attempt {attempt} failed: {type(exc).__name__}", file=sys.stderr)
+                subprocess.run(["pkill", "-9", "-f", "pyspark.daemon"], check=False)
+        return None
+
     # interleave levels so external-load drift hits both equally
     runs_lo, runs_hi = [], []
     for i in range(n_runs):
         for cpus, acc in ((lo, runs_lo), (hi, runs_hi)):
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_CPUS=cpus,
-                SPARK_GRAFT_SF_DIR=SF_DIR,
-                SPARK_GRAFT_BENCH_CONVS=scaling_convs,
-            )
-            out = subprocess.run(
-                pin([sys.executable, __file__, "--pipeline-only"], cpus),
-                env=env,
-                capture_output=True,
-                text=True,
-                check=True,
-            )
-            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            acc.append(json.loads(line))
+            r = one_run(cpus)
+            if r is not None:
+                acc.append(r)
+    if not runs_lo or not runs_hi:
+        raise SystemExit("scaling: no successful runs at one level")
 
     def median(runs: list[dict]) -> dict:
         return sorted(runs, key=lambda r: r["secs"])[len(runs) // 2]

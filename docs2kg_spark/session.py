@@ -51,6 +51,11 @@ def get_spark(
         # deterministic float/ts behavior for oracle comparison
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # dump the Python worker's stack on crash/hang signals — a reused
+        # UDF worker was once observed desynced from its executor (JVM
+        # blocked on read, worker blocked on recv); this makes the next
+        # occurrence diagnosable
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -32,6 +32,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", help="transcripts table path (parquet dir)")
     p.add_argument("--synthesize", type=int, default=0, help="generate N synthetic conversations instead of --input")
+    p.add_argument(
+        "--distributed-synthesis",
+        action="store_true",
+        help="synthesize in executors (mapInPandas, per-conv RNG) — not driver-bounded, "
+        "for fixture sizes beyond a few million turns; content differs from the "
+        "driver-side generator (independent RNG streams)",
+    )
     p.add_argument("--workdir", required=True, help="stage checkpoint + output directory")
     p.add_argument("--no-resume", action="store_true", help="recompute all stages")
     p.add_argument("--master", default=None, help="override master (default: from spark-submit / local[*])")
@@ -41,7 +48,11 @@ def main(argv: list[str] | None = None) -> int:
     from docs2kg_spark.session import get_spark
 
     spark = get_spark(app_name="docs2kg_kg_construct", master=args.master)
-    if args.synthesize:
+    if args.synthesize and args.distributed_synthesis:
+        from docs2kg_spark.fixtures import transcripts_spark
+
+        transcripts = transcripts_spark(spark, args.synthesize, 10, seed=7)
+    elif args.synthesize:
         from docs2kg_spark.fixtures import transcripts_pandas
 
         transcripts = spark.createDataFrame(transcripts_pandas(args.synthesize, 10, seed=7))

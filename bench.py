@@ -31,9 +31,11 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# transcript synthesis size per SF (≈1M turns/unit-SF design point,
-# scaled down to sandbox wall-clock budgets)
-SF_TO_CONVS = {"0.001": 120, "0.01": 1200, "0.1": 6000}
+# transcript synthesis size per SF.  sf0.1 is sized so the pipeline
+# measurement is compute-dominated (~1.75M turns ≈ 20 s at 32 cores):
+# at 6k convs the ~15 s of fixed driver cost swamped the measurement
+# and under-reported throughput ~10x vs the scaling runs.
+SF_TO_CONVS = {"0.001": 120, "0.01": 1200, "0.1": 120000}
 
 
 def _sf_of(sf_dir: str) -> str:

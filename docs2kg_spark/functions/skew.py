@@ -53,3 +53,20 @@ def salted_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
         .groupBy(key)
         .agg(F.sum("_partial").alias("n"))
     )
+
+
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the source partitioning is coarser
+    than the cluster's parallelism.
+
+    Compute-heavy (Arrow-UDF) stages must not inherit a tiny partition
+    count from a small scan: locally a 5k-row parquet arrives as ONE
+    split and serializes the whole stage onto one core (observed: the
+    MinHash dedup ran every stage at (0+1)/1 tasks).  At 100 TB the scan
+    splits by spark.sql.files.maxPartitionBytes and this is a no-op —
+    the guard only widens plans that would otherwise under-use the
+    cluster."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

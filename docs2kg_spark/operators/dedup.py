@@ -26,6 +26,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from docs2kg_spark.config import PipelineConfig
+from docs2kg_spark.functions.skew import ensure_min_parallelism
 from docs2kg_spark.operators.linking import make_minhash_udf
 from docs2kg_spark.operators.text import fingerprint
 
@@ -77,7 +78,9 @@ def minhash_near_dup_pairs(
     cfg = cfg or PipelineConfig(shingle_k=5, jaccard_threshold=0.7, lsh_bands=8)
     rows_per_band = cfg.minhash_perms // cfg.lsh_bands
     mh = make_minhash_udf(cfg)
-    src = documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    src = ensure_min_parallelism(
+        documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
     sig = src.withColumn("sig", mh("text"))
     bands = sig.select(
         "id",
@@ -102,15 +105,38 @@ def minhash_near_dup_pairs(
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .distinct()
     )
+    # signature-estimated Jaccard prefilter (JVM-side, zip_with equality
+    # fraction): banding is deliberately high-recall, so candidates can
+    # outnumber true pairs ~400:1 (measured 98 765 → 256 at sf0.1) and
+    # the exact shingle verification UDF would dominate the query.  The
+    # one-sided 95% cutoff t − 1.65·σ(32 perms) prunes the bulk before
+    # any text leaves the JVM; exact verification then decides.
+    t = cfg.jaccard_threshold
+    sigma = (t * (1 - t) / cfg.minhash_perms) ** 0.5
+    est_cutoff = max(0.0, t - 1.65 * sigma)
+    sa = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    est = (
+        pairs.join(sa, on="a")
+        .join(sb, on="b")
+        .withColumn(
+            "est_j",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+            / F.lit(float(cfg.minhash_perms)),
+        )
+        .filter(F.col("est_j") >= est_cutoff)
+        .select("a", "b")
+    )
+
     ta = src.select(F.col("id").alias("a"), F.col("text").alias("text_a"))
     tb = src.select(F.col("id").alias("b"), F.col("text").alias("text_b"))
-    pairs = pairs.join(ta, on="a").join(tb, on="b")
+    survivors = est.join(ta, on="a").join(tb, on="b")
 
     from docs2kg_spark.operators.linking import make_jaccard_udf
 
     jac = make_jaccard_udf(cfg)
     return (
-        pairs.withColumn("sim", jac("text_a", "text_b"))
+        survivors.withColumn("sim", jac("text_a", "text_b"))
         .filter(F.col("sim") >= cfg.jaccard_threshold)
         .select("a", "b", "sim")
     )
@@ -155,7 +181,9 @@ def simhash_near_dup_pairs(
     (pigeonhole: hamming ≤ 3 over 4 chunks ⇒ one chunk equal), exact
     Hamming verification via bit_count — all JVM-side after the simhash
     UDF."""
-    sig = documents.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig"))
+    sig = ensure_min_parallelism(documents).select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sig")
+    )
     chunks = sig.select(
         "id",
         "sig",
@@ -192,7 +220,7 @@ def ngram_jaccard_pairs(
     equi-join on n-gram → per-pair intersection count → Jaccard.
     Scales because the join key is the n-gram (rare grams → small
     groups); stop-gram blowup is bounded by a frequency cap."""
-    toks = documents.select(
+    toks = ensure_min_parallelism(documents).select(
         F.col(id_col).alias("id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     )
@@ -256,8 +284,9 @@ def embedding_near_dup_pairs(
     (similarity.lsh_buckets) instead of the full cross-join; here label
     provides the blocking key."""
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("label").alias("lbl")]
-    a = embeddings.select(*cols).alias("a")
-    b = embeddings.select(*cols).alias("b")
+    src = ensure_min_parallelism(embeddings.select(*cols))
+    a = src.alias("a")
+    b = src.alias("b")
     return (
         a.join(b, on=(F.col("a.lbl") == F.col("b.lbl")) & (F.col("a.id") < F.col("b.id")))
         .withColumn("cos", cosine_expr(F.col("a.v"), F.col("b.v")))

@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from docs2kg_spark.functions.skew import ensure_min_parallelism
+
 from docs2kg_spark.operators.dedup import cosine_expr
 
 
@@ -51,7 +53,9 @@ def brute_force_topk(
     """→ (query_id, neighbor_id, cos, rank): exact top-k cosine neighbors
     per query (self-matches excluded).  Ties broken by neighbor id."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = ensure_min_parallelism(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -82,8 +86,8 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("bucket", _bucket_expr(F.col("qv"), planes))
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    c = ensure_min_parallelism(
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     ).withColumn("bucket", _bucket_expr(F.col("cv"), planes))
     scored = (
         q.join(c, on="bucket")

@@ -126,3 +126,11 @@ class PipelineConfig:
     jaccard_threshold: float = 0.45
     max_block_size: int = 200   # LSH block cap (logged, not silent)
     cc_max_rounds: int = 20     # CC fixpoint bound (O(log n) expected)
+    # verified near-dup edges at or below this count resolve with a
+    # driver-side union-find (one collect) instead of the iterative
+    # distributed loop: the edge set is orders of magnitude smaller than
+    # the mention table (it exists only where surfaces near-duplicate),
+    # so small/medium graphs pay 1 job instead of rounds x checkpoints.
+    # Above it, the DataFrame-join min-label loop runs (the 10^12-turn
+    # path; force it everywhere with cc_driver_max_edges=0).
+    cc_driver_max_edges: int = 200_000

@@ -438,6 +438,24 @@ FROM documents GROUP BY 1
 """
 
 
+def q_doc_exact_dedup(spark, sf_dir):
+    """exact dedup: keep the min-id document per normalized-content
+    fingerprint (dedup.exact_dedup, the hash-groupBy family's keep-list)."""
+    from docs2kg_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id")
+
+
+SQL_DOC_EXACT_DEDUP = r"""
+SELECT doc_id FROM documents
+WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM documents
+    GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+)
+"""
+
+
 def q_token_counts(spark, sf_dir):
     from docs2kg_spark.operators.text import bpe_token_count, whitespace_token_count
 
@@ -958,6 +976,7 @@ SPARK_QUERIES = {
     "instr_find": q_instr_find,
     "column_types": q_column_types,
     "fingerprint_groups": q_fingerprint_groups,
+    "doc_exact_dedup": q_doc_exact_dedup,
     "token_counts": q_token_counts,
     "quality_scores": q_quality,
     "lang_id": q_lang_id,
@@ -1007,6 +1026,7 @@ ORACLE_SQL = {
     "instr_find": SQL_INSTR_FIND,
     "column_types": SQL_COLUMN_TYPES,
     "fingerprint_groups": SQL_FINGERPRINT,
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

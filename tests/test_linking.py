@@ -19,8 +19,8 @@ def test_canonical_parity_with_oracle(spark, transcripts_df, oracle_result):
     assert got == set(oracle_result["canonical"].items())
 
 
-def _cc(spark, nodes, edges, max_rounds=20):
-    cfg = PipelineConfig(cc_max_rounds=max_rounds)
+def _cc(spark, nodes, edges, max_rounds=20, driver_max_edges=200_000):
+    cfg = PipelineConfig(cc_max_rounds=max_rounds, cc_driver_max_edges=driver_max_edges)
     n = spark.createDataFrame([(x,) for x in nodes], "node_id string")
     e = spark.createDataFrame(edges or [("_none_", "_none2_")], "a string, b string")
     if not edges:
@@ -30,9 +30,11 @@ def _cc(spark, nodes, edges, max_rounds=20):
 
 
 def test_cc_chain(spark):
-    # chain a-b-c-d collapses to min
-    got = _cc(spark, ["a", "b", "c", "d"], [("a", "b"), ("b", "c"), ("c", "d")])
-    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+    # chain a-b-c-d collapses to min — on BOTH dispatch paths
+    # (driver_max_edges=0 forces the distributed min-label loop)
+    for dme in (200_000, 0):
+        got = _cc(spark, ["a", "b", "c", "d"], [("a", "b"), ("b", "c"), ("c", "d")], driver_max_edges=dme)
+        assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
 
 
 def test_cc_star(spark):
@@ -41,7 +43,7 @@ def test_cc_star(spark):
 
 
 def test_cc_two_components_and_singleton(spark):
-    got = _cc(spark, ["a", "b", "c", "d", "e"], [("a", "b"), ("c", "d")])
+    got = _cc(spark, ["a", "b", "c", "d", "e"], [("a", "b"), ("c", "d")], driver_max_edges=0)
     assert got["a"] == got["b"] == "a"
     assert got["c"] == got["d"] == "c"
     assert got["e"] == "e"

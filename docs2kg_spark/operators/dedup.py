@@ -198,7 +198,7 @@ def simhash_near_dup_pairs(
     return (
         a.join(b, on=(F.col("a.chunk_key") == F.col("b.chunk_key")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"),
-                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"))
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).cast("long").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

@@ -456,6 +456,62 @@ WHERE doc_id IN (
 """
 
 
+
+SQL_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT id, array_to_string(list_slice(t, i+1, i+3), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t)-3, 0)+1)) AS u(i)
+  WHERE length(array_to_string(list_slice(t, i+1, i+3), ' ')) > 0
+), capped AS (
+  SELECT g.* FROM grams g
+  WHERE gram NOT IN (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) > 1000)
+), sizes AS (
+  SELECT id, COUNT(*) AS n FROM capped GROUP BY id
+), inter AS (
+  SELECT a.id AS a, b.id AS b, COUNT(*) AS i
+  FROM capped a JOIN capped b ON a.gram = b.gram AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT inter.a AS a, inter.b AS b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS sim
+FROM inter JOIN sizes sa ON inter.a = sa.id JOIN sizes sb ON inter.b = sb.id
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+"""
+
+
+
+# DuckDB twin of the simhash near-dup query.  The simhash is fully
+# deterministic (md5 token hashes), so SQL can recompute it bit-for-bit;
+# candidate generation differs (SQL does exact all-pairs, Spark uses the
+# 16-bit-chunk pigeonhole) but for max_hamming=3 over 4 chunks the
+# pigeonhole is exact, so the RESULT sets are identical.  Every SUM is
+# cast back to BIGINT: DuckDB widens SUM(BIGINT) to HUGEINT, and
+# bit_count over a negative HUGEINT counts 64 extra sign bits.
+SQL_SIMHASH = r"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), th AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks WHERE tok <> ''
+), bits AS (
+  SELECT id, i AS bit, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th, UNNEST(range(0, 64)) AS u(i) GROUP BY 1, 2
+), sigs_s AS (
+  SELECT id, SUM(CASE WHEN c > 0 THEN
+                   CASE WHEN bit = 63 THEN (-9223372036854775807::BIGINT - 1) ELSE (1::BIGINT << bit) END
+                 ELSE 0::BIGINT END)::BIGINT AS sg
+  FROM bits GROUP BY 1
+), sigs AS (
+  SELECT a.doc_id AS id, COALESCE(s.sg, 0::BIGINT) AS sig
+  FROM documents a LEFT JOIN sigs_s s ON a.doc_id = s.id
+)
+SELECT a.id AS a, b.id AS b, bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+FROM sigs a JOIN sigs b ON a.id < b.id
+WHERE bit_count(xor(a.sig, b.sig)) <= 3
+"""
+
+
 def q_token_counts(spark, sf_dir):
     from docs2kg_spark.operators.text import bpe_token_count, whitespace_token_count
 
@@ -1027,6 +1083,8 @@ ORACLE_SQL = {
     "column_types": SQL_COLUMN_TYPES,
     "fingerprint_groups": SQL_FINGERPRINT,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_ngram_jaccard": SQL_NGRAM_JACCARD,
+    "doc_near_dup_simhash": SQL_SIMHASH,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

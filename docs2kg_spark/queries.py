@@ -664,6 +664,39 @@ SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM scored WHERE rank 
 """
 
 
+
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of q_ann_lsh, built from the SAME seeded hyperplane
+    constants the Spark operator uses (similarity.hyperplanes) — bucket
+    sign bits and in-bucket cosine top-k recomputed entirely in SQL."""
+    from docs2kg_spark.operators.similarity import hyperplanes
+
+    vals = ", ".join(
+        f"({i}, [" + ", ".join(repr(x) for x in p) + "]::DOUBLE[])"
+        for i, p in enumerate(hyperplanes())
+    )
+    return f"""
+WITH planes(i, p) AS (
+  VALUES {vals}
+), emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT e.vec_id, e.v,
+         SUM(CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN (1::BIGINT << pl.i) ELSE 0::BIGINT END)::BIGINT AS bucket
+  FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id, e.v
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.v, c.v) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id ASC) AS rank
+  FROM bucketed q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM scored WHERE rank <= 5
+"""
+
+
+
 def q_json_props(spark, sf_dir):
     """JSON parse of a string column (§2.8 — the from_json analog of the
     reference's LLM-output json.loads, ner_prompt_based.py:98-104):
@@ -1085,6 +1118,7 @@ ORACLE_SQL = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_ngram_jaccard": SQL_NGRAM_JACCARD,
     "doc_near_dup_simhash": SQL_SIMHASH,
+    "ann_lsh": _ann_lsh_sql(),
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

@@ -100,3 +100,64 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """→ (query_id, neighbor_id, cos, rank): IVF-flat ANN — corpus is
+    inverted-list partitioned by nearest centroid, queries probe only
+    their n_probe nearest lists.
+
+    Centroids are the vectors with the n_centroids smallest ids — a
+    deterministic choice (no k-means iterations) so the oracle SQL can
+    replicate the exact assignment; on a real corpus you would refresh
+    centroids with a periodic k-means job and the plan shape is
+    unchanged.  Scale shape: the corpus-side assignment is one broadcast
+    join + per-row argmax (no shuffle); the probe join is an equi-join
+    on centroid id, so cost is sum over probed lists, not |Q|x|C|."""
+    cents = (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centv"))
+    )
+
+    def nearest(df, id_alias, vec_alias, keep_n):
+        w = Window.partitionBy(id_alias).orderBy(F.desc("ccos"), F.asc("cid"))
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn("ccos", cosine_expr(F.col(vec_alias), F.col("centv")))
+            .withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") <= keep_n)
+            .drop("centv", "ccos", "crank")
+        )
+
+    corpus = nearest(
+        ensure_min_parallelism(
+            embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        ),
+        "neighbor_id",
+        "cv",
+        1,
+    )
+    probes = nearest(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id",
+        "qv",
+        n_probe,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        probes.join(corpus, on="cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -697,6 +697,47 @@ SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM scored WHERE rank 
 
 
 
+
+def q_ann_ivf(spark, sf_dir):
+    """IVF-flat ANN: inverted lists by nearest (deterministic) centroid,
+    queries probe their 2 nearest lists (similarity.ivf_topk)."""
+    from docs2kg_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=5).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+SQL_ANN_IVF = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS centv FROM embeddings ORDER BY vec_id LIMIT 16
+), emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assigned AS (
+  SELECT vec_id AS neighbor_id, v AS cv, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.centv) DESC, c.cid ASC) AS r
+    FROM emb e CROSS JOIN cents c) WHERE r = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.centv) DESC, c.cid ASC) AS r
+    FROM emb e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE r <= 2
+), scored AS (
+  SELECT p.query_id, a.neighbor_id, list_cosine_similarity(p.qv, a.cv) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY p.query_id
+                            ORDER BY list_cosine_similarity(p.qv, a.cv) DESC, a.neighbor_id ASC) AS rank
+  FROM probes p JOIN assigned a ON p.cid = a.cid AND p.query_id != a.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos, rank FROM scored WHERE rank <= 5
+"""
+
+
+
 def q_json_props(spark, sf_dir):
     """JSON parse of a string column (§2.8 — the from_json analog of the
     reference's LLM-output json.loads, ner_prompt_based.py:98-104):
@@ -1086,6 +1127,7 @@ SPARK_QUERIES = {
     "doc_near_dup_simhash": q_doc_near_dup_simhash,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -1119,6 +1161,7 @@ ORACLE_SQL = {
     "doc_ngram_jaccard": SQL_NGRAM_JACCARD,
     "doc_near_dup_simhash": SQL_SIMHASH,
     "ann_lsh": _ann_lsh_sql(),
+    "ann_ivf": SQL_ANN_IVF,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,

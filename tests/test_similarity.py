@@ -62,3 +62,26 @@ def test_lsh_same_bucket_self_consistency(spark):
     q = emb.filter(F.col("vec_id") == 0)
     top = lsh_bucketed_topk(corpus, q, k=1).collect()
     assert top and top[0].neighbor_id == 99999 and abs(top[0].cos - 1.0) < 1e-9
+
+
+def test_ivf_topk_probe_recall(spark):
+    """IVF with n_probe = n_centroids degenerates to exact brute force
+    (every list probed); fewer probes return a subset of those ranks'
+    neighbors with correct per-query ordering."""
+    from docs2kg_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(e, q, k=3).collect()}
+    full_probe = ivf_topk(e, q, k=3, n_centroids=8, n_probe=8)
+    got = {(r.query_id, r.neighbor_id) for r in full_probe.collect()}
+    assert got == exact
+    # partial probe: ranks are 1..k' per query, ordered by cos desc
+    part = ivf_topk(e, q, k=3, n_centroids=8, n_probe=2).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(rows[i].cos >= rows[i + 1].cos for i in range(len(rows) - 1))

@@ -81,7 +81,11 @@ def minhash_near_dup_pairs(
     src = ensure_min_parallelism(
         documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     )
-    sig = src.withColumn("sig", mh("text"))
+    # cache the signature table: bands + both sides of the estimated-J
+    # join consume it, and without caching Catalyst inlines the Arrow UDF
+    # subtree into every consumer (observed 6x ArrowEvalPython in the
+    # physical plan — 6 full signature passes at scale)
+    sig = src.withColumn("sig", mh("text")).cache()
     bands = sig.select(
         "id",
         F.explode(

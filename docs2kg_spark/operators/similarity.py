@@ -154,7 +154,9 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        probes.join(corpus, on="cid")
+        # probes = |Q| x n_probe rows — always the tiny side; without the
+        # hint post-window size estimates pushed Catalyst to sort-merge
+        F.broadcast(probes).join(corpus, on="cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine_expr(F.col("qv"), F.col("cv")))
         .withColumn("rank", F.row_number().over(w))

@@ -134,3 +134,9 @@ class PipelineConfig:
     # Above it, the DataFrame-join min-label loop runs (the 10^12-turn
     # path; force it everywhere with cc_driver_max_edges=0).
     cc_driver_max_edges: int = 200_000
+    # >0 switches segmentation to the two-phase bucketed numbering
+    # (segment_transcripts_bucketed): the conv_id ordering key is salted
+    # by turn-range bucket so one enormous conversation spreads over
+    # ceil(turns/bucket) reducers instead of straggling on one (the
+    # "long conversations" skew of north_rule).  0 = plain window.
+    segment_bucket_turns: int = 0

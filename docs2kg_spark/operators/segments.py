@@ -72,3 +72,45 @@ def turn_order_invariant(transcripts: DataFrame) -> DataFrame:
         .groupBy("conv_id")
         .agg(F.first("texts").alias("texts"))
     )
+
+
+def segment_transcripts_bucketed(transcripts: DataFrame, bucket_turns: int = 100_000) -> DataFrame:
+    """Long-conversation-safe segmentation — identical output to
+    segment_transcripts, different shuffle shape.
+
+    The plain version windows on conv_id, so ONE conversation's turns
+    land on ONE reducer; AQE skew-join cannot split a window partition,
+    which makes a pathological 10M-turn conversation a straggler at
+    10^12-turn scale (the "long conversations" skew named in
+    BASELINE.json::north_rule).  Here the ordering key is salted by a
+    deterministic turn-range bucket — the big shuffle partitions on
+    (conv_id, bucket), spreading a huge conversation over
+    ceil(turns/bucket_turns) reducers — and global sequence numbers are
+    recovered by adding per-bucket prefix offsets from a tiny
+    (conv, bucket)-grain aggregate that rides a broadcast join.
+
+    Two-phase stable numbering:
+      1. row_number within (conv_id, bucket) ordered by turn_idx;
+      2. offset = total kept rows in all earlier buckets of the conv
+         (a running sum over the per-bucket counts — thousands of rows,
+         broadcast).
+    """
+    kept = transcripts.filter(F.col("text").isNotNull() & F.col("text").rlike(r"\S"))
+    kept = kept.withColumn("_b", (F.col("turn_idx") / F.lit(bucket_turns)).cast("long"))
+
+    w_local = Window.partitionBy("conv_id", "_b").orderBy("turn_idx")
+    local = kept.withColumn("_li", F.row_number().over(w_local))
+
+    counts = local.groupBy("conv_id", "_b").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy("conv_id").orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+
+    return (
+        local.join(F.broadcast(offsets.select("conv_id", "_b", "_off")), on=["conv_id", "_b"])
+        .withColumn("seg_idx", (F.col("_off") + F.col("_li") - 1).cast("int"))
+        .withColumn("label", label_for_role_col("role"))
+        .withColumn("seg_id", det_id_col("conv_id", "turn_idx", "text"))
+        .select("conv_id", "seg_id", "seg_idx", "turn_idx", "label", "role", "tool", "text")
+    )

@@ -136,7 +136,14 @@ def run_pipeline(
     good, quarantined = split_quarantine(transcripts)
     submit_side(lambda: store.write(quarantined, "quarantine"))
 
-    segments = run_stage("segments", lambda: segment_transcripts(good))
+    if cfg.segment_bucket_turns > 0:
+        from docs2kg_spark.operators.segments import segment_transcripts_bucketed
+
+        segments = run_stage(
+            "segments", lambda: segment_transcripts_bucketed(good, cfg.segment_bucket_turns)
+        )
+    else:
+        segments = run_stage("segments", lambda: segment_transcripts(good))
 
     # metadata KG depends only on the raw turns — overlap it with the
     # whole extraction/linking critical path

@@ -77,3 +77,20 @@ def test_transcripts_spark_deterministic(spark):
         "conv_id": "string", "turn_idx": "int", "role": "string",
         "text": "string", "tool": "string", "ts": "timestamp",
     }
+
+
+def test_pipeline_bucketed_segmentation_same_outputs(spark, transcripts_df, tmp_path):
+    """Pipeline with long-conversation-safe segmentation produces the
+    same tables as the window path (content-addressed ids ⇒ comparable)."""
+    from docs2kg_spark.config import PipelineConfig
+
+    a = run_pipeline(spark, transcripts_df, str(tmp_path / "plain"), resume=False)
+    b = run_pipeline(
+        spark,
+        transcripts_df,
+        str(tmp_path / "bucketed"),
+        cfg=PipelineConfig(segment_bucket_turns=5),
+        resume=False,
+    )
+    for tbl in ("segments", "triples", "kg_edges"):
+        assert _table_hash(a[tbl]) == _table_hash(b[tbl]), tbl

@@ -46,3 +46,20 @@ def test_empty_and_whitespace_turns_skipped(spark):
     df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string, tool string")
     got = segment_transcripts(df).orderBy("seg_idx").collect()
     assert [(r.seg_idx, r.turn_idx) for r in got] == [(0, 0), (1, 3)]
+
+
+def test_bucketed_segmentation_identical(spark, transcripts_df):
+    """segment_transcripts_bucketed == segment_transcripts exactly, even
+    with a tiny bucket that forces multi-bucket conversations (the
+    long-conversation skew path of BASELINE.json::north_rule)."""
+    from docs2kg_spark.operators.segments import (
+        segment_transcripts,
+        segment_transcripts_bucketed,
+    )
+
+    plain = sorted(map(tuple, segment_transcripts(transcripts_df).collect()))
+    for bucket in (7, 100_000):
+        bucketed = sorted(
+            map(tuple, segment_transcripts_bucketed(transcripts_df, bucket).collect())
+        )
+        assert bucketed == plain

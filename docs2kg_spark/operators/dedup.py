@@ -65,9 +65,18 @@ def minhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     cfg: PipelineConfig | None = None,
+    est_z: float = 1.65,
 ) -> DataFrame:
     """→ (a, b, sim): near-duplicate doc pairs with verified character
-    shingle Jaccard ≥ cfg.jaccard_threshold.
+    shingle Jaccard ≥ cfg.jaccard_threshold, *subject to candidate
+    recall*: both the LSH banding (P(candidate|J=0.7)≈0.89 at 8×4) and
+    the signature-estimated prefilter (a true pair at J=t has ≈Φ(−est_z)
+    ≈5% chance its 32-perm estimate falls below t−est_z·σ and is dropped
+    before exact verification) are approximate — pairs that survive are
+    exactly verified, but a small fraction of true pairs never reach
+    verification.  Set est_z higher (or banding wider) to trade compute
+    for recall; the driver's DuckDB oracle replicates banding + prefilter
+    + verification bit-for-bit, so the candidate set itself is asserted.
 
     Scale shape: the band self-join carries ONLY (id, band_key) — texts
     are re-attached to the (much smaller) deduped candidate-pair stream
@@ -81,11 +90,15 @@ def minhash_near_dup_pairs(
     src = ensure_min_parallelism(
         documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     )
-    # cache the signature table: bands + both sides of the estimated-J
-    # join consume it, and without caching Catalyst inlines the Arrow UDF
-    # subtree into every consumer (observed 6x ArrowEvalPython in the
-    # physical plan — 6 full signature passes at scale)
-    sig = src.withColumn("sig", mh("text")).cache()
+    # materialize the signature table ONCE (localCheckpoint, like the
+    # linker's band table): bands + both sides of the estimated-J join
+    # consume it, and without materialization Catalyst inlines the Arrow
+    # UDF subtree into every consumer (observed 6x ArrowEvalPython in the
+    # physical plan — 6 full signature passes at scale).  localCheckpoint
+    # over .cache() because a cache is never unpersisted by this function
+    # (it would leak storage memory across calls in a long-lived session)
+    # and can silently re-run the UDF under LRU pressure.
+    sig = src.withColumn("sig", mh("text")).localCheckpoint()
     bands = sig.select(
         "id",
         F.explode(
@@ -117,7 +130,7 @@ def minhash_near_dup_pairs(
     # any text leaves the JVM; exact verification then decides.
     t = cfg.jaccard_threshold
     sigma = (t * (1 - t) / cfg.minhash_perms) ** 0.5
-    est_cutoff = max(0.0, t - 1.65 * sigma)
+    est_cutoff = max(0.0, t - est_z * sigma)
     sa = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
     est = (
@@ -218,12 +231,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
-) -> DataFrame:
+    gram_df_cap: int = 1000,
+    return_stats: bool = False,
+):
     """Exact token-n-gram Jaccard over all pairs sharing ≥1 n-gram —
     expressed entirely in DataFrame ops: tokenize → n-gram explode →
     equi-join on n-gram → per-pair intersection count → Jaccard.
     Scales because the join key is the n-gram (rare grams → small
-    groups); stop-gram blowup is bounded by a frequency cap."""
+    groups); stop-gram blowup is bounded by a frequency cap.
+
+    Capped stop-grams are NOT silent: with ``return_stats=True`` the
+    return is ``(pairs, stats)`` where stats is a 1-row DataFrame
+    (n_grams_total, n_grams_capped, max_gram_df) — the same logged-drop
+    contract as the linker's block_stats (linking.candidate_pairs).
+    NB the cap changes semantics (a capped gram no longer contributes to
+    intersection counts), which is exactly why the drop count surfaces."""
     toks = ensure_min_parallelism(documents).select(
         F.col(id_col).alias("id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
@@ -244,8 +266,15 @@ def ngram_jaccard_pairs(
     )
     # frequency cap: drop grams appearing in too many docs (stop-grams)
     gram_freq = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    stats = gram_freq.agg(
+        F.count("*").alias("n_grams_total"),
+        F.sum(F.when(F.col("df") > gram_df_cap, 1).otherwise(0)).alias("n_grams_capped"),
+        F.max("df").alias("max_gram_df"),
+    )
     capped = grams.join(
-        F.broadcast(gram_freq.filter(F.col("df") > 1000).select("gram")), on="gram", how="left_anti"
+        F.broadcast(gram_freq.filter(F.col("df") > gram_df_cap).select("gram")),
+        on="gram",
+        how="left_anti",
     )
     sizes = capped.groupBy("id").agg(F.count("*").alias("n_grams"))
     a, b = capped.alias("a"), capped.alias("b")
@@ -254,13 +283,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    pairs = (
         inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("n_grams", "na"), on="a")
         .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("n_grams", "nb"), on="b")
         .withColumn("sim", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("sim") >= threshold)
         .select("a", "b", "sim")
     )
+    return (pairs, stats) if return_stats else pairs
 
 
 # --------------------------------------------------------------------------

@@ -106,10 +106,17 @@ def segment_transcripts_bucketed(transcripts: DataFrame, bucket_turns: int = 100
         Window.partitionBy("conv_id").orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    # Only buckets with a non-zero prefix offset need a correction row —
+    # for a single-bucket conversation (_b = 0, the overwhelmingly common
+    # case) the offset is 0, so the broadcast scales with the number of
+    # *extra* buckets of pathological conversations, not with the total
+    # conversation count (at 10^9 convs a full offsets broadcast would
+    # blow the driver / 8 GB broadcast limit).  Missing rows coalesce to 0.
+    nonzero = offsets.filter(F.col("_off") > 0).select("conv_id", "_b", "_off")
 
     return (
-        local.join(F.broadcast(offsets.select("conv_id", "_b", "_off")), on=["conv_id", "_b"])
-        .withColumn("seg_idx", (F.col("_off") + F.col("_li") - 1).cast("int"))
+        local.join(F.broadcast(nonzero), on=["conv_id", "_b"], how="left")
+        .withColumn("seg_idx", (F.coalesce("_off", F.lit(0)) + F.col("_li") - 1).cast("int"))
         .withColumn("label", label_for_role_col("role"))
         .withColumn("seg_id", det_id_col("conv_id", "turn_idx", "text"))
         .select("conv_id", "seg_id", "seg_idx", "turn_idx", "label", "role", "tool", "text")

@@ -112,6 +112,7 @@ def run_pipeline(
     def submit_side(fn, *args):
         side_futures.append(side.submit(fn, *args))
 
+    meta_future = None
     metric_parts: list[str] = []
 
     def emit_metrics(df: DataFrame, name: str) -> None:
@@ -133,171 +134,186 @@ def run_pipeline(
         emit_metrics(out, name)
         return out
 
-    good, quarantined = split_quarantine(transcripts)
-    submit_side(lambda: store.write(quarantined, "quarantine"))
+    # Any critical-path failure must still join the background
+    # quarantine/metrics/metadata writes: otherwise those threads keep
+    # writing into the workdir after the run has died, and their own
+    # failures are swallowed because nothing ever awaits the futures
+    # (round-1 advice item 4).  The happy path drains them explicitly
+    # below (their errors propagate there); this except only runs on
+    # the failure path and must not mask the original error.
+    try:
+        good, quarantined = split_quarantine(transcripts)
+        submit_side(lambda: store.write(quarantined, "quarantine"))
 
-    if cfg.segment_bucket_turns > 0:
-        from docs2kg_spark.operators.segments import segment_transcripts_bucketed
+        if cfg.segment_bucket_turns > 0:
+            from docs2kg_spark.operators.segments import segment_transcripts_bucketed
 
-        segments = run_stage(
-            "segments", lambda: segment_transcripts_bucketed(good, cfg.segment_bucket_turns)
-        )
-    else:
-        segments = run_stage("segments", lambda: segment_transcripts(good))
-
-    # metadata KG depends only on the raw turns — overlap it with the
-    # whole extraction/linking critical path
-    def _meta_branch():
-        t0 = time.monotonic()
-        n, e = conversation_metadata_kg(good)
-        store.write(n, "metadata_nodes")
-        store.write(e, "metadata_edges")
-        store.write_marker("metadata_nodes", fp)
-        store.write_marker("metadata_edges", fp)
-        stage_times["metadata_nodes"] = time.monotonic() - t0
-
-    import os as _os
-
-    # Overlapping the metadata branch with the extraction critical path
-    # measured NEGATIVE at high parallelism (local[32]: +50s — its
-    # shuffle/write tasks interleave into the Arrow-UDF stage's slots and
-    # strangle it; local[8]: −4s).  Serial placement costs ~4s and is
-    # parallelism-neutral, so it is the default; the flag re-enables the
-    # overlap for multi-executor clusters where the metadata job's tasks
-    # land on OTHER executors instead of stealing UDF slots.
-    # The paired same-stage table writes (mentions+triples,
-    # kg_nodes+kg_edges) measured POSITIVE at both levels (local[32]:
-    # 37s vs 55s serial) — two jobs over the SAME checkpointed input keep
-    # all slots busy through each other's write tails — so they stay
-    # concurrent by default.
-    overlap_meta = _os.environ.get("DOCS2KG_OVERLAP_META", "0") != "0"
-    paired_writes = _os.environ.get("DOCS2KG_PAIRED_WRITES", "1") != "0"
-    if resume and store.stage_complete("metadata_nodes", fp) and store.exists("metadata_nodes"):
-        stage_times["metadata_nodes"] = 0.0
-        meta_future = None
-    elif overlap_meta:
-        meta_future = side.submit(_meta_branch)
-    else:
-        _meta_branch()
-        meta_future = None
-
-    # fused extraction: mentions + triples in ONE Arrow pass, no shuffle
-    # (the per-segment pair generation of operators/relations.py is
-    # computed inside the UDF; see mentions.py::_triples_of)
-    if resume and all(
-        store.stage_complete(s, fp) and store.exists(s) for s in ("mentions", "triples")
-    ):
-        stage_times["mentions"] = stage_times["triples"] = 0.0
-        mentions = store.read("mentions")
-        triples = store.read("triples")
-    else:
-        t0 = time.monotonic()
-        from docs2kg_spark.operators.mentions import extract_fused
-
-        enriched, _, _ = extract_fused(segments, spark, cfg)
-        # checkpoint the UDF output itself: guarantees exactly ONE
-        # extraction pass (a .persist() can evict under memory pressure
-        # and silently re-run the UDF) and adds a resume point at the
-        # most expensive stage
-        store.write(enriched, "extraction")
-        store.write_marker("extraction", fp)
-        enriched_t = store.read("extraction")
-        mentions_df = enriched_t.select(
-            "conv_id", "seg_id", F.explode_outer("ext.mentions").alias("m")
-        ).filter(F.col("m").isNotNull()).select(
-            "conv_id", "seg_id", "m.start", "m.end", "m.text", "m.label", "m.confidence", "m.method"
-        )
-        triples_df = enriched_t.select(
-            "conv_id", "seg_id", F.explode_outer("ext.triples").alias("t")
-        ).filter(F.col("t").isNotNull()).select(
-            "conv_id", "seg_id", "t.subj", "t.subj_label", "t.pred", "t.obj", "t.obj_label", "t.confidence"
-        )
-        # the two explode-projections read the same checkpoint and are
-        # independent → concurrent jobs
-
-        def _timed_write(df, name):
-            s = time.monotonic()
-            store.write(df, name)
-            return time.monotonic() - s
-
-        if paired_writes:
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                fm = pool.submit(_timed_write, mentions_df, "mentions")
-                ft = pool.submit(_timed_write, triples_df, "triples")
-                fm.result()
-                stage_times["triples"] = ft.result()
+            segments = run_stage(
+                "segments", lambda: segment_transcripts_bucketed(good, cfg.segment_bucket_turns)
+            )
         else:
-            _timed_write(mentions_df, "mentions")
-            stage_times["triples"] = _timed_write(triples_df, "triples")
-        store.write_marker("mentions", fp)
-        store.write_marker("triples", fp)
-        stage_times["mentions"] = time.monotonic() - t0
-        mentions = store.read("mentions")
-        triples = store.read("triples")
-        emit_metrics(mentions, "mentions")
-        emit_metrics(triples, "triples")
+            segments = run_stage("segments", lambda: segment_transcripts(good))
 
-    def _canonical():
-        cmap, block_stats = build_canonical_map(mentions, spark, cfg)
-        stats = block_stats.collect()[0].asDict()
-        store.write_marker("canonical_block_stats", fp, extra=stats)
-        return cmap
+        # metadata KG depends only on the raw turns — overlap it with the
+        # whole extraction/linking critical path
+        def _meta_branch():
+            t0 = time.monotonic()
+            n, e = conversation_metadata_kg(good)
+            store.write(n, "metadata_nodes")
+            store.write(e, "metadata_edges")
+            store.write_marker("metadata_nodes", fp)
+            store.write_marker("metadata_edges", fp)
+            stage_times["metadata_nodes"] = time.monotonic() - t0
 
-    canonical_map = run_stage("canonical_map", _canonical)
+        import os as _os
 
-    if resume and store.stage_complete("kg_nodes", fp) and store.exists("kg_nodes"):
-        stage_times["kg_nodes"] = 0.0
-    else:
-        t0 = time.monotonic()
-        nodes_df, edges_df = materialize_kg(segments, mentions, triples, canonical_map)
-        if paired_writes:
-            # node and edge tables share inputs but not outputs → concurrent
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                fn = pool.submit(store.write, nodes_df, "kg_nodes")
-                fe = pool.submit(store.write, edges_df, "kg_edges")
-                fn.result()
-                fe.result()
+        # Overlapping the metadata branch with the extraction critical path
+        # measured NEGATIVE at high parallelism (local[32]: +50s — its
+        # shuffle/write tasks interleave into the Arrow-UDF stage's slots and
+        # strangle it; local[8]: −4s).  Serial placement costs ~4s and is
+        # parallelism-neutral, so it is the default; the flag re-enables the
+        # overlap for multi-executor clusters where the metadata job's tasks
+        # land on OTHER executors instead of stealing UDF slots.
+        # The paired same-stage table writes (mentions+triples,
+        # kg_nodes+kg_edges) measured POSITIVE at both levels (local[32]:
+        # 37s vs 55s serial) — two jobs over the SAME checkpointed input keep
+        # all slots busy through each other's write tails — so they stay
+        # concurrent by default.
+        overlap_meta = _os.environ.get("DOCS2KG_OVERLAP_META", "0") != "0"
+        paired_writes = _os.environ.get("DOCS2KG_PAIRED_WRITES", "1") != "0"
+        if resume and store.stage_complete("metadata_nodes", fp) and store.exists("metadata_nodes"):
+            stage_times["metadata_nodes"] = 0.0
+            meta_future = None
+        elif overlap_meta:
+            meta_future = side.submit(_meta_branch)
         else:
-            store.write(nodes_df, "kg_nodes")
-            store.write(edges_df, "kg_edges")
-        store.write_marker("kg_nodes", fp)
-        store.write_marker("kg_edges", fp)
-        stage_times["kg_nodes"] = time.monotonic() - t0
-    kg_nodes = store.read("kg_nodes")
-    kg_edges = store.read("kg_edges")
-    emit_metrics(kg_nodes, "kg_nodes")
+            _meta_branch()
+            meta_future = None
 
-    if meta_future is not None:
-        meta_future.result()
-    metadata_nodes = store.read("metadata_nodes")
-    metadata_edges = store.read("metadata_edges")
+        # fused extraction: mentions + triples in ONE Arrow pass, no shuffle
+        # (the per-segment pair generation of operators/relations.py is
+        # computed inside the UDF; see mentions.py::_triples_of)
+        if resume and all(
+            store.stage_complete(s, fp) and store.exists(s) for s in ("mentions", "triples")
+        ):
+            stage_times["mentions"] = stage_times["triples"] = 0.0
+            mentions = store.read("mentions")
+            triples = store.read("triples")
+        else:
+            t0 = time.monotonic()
+            from docs2kg_spark.operators.mentions import extract_fused
 
-    # drain side jobs (quarantine, per-stage partition metrics), then
-    # assemble the combined metrics table: per-stage parts were computed
-    # concurrently with the critical path, so this union only re-reads the
-    # tiny metric parquets, not the stage outputs
-    for f in side_futures:
-        f.result()
-    side.shutdown(wait=True)
-    times_df = spark.createDataFrame(
-        [(-1, int(v * 1000), k) for k, v in stage_times.items()],
-        "partition_id int, rows bigint, stage string",
-    ).withColumn("stage", F.concat(F.col("stage"), F.lit("__wall_ms")))
-    all_metrics = times_df
-    for part in metric_parts:
-        all_metrics = all_metrics.unionByName(store.read(part))
-    store.write(all_metrics, "metrics")
+            enriched, _, _ = extract_fused(segments, spark, cfg)
+            # checkpoint the UDF output itself: guarantees exactly ONE
+            # extraction pass (a .persist() can evict under memory pressure
+            # and silently re-run the UDF) and adds a resume point at the
+            # most expensive stage
+            store.write(enriched, "extraction")
+            store.write_marker("extraction", fp)
+            enriched_t = store.read("extraction")
+            mentions_df = enriched_t.select(
+                "conv_id", "seg_id", F.explode_outer("ext.mentions").alias("m")
+            ).filter(F.col("m").isNotNull()).select(
+                "conv_id", "seg_id", "m.start", "m.end", "m.text", "m.label", "m.confidence", "m.method"
+            )
+            triples_df = enriched_t.select(
+                "conv_id", "seg_id", F.explode_outer("ext.triples").alias("t")
+            ).filter(F.col("t").isNotNull()).select(
+                "conv_id", "seg_id", "t.subj", "t.subj_label", "t.pred", "t.obj", "t.obj_label", "t.confidence"
+            )
+            # the two explode-projections read the same checkpoint and are
+            # independent → concurrent jobs
 
-    return {
-        "fingerprint": fp,
-        "segments": segments,
-        "mentions": mentions,
-        "triples": triples,
-        "canonical_map": canonical_map,
-        "kg_nodes": kg_nodes,
-        "kg_edges": kg_edges,
-        "metadata_nodes": metadata_nodes,
-        "metadata_edges": metadata_edges,
-        "stage_times": stage_times,
-        "store": store,
-    }
+            def _timed_write(df, name):
+                s = time.monotonic()
+                store.write(df, name)
+                return time.monotonic() - s
+
+            if paired_writes:
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fm = pool.submit(_timed_write, mentions_df, "mentions")
+                    ft = pool.submit(_timed_write, triples_df, "triples")
+                    fm.result()
+                    stage_times["triples"] = ft.result()
+            else:
+                _timed_write(mentions_df, "mentions")
+                stage_times["triples"] = _timed_write(triples_df, "triples")
+            store.write_marker("mentions", fp)
+            store.write_marker("triples", fp)
+            stage_times["mentions"] = time.monotonic() - t0
+            mentions = store.read("mentions")
+            triples = store.read("triples")
+            emit_metrics(mentions, "mentions")
+            emit_metrics(triples, "triples")
+
+        def _canonical():
+            cmap, block_stats = build_canonical_map(mentions, spark, cfg)
+            stats = block_stats.collect()[0].asDict()
+            store.write_marker("canonical_block_stats", fp, extra=stats)
+            return cmap
+
+        canonical_map = run_stage("canonical_map", _canonical)
+
+        if resume and store.stage_complete("kg_nodes", fp) and store.exists("kg_nodes"):
+            stage_times["kg_nodes"] = 0.0
+        else:
+            t0 = time.monotonic()
+            nodes_df, edges_df = materialize_kg(segments, mentions, triples, canonical_map)
+            if paired_writes:
+                # node and edge tables share inputs but not outputs → concurrent
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fn = pool.submit(store.write, nodes_df, "kg_nodes")
+                    fe = pool.submit(store.write, edges_df, "kg_edges")
+                    fn.result()
+                    fe.result()
+            else:
+                store.write(nodes_df, "kg_nodes")
+                store.write(edges_df, "kg_edges")
+            store.write_marker("kg_nodes", fp)
+            store.write_marker("kg_edges", fp)
+            stage_times["kg_nodes"] = time.monotonic() - t0
+        kg_nodes = store.read("kg_nodes")
+        kg_edges = store.read("kg_edges")
+        emit_metrics(kg_nodes, "kg_nodes")
+
+        if meta_future is not None:
+            meta_future.result()
+        metadata_nodes = store.read("metadata_nodes")
+        metadata_edges = store.read("metadata_edges")
+
+        # drain side jobs (quarantine, per-stage partition metrics), then
+        # assemble the combined metrics table: per-stage parts were computed
+        # concurrently with the critical path, so this union only re-reads the
+        # tiny metric parquets, not the stage outputs
+        for f in side_futures:
+            f.result()
+        side.shutdown(wait=True)
+        times_df = spark.createDataFrame(
+            [(-1, int(v * 1000), k) for k, v in stage_times.items()],
+            "partition_id int, rows bigint, stage string",
+        ).withColumn("stage", F.concat(F.col("stage"), F.lit("__wall_ms")))
+        all_metrics = times_df
+        for part in metric_parts:
+            all_metrics = all_metrics.unionByName(store.read(part))
+        store.write(all_metrics, "metrics")
+
+        return {
+            "fingerprint": fp,
+            "segments": segments,
+            "mentions": mentions,
+            "triples": triples,
+            "canonical_map": canonical_map,
+            "kg_nodes": kg_nodes,
+            "kg_edges": kg_edges,
+            "metadata_nodes": metadata_nodes,
+            "metadata_edges": metadata_edges,
+            "stage_times": stage_times,
+            "store": store,
+        }
+    except BaseException:
+        if meta_future is not None:
+            meta_future.exception()
+        for f in side_futures:
+            f.exception()
+        side.shutdown(wait=True)
+        raise

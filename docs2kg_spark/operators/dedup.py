@@ -311,18 +311,47 @@ def cosine_expr(vec_a, vec_b):
 
 
 def embedding_near_dup_pairs(
-    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", threshold: float = 0.95
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bucket_above: int = 1_000_000,
+    n_planes: int = 8,
 ) -> DataFrame:
-    """→ (a, b, cos): brute-force within-label cosine pairs ≥ threshold.
-    At 100 TB the same expression runs inside LSH buckets
-    (similarity.lsh_buckets) instead of the full cross-join; here label
-    provides the blocking key."""
+    """→ (a, b, cos): within-label cosine pairs ≥ threshold.
+
+    Scale shape: label alone is a weak blocking key — one label with N
+    vectors is an N²/2 cosine join on a single reducer family, a
+    scale-killer at 100 TB (round-1 verdict, perf item 4).  Above
+    ``bucket_above`` corpus rows the join key therefore becomes
+    (label ∧ hyperplane-LSH bucket) using the same seeded planes as the
+    ANN operator (similarity.hyperplanes): the N² blowup per label drops
+    to Σ_buckets n_b², at the cost of missing cross-bucket pairs (a pair
+    at cosine ≥ t lands in one bucket with P ≈ (1 − arccos(t)/π)^planes;
+    identical vectors always collide).  Below the threshold the exact
+    brute-force-within-label path runs — that is the path the DuckDB
+    oracle checks at test scale; the bucketed path is parity-tested
+    against it in the degenerate 0-plane case and subset-tested at 8.
+    The size probe is one count() over the id column (column-pruned
+    scan), negligible next to the pair join it sizes."""
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("label").alias("lbl")]
     src = ensure_min_parallelism(embeddings.select(*cols))
+    if src.count() > bucket_above:
+        from docs2kg_spark.operators.similarity import _bucket_expr, hyperplanes
+
+        dim = len(src.select("v").first()["v"])
+        src = src.withColumn("bkt", _bucket_expr(F.col("v"), hyperplanes(dim, n_planes)))
+        join_cond = (
+            (F.col("a.lbl") == F.col("b.lbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.id") < F.col("b.id"))
+        )
+    else:
+        join_cond = (F.col("a.lbl") == F.col("b.lbl")) & (F.col("a.id") < F.col("b.id"))
     a = src.alias("a")
     b = src.alias("b")
     return (
-        a.join(b, on=(F.col("a.lbl") == F.col("b.lbl")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, on=join_cond)
         .withColumn("cos", cosine_expr(F.col("a.v"), F.col("b.v")))
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), F.col("cos"))

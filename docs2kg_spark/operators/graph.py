@@ -38,20 +38,28 @@ from docs2kg_spark.functions.labels import sanitize_label_col
 
 # parent → allowed children (the transcript analog of the layout schema
 # written at layout_kg.py:127-147): a header section contains paragraphs
-# and code blocks; a paragraph may contain a code block.
+# and code blocks; a paragraph may contain a code block.  This is the
+# DEFAULT; a per-project schema (the analog of the reference's
+# schema.json) can be supplied to layout_edges/materialize_kg.
 LAYOUT_SCHEMA: dict[str, tuple[str, ...]] = {"H1": ("P", "CODE"), "P": ("CODE",)}
 MAX_HEADER_LEVEL = 6
 
 
-def _containment_cond(prev_label, label):
+def _containment_cond(prev_label, label, schema: dict[str, tuple[str, ...]]):
     cond = F.lit(False)
-    for parent, children in LAYOUT_SCHEMA.items():
+    for parent, children in schema.items():
         cond = cond | ((prev_label == parent) & label.isin(*children))
     return cond
 
 
-def layout_edges(segments: DataFrame) -> DataFrame:
-    """CONTAINS + NEXT edges over the segment sequence of each conv."""
+def layout_edges(
+    segments: DataFrame, schema: dict[str, tuple[str, ...]] | None = None
+) -> DataFrame:
+    """CONTAINS + NEXT edges over the segment sequence of each conv.
+    ``schema`` maps parent label → allowed child labels (defaults to
+    LAYOUT_SCHEMA), mirroring the per-project schema.json the reference
+    writes at layout_kg.py:127-147."""
+    schema = LAYOUT_SCHEMA if schema is None else schema
     w = Window.partitionBy("conv_id").orderBy("seg_idx")
     wprev = w.rowsBetween(Window.unboundedPreceding, -1)
 
@@ -87,7 +95,7 @@ def layout_edges(segments: DataFrame) -> DataFrame:
     # level-1 headers always attach to the File node (null → file)
 
     nonheader_parent = F.coalesce(
-        F.when(_containment_cond(F.col("_prev_label"), F.col("label")), F.col("_prev_seg")),
+        F.when(_containment_cond(F.col("_prev_label"), F.col("label"), schema), F.col("_prev_seg")),
         F.col("_hany"),
     )
 
@@ -129,9 +137,12 @@ def materialize_kg(
     mentions: DataFrame,
     triples: DataFrame,
     canonical_map: DataFrame,
+    layout_schema: dict[str, tuple[str, ...]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (kg_nodes(node_id, canonical_id, type, properties),
-          kg_edges(src, dst, type, conv_id, properties))."""
+          kg_edges(src, dst, type, conv_id, properties)).
+    ``layout_schema`` overrides the default containment schema
+    (see layout_edges)."""
     file_nodes = (
         segments.select("conv_id")
         .distinct()
@@ -168,7 +179,7 @@ def materialize_kg(
     kg_nodes = file_nodes.unionByName(seg_nodes).unionByName(entity_nodes_df)
 
     # --- edges -----------------------------------------------------------
-    struct_edges = layout_edges(segments)
+    struct_edges = layout_edges(segments, layout_schema)
 
     cmap = canonical_map.select("node_id", "canonical_id")
 

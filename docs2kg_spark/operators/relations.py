@@ -36,20 +36,40 @@ def connections_df(spark: SparkSession, ontology: Ontology) -> DataFrame:
 
 
 def cooccurrence_triples(
-    mentions: DataFrame, spark: SparkSession, ontology: Ontology | None = None
+    mentions: DataFrame, spark: SparkSession, ontology: Ontology | None = None,
+    n_salts: int = 0,
 ) -> DataFrame:
     """mentions → triples(conv_id, seg_id, subj, subj_label, pred, obj,
-    obj_label, confidence)."""
+    obj_label, confidence).
+
+    ``n_salts > 1`` salts the seg_id self-join (functions/skew.py
+    pattern): the left side gets a deterministic row-hash salt, the
+    right side replicates over all salt buckets, and the shuffle key
+    becomes (seg_id, _salt) — one pathological segment with a huge
+    mention list spreads over n_salts reducers instead of one.  Output
+    is identical (parity-tested); the cost is an n_salts× replication of
+    the right side, so it is an explicit knob (PipelineConfig) rather
+    than a default — AQE skew-split remains the always-on backstop."""
     ontology = ontology or Ontology()
     cols = ["conv_id", "seg_id", "start", "end", "text", "label", "confidence"]
-    a = mentions.select(*cols).alias("a")
-    b = mentions.select(*cols).alias("b")
+    a_df = mentions.select(*cols)
+    b_df = mentions.select(*cols)
+    if n_salts > 1:
+        from docs2kg_spark.functions.skew import explode_probe_side, salt_heavy_side
+
+        a_df = salt_heavy_side(a_df, "seg_id", n_salts)
+        b_df = explode_probe_side(b_df, n_salts)
+    a = a_df.alias("a")
+    b = b_df.alias("b")
 
     a_ord = F.struct(*[F.col(f"a.{c}").alias(c) for c in ("start", "end", "text", "label")])
     b_ord = F.struct(*[F.col(f"b.{c}").alias(c) for c in ("start", "end", "text", "label")])
 
+    join_cond = (F.col("a.seg_id") == F.col("b.seg_id")) & (a_ord < b_ord)
+    if n_salts > 1:
+        join_cond = join_cond & (F.col("a._salt") == F.col("b._salt"))
     pairs = (
-        a.join(b, on=(F.col("a.seg_id") == F.col("b.seg_id")) & (a_ord < b_ord))
+        a.join(b, on=join_cond)
         .filter(~((F.col("a.text") == F.col("b.text")) & (F.col("a.label") == F.col("b.label"))))
     )
 

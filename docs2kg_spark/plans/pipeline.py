@@ -246,6 +246,14 @@ def run_pipeline(
             emit_metrics(mentions, "mentions")
             emit_metrics(triples, "triples")
 
+        # ontology round-trip (reference: semantic_kg/base.py:60-82): merge
+        # newly discovered mention types into the persisted ontology so an
+        # incremental rerun starts from them — tiny distinct agg + tiny
+        # write, runs as a side job off the critical path
+        from docs2kg_spark.operators.ontology_gen import persist_updated_ontology
+
+        submit_side(lambda: persist_updated_ontology(store, mentions, cfg.ontology))
+
         def _canonical():
             cmap, block_stats = build_canonical_map(mentions, spark, cfg)
             stats = block_stats.collect()[0].asDict()
@@ -258,7 +266,10 @@ def run_pipeline(
             stage_times["kg_nodes"] = 0.0
         else:
             t0 = time.monotonic()
-            nodes_df, edges_df = materialize_kg(segments, mentions, triples, canonical_map)
+            schema = dict(cfg.layout_schema) if cfg.layout_schema is not None else None
+            nodes_df, edges_df = materialize_kg(
+                segments, mentions, triples, canonical_map, layout_schema=schema
+            )
             if paired_writes:
                 # node and edge tables share inputs but not outputs → concurrent
                 with ThreadPoolExecutor(max_workers=2) as pool:

@@ -24,6 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docs2kg_spark.config import DEFAULT_GAZETTEER
+from docs2kg_spark.oracle.sql_twins import (
+    kg_canonical_map_sql,
+    kg_edges_sql,
+    kg_mentions_sql,
+    kg_nodes_sql,
+    kg_triples_sql,
+    minhash_near_dup_sql,
+)
 
 # ---------------------------------------------------------------------------
 # shared helpers
@@ -1173,6 +1181,20 @@ ORACLE_SQL = {
     "doc_ngram_jaccard": SQL_NGRAM_JACCARD,
     "doc_near_dup_simhash": SQL_SIMHASH,
     "ann_lsh": _ann_lsh_sql(),
+    # bit-for-bit MinHash recomputation from the same seeded constants
+    # (FNV shingle weights + permutation (a,b) pairs), banding + est-J
+    # prefilter + exact verification included — oracle/sql_twins.py
+    "doc_near_dup_minhash": minhash_near_dup_sql(),
+    # full SQL recomputation of the KG UDF stages over the same
+    # SQL-derived transcripts (oracle/sql_twins.py): the extraction UDF
+    # (token-boundary gazetteer match + LLM-standin chunk find +
+    # first-wins dedup), then triples / canonical map / node + edge
+    # materialization by composition — every stage value-checked
+    "kg_mentions": kg_mentions_sql(TRANSCRIPTS_CTE),
+    "kg_triples": kg_triples_sql(TRANSCRIPTS_CTE),
+    "kg_canonical_map": kg_canonical_map_sql(TRANSCRIPTS_CTE),
+    "kg_nodes": kg_nodes_sql(TRANSCRIPTS_CTE),
+    "kg_edges": kg_edges_sql(TRANSCRIPTS_CTE),
     "ann_ivf": SQL_ANN_IVF,
     "token_counts": SQL_TOKEN_COUNTS,
     "quality_scores": SQL_QUALITY,

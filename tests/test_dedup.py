@@ -82,3 +82,42 @@ def test_embedding_near_dup_vs_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def test_embedding_near_dup_bucketed_degenerate_equals_brute(spark):
+    # 0 hyperplanes → one global bucket → the bucketed join IS the
+    # brute-force join (the ann_ivf-style degenerate-parity check)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r.a, r.b, round(r.cos, 6))
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    bucketed = {
+        (r.a, r.b, round(r.cos, 6))
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.3, bucket_above=0, n_planes=0
+        ).collect()
+    }
+    assert bucketed == brute and len(brute) > 0
+
+
+def test_embedding_near_dup_bucketed_is_subset_with_high_recall(spark):
+    # real hyperplanes: result must be a subset of brute force (same
+    # verified cosine, only candidate generation differs) and identical
+    # vectors (cos≈1) always collide in every bucket
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    brute = {
+        (r.a, r.b) for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    bucketed = {
+        (r.a, r.b)
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.3, bucket_above=0, n_planes=8
+        ).collect()
+    }
+    assert bucketed <= brute
+    exact = {
+        (r.a, r.b)
+        for r in embedding_near_dup_pairs(emb, threshold=0.999999).collect()
+    }
+    assert exact <= bucketed

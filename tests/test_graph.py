@@ -115,3 +115,36 @@ def test_metadata_kg_vs_duckdb(spark):
         }
     assert got_nodes == want_nodes
     assert got_edges == want_edges
+
+
+def test_layout_edges_custom_schema(spark):
+    # per-project containment schema (the schema.json analog): with an
+    # empty schema a P after another P can no longer nest under the
+    # previous element and must fall back to the last prior header
+    from docs2kg_spark.operators.graph import layout_edges
+    from docs2kg_spark.operators.segments import segment_transcripts
+
+    rows = [
+        ("c1", 0, "system", "title", None, None),
+        ("c1", 1, "user", "para one", None, None),
+        ("c1", 2, "tool", "code block", "t", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    segs = segment_transcripts(t)
+    by_id = {r.seg_id: r.label for r in segs.collect()}
+
+    def edge_labels(schema):
+        out = set()
+        for e in layout_edges(segs, schema).collect():
+            if e.type == "CONTAINS":
+                out.add((by_id.get(e.src, "FILE"), by_id[e.dst]))
+        return out
+
+    default = edge_labels(None)
+    # default schema: CODE nests under the preceding P
+    assert ("P", "CODE") in default
+    # custom schema forbidding P→CODE: CODE reparents to the H1 header
+    custom = edge_labels({"H1": ("P", "CODE")})
+    assert ("P", "CODE") not in custom and ("H1", "CODE") in custom

@@ -94,3 +94,29 @@ def test_pipeline_bucketed_segmentation_same_outputs(spark, transcripts_df, tmp_
     )
     for tbl in ("segments", "triples", "kg_edges"):
         assert _table_hash(a[tbl]) == _table_hash(b[tbl]), tbl
+
+
+def test_ontology_persistence_round_trip(spark, tmp_path):
+    # a type discovered in one run must survive a restart (reference:
+    # semantic_kg/base.py:60-82 ontology.json round-trip)
+    from docs2kg_spark.config import Ontology
+    from docs2kg_spark.io.sinks import TableStore
+    from docs2kg_spark.operators.ontology_gen import (
+        load_ontology,
+        persist_updated_ontology,
+    )
+
+    store = TableStore(spark, str(tmp_path / "onto_store"))
+    base = Ontology()
+    mentions = spark.createDataFrame(
+        [("alice", "Person"), ("px-9", "Chemical")], "text string, label string"
+    )
+    merged, changed = persist_updated_ontology(store, mentions, base)
+    assert changed and "Chemical" in merged.entity_types
+
+    # "restart": a fresh load must see the discovered type without help
+    reloaded = load_ontology(store)
+    assert reloaded is not None and "Chemical" in reloaded.entity_types
+    # and a second identical run is a no-op (no rewrite churn)
+    merged2, changed2 = persist_updated_ontology(store, mentions, base)
+    assert not changed2 and merged2.entity_types == reloaded.entity_types

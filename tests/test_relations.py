@@ -81,3 +81,20 @@ def test_triples_sql_twin_duckdb(spark, transcripts_df):
     """
     want = {(r[0], r[1], r[2], r[3], round(r[4], 9)) for r in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_salted_self_join_parity(spark, transcripts_df):
+    # the (seg_id, _salt) salted shuffle must be output-identical to the
+    # plain seg_id self-join (functions/skew.py wiring, config knob
+    # relation_salts)
+    segs = segment_transcripts(transcripts_df)
+    m = extract_mentions(segs, spark)
+    plain = {
+        (r.seg_id, r.subj, r.pred, r.obj, r.confidence)
+        for r in cooccurrence_triples(m, spark).collect()
+    }
+    salted = {
+        (r.seg_id, r.subj, r.pred, r.obj, r.confidence)
+        for r in cooccurrence_triples(m, spark, n_salts=4).collect()
+    }
+    assert salted == plain and len(plain) > 0

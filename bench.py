@@ -199,25 +199,63 @@ def main() -> None:
         query_secs[name] = dt
         total += dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "kg_construct_e2e_plus_headline_queries",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": query_secs,
-                "sf": sf,
-                "cpus": int(CPUS),
-                "n_turns": kg["n_turns"],
-                "n_triples": kg["n_triples"],
-                "triples_per_sec": kg["triples_per_sec"],
-                "turns_per_sec": kg["turns_per_sec"],
-                "triple_precision_vs_reference": round(pr["precision"], 4),
-                "triple_recall_vs_reference": round(pr["recall"], 4),
-            }
-        )
-    )
     spark.stop()
+
+    # low-parallelism probe AFTER the main session is gone: a fixed-size
+    # pinned local[8] pipeline run whose triples/sec lands in the bench
+    # JSON, so round-over-round scaling regressions are machine-diffable
+    # (round-1 verdict item 10) without re-running the full two-span
+    # --scaling experiment.  Compare against the local[32] headline run
+    # only qualitatively — sizes differ; compare probe-vs-probe across
+    # rounds.
+    probe = None if os.environ.get("SPARK_GRAFT_SKIP_PROBE", "0") == "1" else _local8_probe()
+
+    out = {
+        "metric": "kg_construct_e2e_plus_headline_queries",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": sf,
+        "cpus": int(CPUS),
+        "n_turns": kg["n_turns"],
+        "n_triples": kg["n_triples"],
+        "triples_per_sec": kg["triples_per_sec"],
+        "turns_per_sec": kg["turns_per_sec"],
+        "triple_precision_vs_reference": round(pr["precision"], 4),
+        "triple_recall_vs_reference": round(pr["recall"], 4),
+    }
+    if probe is not None:
+        out["local8_probe"] = probe
+    print(json.dumps(out))
+
+
+def _local8_probe() -> dict | None:
+    """One pinned local[8] --pipeline-only run at a fixed conv count;
+    returns {cpus, n_turns, secs, triples_per_sec} or None on failure
+    (the probe must never fail the bench)."""
+    import shutil as _sh
+
+    cpus = "8"
+    convs = os.environ.get("SPARK_GRAFT_PROBE_CONVS", "24000")
+    cmd = [sys.executable, __file__, "--pipeline-only"]
+    if _sh.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{int(cpus) - 1}"] + cmd
+    env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_BENCH_CONVS=convs)
+    try:
+        res = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, check=True, timeout=600
+        )
+        line = [ln for ln in res.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        r = json.loads(line)
+        return {
+            "cpus": int(cpus),
+            "n_turns": r["n_turns"],
+            "secs": r["secs"],
+            "triples_per_sec": r["triples_per_sec"],
+        }
+    except Exception as exc:  # noqa: BLE001 — diagnostic-only path
+        print(f"local8 probe failed: {type(exc).__name__}", file=sys.stderr)
+        return None
 
 
 def scaling_main() -> None:

@@ -66,6 +66,8 @@ EXTRACT_SCHEMA = T.StructType(
 
 # compiled matcher index, one per (gazetteer hash) per Python worker
 _INDEX_CACHE: dict = {}
+# pre-lowered + type-filtered LLM-path entries, per (gazetteer, types)
+_LLM_CACHE: dict = {}
 
 
 def _build_index(gazetteer):
@@ -78,6 +80,101 @@ def _build_index(gazetteer):
             continue
         index.setdefault(pattern[0], []).append((pattern, entity_lower, etype))
     return index
+
+
+_WORD_RE = re.compile(r"\w+\Z")
+
+
+def _build_fast_matcher(gazetteer):
+    """Tokenization-free gazetteer matcher (the hot path of the
+    extraction UDF — full \\w+ tokenization of every candidate text was
+    ~70%% of kernel time; matches are sparse, so locating them directly
+    is O(matches), not O(text)).
+
+    Exact-equivalence argument vs the token-scan matcher (_extract_one's
+    legacy path), per the reference tokenizer \\w+|[^\\w\\s]:
+    - a pattern token that is pure \\w+ equals a text token iff it
+      appears in the text delimited by non-\\w chars → locate first
+      tokens with one guarded alternation `(?<!\\w)(?:t1|..)(?!\\w)`
+      (whole-token occurrences are non-overlapping, so finditer finds
+      every one), then probe every pattern sharing that first token;
+    - consecutive \\w+ tokens in the token stream are separated by
+      whitespace ONLY (any punctuation in between would itself be a
+      token), so the continuation regex is `\\s+tok2...\\s+tokN(?!\\w)`;
+    - a pattern token mixing \\w and punctuation (e.g. "px-7",
+      "acme,") can never equal any single text token, so the token path
+      can never match that entity — it is dropped here, identical to
+      the legacy path where its index bucket key never equals a token;
+    - a single-punctuation pattern token CAN match (any lone
+      non-word-non-space char is a token) — that shape isn't encoded
+      here, so its presence disables the fast path entirely
+      (fast_ok=False → legacy tokenizing path, same output).
+
+    Returns (fast_ok, first_rx|None,
+             {first_tok: [(cont_rx|None, entity_lower, etype, gaz_idx)]}).
+    """
+    probe: dict[str, list] = {}
+    firsts: set[str] = set()
+    for gaz_idx, (entity, etype) in enumerate(gazetteer):
+        entity_lower = entity.lower()
+        pattern = tuple(entity_lower.split())
+        if not pattern:
+            continue
+        kinds = [("w" if _WORD_RE.match(t) else ("p" if len(t) == 1 else "x")) for t in pattern]
+        if "p" in kinds:
+            return False, None, {}  # lone-punct token → legacy path
+        if "x" in kinds:
+            continue  # mixed token → unmatchable via token path, skip
+        cont_rx = (
+            re.compile(r"\s+" + r"\s+".join(re.escape(t) for t in pattern[1:]) + r"(?!\w)")
+            if len(pattern) > 1
+            else None
+        )
+        probe.setdefault(pattern[0], []).append((cont_rx, entity_lower, etype, gaz_idx))
+        firsts.add(pattern[0])
+    if not firsts:
+        return True, None, probe
+    alts = "|".join(re.escape(t) for t in sorted(firsts, key=len, reverse=True))
+    return True, re.compile(r"(?<!\w)(?:" + alts + r")(?!\w)"), probe
+
+
+# per-char classes matching the tokenizer's \w / \s exactly (str.isalnum
+# and str.isspace disagree with the re classes on edge codepoints)
+_W1 = re.compile(r"\w")
+_S1 = re.compile(r"\s")
+
+
+def _prev_token_isalpha(lowered, pos):
+    """isalpha() of the token immediately before char offset pos (the
+    reference boundary rule, ner_spacy_match.py:159-178) without
+    tokenizing: skip whitespace back; a punct char is its own token
+    (never alpha); a \\w char belongs to a maximal \\w+ run — scan it."""
+    i = pos - 1
+    while i >= 0 and _S1.match(lowered[i]):
+        i -= 1
+    if i < 0:
+        return False
+    if not _W1.match(lowered[i]):
+        return False  # single-punct token
+    j = i
+    while j >= 0 and _W1.match(lowered[j]):
+        j -= 1
+    return lowered[j + 1 : i + 1].isalpha()
+
+
+def _next_token_isalpha(lowered, pos):
+    n = len(lowered)
+    i = pos
+    while i < n and _S1.match(lowered[i]):
+        i += 1
+    if i >= n:
+        return False
+    if not _W1.match(lowered[i]):
+        return False
+    j = i
+    while j < n and _W1.match(lowered[j]):
+        j += 1
+    return lowered[i:j].isalpha()
 
 
 def _build_candidate_rx(gazetteer):
@@ -95,17 +192,39 @@ def _get_index(gazetteer):
     key = hash(gazetteer)
     cached = _INDEX_CACHE.get(key)
     if cached is None:
-        cached = (_build_index(gazetteer), _build_candidate_rx(gazetteer))
+        cached = (
+            _build_index(gazetteer),
+            _build_candidate_rx(gazetteer),
+            _build_fast_matcher(gazetteer),
+        )
         _INDEX_CACHE[key] = cached
     return cached
 
 
-def _extract_one(text, gazetteer, index_and_rx, entity_types, min_judge_len):
+def _get_llm_entries(gazetteer, entity_types):
+    """LLM-path scan list, precomputed once per worker: gazetteer order
+    preserved (first-wins dedup depends on emission order), surfaces
+    pre-lowered, rows whose type the ontology rejects dropped up front
+    (ner_prompt_based.py:150-155 drops them after extraction; dropping
+    before is output-identical and skips the scan), plus a has-dot flag
+    for the chunk-boundary caveat in _extract_one."""
+    key = (hash(gazetteer), entity_types)
+    cached = _LLM_CACHE.get(key)
+    if cached is None:
+        etypes = set(entity_types)
+        cached = tuple(
+            (e.lower(), t, "." in e) for e, t in gazetteer if t in etypes
+        )
+        _LLM_CACHE[key] = cached
+    return cached
+
+
+def _extract_one(text, llm_entries, index_and_rx, min_judge_len):
     """Both extraction methods + dedup for one segment text.  Semantics
     mirror oracle/reference.py (which mirrors the reference, SURVEY §1.4)."""
     if not text:
         return []
-    index, candidate_rx = index_and_rx
+    index, candidate_rx, (fast_ok, first_rx, probe) = index_and_rx
     lowered = text.lower()
     # short-circuit: no surface can match at all → skip tokenization
     if candidate_rx.search(lowered) is None:
@@ -113,42 +232,81 @@ def _extract_one(text, gazetteer, index_and_rx, entity_types, min_judge_len):
     results = []
 
     # --- gazetteer token-sequence match (ner_spacy_match.py:84-157) ---
-    toks = [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(lowered)]
-    tok_texts = [t[0] for t in toks]
-    n_toks = len(toks)
-    for i, tok in enumerate(tok_texts):
-        for pattern, entity_lower, etype in index.get(tok, ()):
-            n = len(pattern)
-            if i + n > n_toks or tuple(tok_texts[i : i + n]) != pattern:
-                continue
-            # boundary rule (ner_spacy_match.py:159-178)
-            if i > 0 and tok_texts[i - 1].isalpha():
-                continue
-            if i + n < n_toks and tok_texts[i + n].isalpha():
-                continue
-            start, end = toks[i][1], toks[i + n - 1][2]
-            matched = lowered[start:end]
-            if len(matched) < min_judge_len:  # judge stand-in
-                continue
-            conf = 0.95 if matched == entity_lower else 0.9
-            results.append((start, end, matched, etype, conf, "gazetteer"))
-    results.sort(key=lambda r: r[0])
+    if fast_ok:
+        # tokenization-free path (see _build_fast_matcher): locate
+        # whole-token occurrences of any pattern's first token, probe
+        # continuations, verify the boundary rule by local char scans.
+        hits = []
+        if first_rx is not None:
+            for m in first_rx.finditer(lowered):
+                ts, te = m.start(), m.end()
+                for cont_rx, entity_lower, etype, gaz_idx in probe[m.group()]:
+                    if cont_rx is None:
+                        end = te
+                    else:
+                        cm = cont_rx.match(lowered, te)
+                        if cm is None:
+                            continue
+                        end = cm.end()
+                    # boundary rule (ner_spacy_match.py:159-178)
+                    if _prev_token_isalpha(lowered, ts) or _next_token_isalpha(lowered, end):
+                        continue
+                    matched = lowered[ts:end]
+                    if len(matched) < min_judge_len:  # judge stand-in
+                        continue
+                    conf = 0.95 if matched == entity_lower else 0.9
+                    hits.append((ts, gaz_idx, end, matched, etype, conf))
+        # (start, gazetteer order) reproduces the legacy emission order:
+        # ties at one start are one first token, probed in gazetteer order
+        hits.sort()
+        results.extend((h[0], h[2], h[3], h[4], h[5], "gazetteer") for h in hits)
+    else:
+        toks = [(m.group(), m.start(), m.end()) for m in _TOKEN_RE.finditer(lowered)]
+        tok_texts = [t[0] for t in toks]
+        n_toks = len(toks)
+        for i, tok in enumerate(tok_texts):
+            for pattern, entity_lower, etype in index.get(tok, ()):
+                n = len(pattern)
+                if i + n > n_toks or tuple(tok_texts[i : i + n]) != pattern:
+                    continue
+                # boundary rule (ner_spacy_match.py:159-178)
+                if i > 0 and tok_texts[i - 1].isalpha():
+                    continue
+                if i + n < n_toks and tok_texts[i + n].isalpha():
+                    continue
+                start, end = toks[i][1], toks[i + n - 1][2]
+                matched = lowered[start:end]
+                if len(matched) < min_judge_len:  # judge stand-in
+                    continue
+                conf = 0.95 if matched == entity_lower else 0.9
+                results.append((start, end, matched, etype, conf, "gazetteer"))
+        results.sort(key=lambda r: r[0])
 
     # --- LLM-standin chunked substring extraction -----------------------
     # (ner_prompt_based.py:60-62,128,150-155,201-206 — offset drift kept)
-    chunks = [c.strip() + "." for c in text.split(".") if c.strip()]
-    pos = 0
-    for chunk in chunks:
-        chunk_lower = chunk.lower()
-        for entity, etype in gazetteer:
-            surface = entity.lower()
-            if etype not in entity_types:
+    # Per-TEXT presence prefilter before the per-chunk scans: a chunk is
+    # a stripped substring of the text plus an appended "." — a surface
+    # without "." can occur in a chunk only if it occurs in the lowered
+    # text, so one C-level substring scan per surface bounds the chunk
+    # loop to surfaces actually present (dotted surfaces could span the
+    # appended "." and bypass the filter).  At a real 100k-surface
+    # gazetteer both this scan and the per-chunk find become one
+    # Aho-Corasick pass; at fixture size the C substring scan wins.
+    present = [st for st in llm_entries if st[2] or st[0] in lowered]
+    if present:
+        pos = 0
+        for c in text.split("."):
+            c = c.strip()
+            if not c:
                 continue
-            start = chunk_lower.find(surface)
-            if start == -1:
-                continue
-            results.append((start + pos, start + pos + len(surface), surface, etype, 1.0, "llm_standin"))
-        pos += len(chunk)
+            chunk = c + "."
+            chunk_lower = chunk.lower()
+            for surface, etype, _ in present:
+                start = chunk_lower.find(surface)
+                if start == -1:
+                    continue
+                results.append((start + pos, start + pos + len(surface), surface, etype, 1.0, "llm_standin"))
+            pos += len(chunk)
 
     # --- first-wins dedup on (start,end,text,label) ----------------------
     seen = set()
@@ -198,10 +356,10 @@ def make_extract_udf(spark: SparkSession, cfg: PipelineConfig):
         gazetteer, entity_types, min_judge_len, pred_items = bc.value
         pmap = dict(pred_items)
         index = _get_index(gazetteer)
-        etypes = set(entity_types)
+        llm_entries = _get_llm_entries(gazetteer, entity_types)
         mentions_col, triples_col = [], []
         for t in texts:
-            ms = _extract_one(t, gazetteer, index, etypes, min_judge_len)
+            ms = _extract_one(t, llm_entries, index, min_judge_len)
             mentions_col.append(ms)
             triples_col.append(_triples_of(ms, pmap))
         return pd.DataFrame({"mentions": mentions_col, "triples": triples_col})
@@ -217,9 +375,9 @@ def make_extract_mentions_udf(spark: SparkSession, cfg: PipelineConfig):
     def extract_mentions(texts: pd.Series) -> pd.Series:
         gazetteer, entity_types, min_judge_len = bc.value
         index = _get_index(gazetteer)
-        etypes = set(entity_types)
+        llm_entries = _get_llm_entries(gazetteer, entity_types)
         return pd.Series(
-            [_extract_one(t, gazetteer, index, etypes, min_judge_len) for t in texts]
+            [_extract_one(t, llm_entries, index, min_judge_len) for t in texts]
         )
 
     return extract_mentions

@@ -1,0 +1,150 @@
+"""Graph-query operators over the materialized KG edge tables.
+
+The reference's users query the loaded property graph in Neo4j (Cypher
+over the tables loaded by utils/neo4j_loader.py:232-433 — e.g. the
+readback at neo4j_loader.py:438-443 and the export at :446-491).  This
+module supplies the Spark-native equivalents of the common graph reads
+so a Docs2KG user can stay on the engine's own tables: degree stats,
+bounded-hop neighborhood expansion (Cypher's variable-length patterns),
+PageRank-style importance, and triangle participation.
+
+Scale design (every function is DataFrame-only, no Python in the loop):
+- degrees: two partial+final hash aggregates + one full-outer equi-join
+  on node id.  No skew beyond what the graph itself has; AQE splits hot
+  nodes.
+- k_hop: frontier BFS — per hop one equi-join frontier⋈edges, one
+  distinct, one left-anti against visited; the frontier is
+  localCheckpoint'ed per hop so the plan stays flat (lineage would
+  otherwise double per hop).  A frontier that is small relative to the
+  edge table broadcasts automatically under AQE.  Worst case per hop is
+  one shuffle over the frontier's out-edges — never the whole graph.
+- pagerank: the GraphX convention (pr = (1-d) + d·Σ pr(u)/outdeg(u),
+  dangling mass not redistributed — deterministic and join-local, no
+  per-iteration driver aggregation).  Each iteration is one equi-join
+  edges⋈ranks plus one hash aggregate on dst; ranks are
+  localCheckpoint'ed per iteration (flat lineage, one materialization
+  each — the cluster analog is a checkpoint dir or Iceberg stage table).
+- triangle_counts: canonical a<b orientation halves the edge set, the
+  (a<b, b<c) wedge join plus one closing equi-join counts each triangle
+  exactly once.  The join is bucketable on the shared key; per-node
+  counts come from one explode + aggregate.  (The classic
+  degree-ordered orientation is a drop-in refinement if a production
+  graph has extreme-degree hubs; id-ordering keeps the SQL twin exact.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """→ (node, out_degree, in_degree, degree).  Counts parallel edges
+    as given (pass a distinct'ed edge table for simple-graph counts).
+
+    One pass: each edge explodes into (src,1) and (dst,0) and a single
+    partial+final aggregate folds both directions — one scan and ONE
+    shuffle, where the textbook out⋈in formulation scans the edge table
+    twice, shuffles twice, and full-outer-joins the halves."""
+    endpoint = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("node"), F.lit(1).cast("bigint").alias("o")),
+            F.struct(F.col(dst).alias("node"), F.lit(0).cast("bigint").alias("o")),
+        )
+    )
+    return (
+        edges.select(endpoint.alias("e"))
+        .select("e.node", "e.o")
+        .groupBy("node")
+        .agg(
+            F.sum("o").alias("out_degree"),
+            (F.count("*") - F.sum("o")).alias("in_degree"),
+            F.count("*").alias("degree"),
+        )
+    )
+
+
+def degree_histogram(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """→ (degree, n_nodes): distribution of total degree."""
+    return degrees(edges, src, dst).groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Symmetric closure (both directions), distinct — the undirected
+    view of a directed edge table."""
+    fwd = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+
+
+def k_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """Minimum-hop BFS from ``seeds`` (a DataFrame with column `node`)
+    following `src → dst`, bounded at ``k`` hops.
+    → (node, hops) with hops = min #edges from any seed (seeds at 0).
+
+    The Cypher analog is `MATCH (s)-[*..k]->(n)` with shortest-path
+    semantics.  Frontier-based: each hop touches only the frontier's
+    out-edges; early-exits when the frontier drains."""
+    visited = seeds.select("node").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
+    frontier = visited
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank, GraphX convention:
+    pr⁰(v) = 1;  prⁱ(v) = (1-d) + d · Σ_{u→v} prⁱ⁻¹(u)/outdeg(u).
+    → (node, pr).  Deterministic for a fixed iteration count (no
+    convergence test → no per-iteration driver action)."""
+    e = edges.select("src", "dst")
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct().localCheckpoint()
+    outd = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    # pre-divide each edge's share so the loop joins against one table
+    shares = e.join(outd, e["src"] == outd["node"]).select("src", "dst", "deg").localCheckpoint()
+    ranks = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (
+            shares.join(ranks, shares["src"] == ranks["node"])
+            .select(F.col("dst"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select("node", (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("s", F.lit(0.0))).alias("pr"))
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over the undirected simple graph
+    of ``edges`` (direction and parallel edges ignored, self-loops
+    dropped).  → (node, triangles)."""
+    und = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))  # wedge a<b<c
+        .join(e3, (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")))
+        .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z"))
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )

@@ -1094,6 +1094,194 @@ def q_multimodal_features(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# graph queries (operators/graphq.py): the read side of the KG — degree
+# stats / bounded-hop expansion over a large bipartite graph derived from
+# lineitem, PageRank + triangle participation over the entity
+# co-occurrence graph (composed on the kg_triples SQL twin)
+# ---------------------------------------------------------------------------
+
+_LINEITEM_GRAPH_CTE = (
+    "lg_e AS (SELECT DISTINCT 'S' || l_suppkey AS src, 'P' || l_partkey AS dst FROM lineitem)"
+)
+
+
+def _lineitem_graph(spark, sf_dir):
+    """supplier→part bipartite graph: S<suppkey> → P<partkey>, distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+
+
+def q_graph_degrees(spark, sf_dir):
+    from docs2kg_spark.operators.graphq import degrees
+
+    return degrees(_lineitem_graph(spark, sf_dir))
+
+
+SQL_GRAPH_DEGREES = f"""
+WITH {_LINEITEM_GRAPH_CTE},
+o AS (SELECT src AS node, count(*) AS od FROM lg_e GROUP BY src),
+i AS (SELECT dst AS node, count(*) AS idg FROM lg_e GROUP BY dst)
+SELECT coalesce(o.node, i.node) AS node,
+       coalesce(od, 0) AS out_degree,
+       coalesce(idg, 0) AS in_degree,
+       coalesce(od, 0) + coalesce(idg, 0) AS degree
+FROM o FULL JOIN i ON o.node = i.node
+"""
+
+
+def q_graph_khop(spark, sf_dir):
+    from docs2kg_spark.operators.graphq import k_hop, undirect
+
+    e = undirect(_lineitem_graph(spark, sf_dir))
+    seeds = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 0)
+        .select(F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node"))
+    )
+    return k_hop(e, seeds, k=3).select("node", F.col("hops").cast("int").alias("hops"))
+
+
+# recursive UNION dedups (node, hops) pairs globally, so the frontier is
+# bounded by 4x|nodes| rows, not by path counts; GROUP BY min gives the
+# same min-hop semantics as the Spark BFS's visited anti-join
+SQL_GRAPH_KHOP = f"""
+WITH RECURSIVE {_LINEITEM_GRAPH_CTE},
+und AS (SELECT src, dst FROM lg_e UNION SELECT dst, src FROM lg_e),
+walk(node, hops) AS (
+  SELECT 'S' || s_suppkey, 0 FROM supplier WHERE s_suppkey % 10 = 0
+  UNION
+  SELECT und.dst, walk.hops + 1 FROM walk JOIN und ON und.src = walk.node WHERE walk.hops < 3
+)
+SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node
+"""
+
+
+def _entity_graph_prefix() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return (
+        f"WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},\n"
+        "eg_e AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples)"
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    from docs2kg_spark.operators.graphq import pagerank, undirect
+
+    t = q_kg_triples(spark, sf_dir)
+    e = undirect(t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    return pagerank(e, iters=5, damping=0.85).select("node", F.round("pr", 6).alias("pr"))
+
+
+def _graph_pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank (GraphX convention, same
+    recurrence as operators/graphq.py::pagerank) over the undirected
+    entity co-occurrence graph.  The (1-d) literal is emitted with repr
+    so both engines parse the exact same double."""
+    ctes = [
+        "und AS (SELECT src, dst FROM eg_e UNION SELECT dst, src FROM eg_e)",
+        "nodes AS (SELECT DISTINCT src AS node FROM und)",
+        "outd AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src)",
+        "pr0 AS (SELECT node, 1.0::DOUBLE AS pr FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+  SELECT n.node, {1.0 - d!r}::DOUBLE + {d!r}::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT und.dst AS node, sum(p.pr / o.deg) AS s
+    FROM und JOIN pr{i - 1} p ON p.node = und.src JOIN outd o ON o.node = und.src
+    GROUP BY und.dst) c ON c.node = n.node)"""
+        )
+    return (
+        _entity_graph_prefix()
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(pr, 6) AS pr FROM pr{iters}"
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    from docs2kg_spark.operators.graphq import triangle_counts
+
+    t = q_kg_triples(spark, sf_dir)
+    return triangle_counts(t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+
+
+def _graph_triangles_sql() -> str:
+    return (
+        _entity_graph_prefix()
+        + """,
+tg_u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM eg_e WHERE src <> dst),
+tg_t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM tg_u e1 JOIN tg_u e2 ON e1.b = e2.a
+  JOIN tg_u e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node, count(*) AS triangles
+FROM (SELECT unnest([x, y, z]) AS node FROM tg_t)
+GROUP BY node
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signals (operators/quality.py — Gopher-rule family)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_repetition(spark, sf_dir):
+    from docs2kg_spark.operators.quality import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+# relational recomputation of the narrow array-fold signals: unnest the
+# words per doc and aggregate — oracle-grade, not the 100 TB shape (the
+# Spark side never leaves the row; see operators/quality.py docstring)
+SQL_DOC_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS words
+  FROM documents
+),
+base AS (SELECT doc_id, text, words, len(words) AS n FROM w),
+uw AS (SELECT doc_id, unnest(words) AS word FROM base),
+topw AS (
+  SELECT doc_id, max(c) AS topc, sum(c * length(word)) AS sl
+  FROM (SELECT doc_id, word, count(*) AS c FROM uw GROUP BY doc_id, word)
+  GROUP BY doc_id
+),
+iw AS (SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS wd FROM base),
+g AS (SELECT a.doc_id, a.wd || ' ' || b.wd AS gram
+      FROM iw a JOIN iw b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+gs AS (SELECT doc_id, count(*) AS ng, count(DISTINCT gram) AS dg FROM g GROUP BY doc_id),
+ln AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+  FROM base
+)
+SELECT b.doc_id,
+       CAST(b.n AS INT) AS n_words,
+       CASE WHEN b.n > 0 THEN ROUND(topw.topc::DOUBLE / b.n, 6) END AS top_word_frac,
+       CASE WHEN gs.ng > 0 THEN ROUND(1.0 - gs.dg::DOUBLE / gs.ng, 6) END AS dup_2gram_frac,
+       CASE WHEN b.n > 0 THEN ROUND(topw.sl::DOUBLE / b.n, 6) END AS mean_word_len,
+       CASE WHEN b.n > 0 THEN
+         ROUND((length(b.text) - length(regexp_replace(b.text, '[#…]', '', 'g')))::DOUBLE / b.n, 6)
+       END AS symbol_word_ratio,
+       CASE WHEN len(ln.lines) > 0 THEN
+         ROUND(len(list_filter(ln.lines, l -> regexp_matches(ltrim(l), '^[-*•]')))::DOUBLE / len(ln.lines), 6)
+       END AS bullet_line_frac
+FROM base b
+LEFT JOIN topw ON topw.doc_id = b.doc_id
+LEFT JOIN gs ON gs.doc_id = b.doc_id
+LEFT JOIN ln ON ln.doc_id = b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1149,6 +1337,13 @@ SPARK_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
+    # graph reads over the materialized KG / derived graphs (SQL-oracled)
+    "graph_degrees": q_graph_degrees,
+    "graph_khop": q_graph_khop,
+    "graph_pagerank": q_graph_pagerank,
+    "graph_triangles": q_graph_triangles,
+    # repetition quality signals (SQL-oracled)
+    "doc_repetition": q_doc_repetition,
 }
 
 ORACLE_SQL = {
@@ -1209,4 +1404,10 @@ ORACLE_SQL = {
     "kg_segments": SQL_KG_SEGMENTS,
     "kg_turn_invariant": SQL_KG_TURN_INVARIANT,
     "kg_conv_metadata_edges": SQL_KG_CONV_META_EDGES,
+    "graph_degrees": SQL_GRAPH_DEGREES,
+    "graph_khop": SQL_GRAPH_KHOP,
+    # entity-graph reads composed on the kg_triples CTE chain
+    "graph_pagerank": _graph_pagerank_sql(),
+    "graph_triangles": _graph_triangles_sql(),
+    "doc_repetition": SQL_DOC_REPETITION,
 }

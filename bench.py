@@ -83,15 +83,17 @@ def run_kg_pipeline(spark, sf: str) -> dict:
     tdf = spark.read.parquet(input_dir)
     n_turns = tdf.count()
 
-    # warmup: a tiny full-pipeline pass forks+imports the Python UDF
-    # workers and compiles the whole-stage-codegen for every stage, so the
-    # measured window below is steady-state throughput — matching the
-    # long-lived-executor regime the north_rule's N-vs-4N criterion is
-    # about, not JVM/CPython cold-start.
-    # 8 convs per core so hash-partitioning leaves no worker unforked
+    # warmup: a full-pipeline pass forks+imports the Python UDF workers,
+    # compiles the whole-stage-codegen for every stage, AND pre-faults the
+    # memory working set (this VM's first-touch/unmap path is expensive —
+    # see session.py), so the measured window below is steady-state
+    # throughput — matching the long-lived-executor regime the
+    # north_rule's N-vs-4N criterion is about, not JVM/CPython cold-start.
+    # Sized at a quarter of the measured input (floor: 8 convs per core so
+    # hash-partitioning leaves no worker unforked).
     warm_dir = _bench_tmpdir()
     transcripts_spark(
-        spark, n_convs=8 * max(int(CPUS), 8), mean_turns=10, seed=11
+        spark, n_convs=max(8 * max(int(CPUS), 8), n_convs // 4), mean_turns=10, seed=11
     ).write.mode("overwrite").parquet(warm_dir)
     warm_work = _bench_tmpdir()
     run_pipeline(spark, spark.read.parquet(warm_dir), warm_work, resume=False)
@@ -350,7 +352,9 @@ def scaling_main() -> None:
     sf = _sf_of(SF_DIR)
 
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # BENCH/BASELINE.md is hand-curated (two spans + environment notes);
+    # each experiment writes its own span file for manual merging
+    with open(f"BENCH/span_{lo}_{hi}.md", "w") as f:
         f.write(
             "# BENCH baseline — KG pipeline throughput & scaling evidence\n\n"
             "End-to-end pipeline (extract → link → canonicalize → materialize,\n"

@@ -38,6 +38,26 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         shuffle_partitions = int(cpus) if cpus and cpus.isdigit() else 32
 
+    # --- virtualized-host hygiene -------------------------------------
+    # This sandbox runs in a VM where memory unmap/remap traffic is
+    # disproportionately expensive (TLB-shootdown IPIs hit every vCPU;
+    # measured: 40-60% system time, low context switches, random stages
+    # stalling 30-45s at local[32] while raw CPU scales 26x).  Three
+    # mitigations, all no-ops or standard practice on a real cluster:
+    # 1. shuffle/spill local dirs on tmpfs when available (a cluster
+    #    provisions fast executor-local disks; the shared virtio boot
+    #    disk here is NOT that) — override with SPARK_GRAFT_LOCAL_DIR;
+    # 2. fixed pre-touched driver heap (-Xms=-Xmx -XX:+AlwaysPreTouch):
+    #    G1's periodic heap uncommit/recommit was the main unmap source;
+    # 3. glibc malloc tuned so Python UDF workers stop munmap'ing large
+    #    pandas/Arrow buffers back on every free (workers inherit env).
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark_local"  # per-app spark-<uuid> subdirs
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -50,7 +70,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # deterministic float/ts behavior for oracle comparison
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{driver_mem} -XX:+AlwaysPreTouch "
+            + os.environ.get("SPARK_GRAFT_EXTRA_JAVA", ""),
+        )
         # dump the Python worker's stack on crash/hang signals — a reused
         # UDF worker was once observed desynced from its executor (JVM
         # blocked on read, worker blocked on recv); this makes the next
@@ -58,6 +83,8 @@ def get_spark(
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

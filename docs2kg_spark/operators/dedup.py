@@ -356,3 +356,58 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"), F.col("cos"))
     )
+
+
+# --------------------------------------------------------------------------
+# near-dup clusters → canonical survivor (the "keep one per cluster" end
+# of the dedup story: pairs are evidence, the kept set is the product)
+# --------------------------------------------------------------------------
+
+def doc_dedup_map(
+    documents: DataFrame,
+    spark=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """→ (doc_id, canonical_id) [strings]: connected components over the
+    verified MinHash near-dup pairs, min-id survivor per cluster;
+    singletons map to themselves.  Mirrors the entity canonicalization
+    (reference merge semantics, neo4j_loader.py:153-217) applied to
+    whole documents — the transitive-closure step exact-pair dedup
+    cannot do (A≈B, B≈C ⇒ one survivor for {A,B,C} even if A,C were
+    never a candidate pair).
+
+    Scale shape: pairs come from the banded LSH join (never all-pairs);
+    the CC fixpoint is the linker's hybrid (driver union-find under
+    cc_driver_max_edges, else the distributed min-label loop with
+    per-round localCheckpoint).  Ids are compared AS STRINGS on both
+    engines so the min-survivor choice is engine-independent."""
+    from docs2kg_spark.operators.linking import connected_components
+
+    cfg = cfg or PipelineConfig(shingle_k=5, jaccard_threshold=0.7, lsh_bands=8)
+    pairs = minhash_near_dup_pairs(documents, id_col=id_col, text_col=text_col, cfg=cfg)
+    nodes = documents.select(F.col(id_col).cast("string").alias("node_id"))
+    edges = pairs.select(
+        F.col("a").cast("string").alias("a"), F.col("b").cast("string").alias("b")
+    )
+    cmap = connected_components(nodes, edges, cfg)
+    return cmap.select(F.col("node_id").alias("doc_id"), "canonical_id")
+
+
+def doc_dedup_keep(
+    documents: DataFrame,
+    spark=None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """documents with near-dup clusters collapsed to their canonical
+    survivor — the deduplicated corpus itself."""
+    cmap = doc_dedup_map(documents, spark, id_col, text_col, cfg)
+    keep = cmap.filter(F.col("doc_id") == F.col("canonical_id")).select(
+        F.col("doc_id").alias("_keep_id")
+    )
+    return documents.join(
+        keep, on=F.col(id_col).cast("string") == F.col("_keep_id"), how="left_semi"
+    )

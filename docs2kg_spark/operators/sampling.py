@@ -1,0 +1,97 @@
+"""Deterministic splits and stratified sampling for training-data
+curation.
+
+A 100 TB corpus needs reproducible train/val/test assignment and
+per-class downsampling that (a) never shuffles, (b) is stable across
+runs and engines, and (c) keys on content ids, not row positions
+(`df.sample` / `randomSplit` are seed- AND partitioning-dependent —
+a repartition reshuffles the sample, which is exactly what a resumable
+pipeline cannot have).
+
+Mechanism: bucket = the first 4 hex chars of md5(id || '|' || salt) —
+a uniform 16-bit value represented as a FIXED-WIDTH lowercase hex
+string, so lexicographic comparison equals numeric comparison and the
+DuckDB twin can evaluate the identical predicate (md5 is md5 in both
+engines; Spark's xxhash64 has no DuckDB counterpart).  Assignment is a
+narrow when-chain over that bucket: zero shuffle, whole-stage codegen,
+reassignment-free under any repartitioning.  16 bits ⇒ fraction
+granularity 1/65536 (ample for split ratios; not for ppm-level
+sampling — widen to 8 hex chars if ever needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(id_col: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(id_col.cast("string"), F.lit("|" + salt))), 1, 4)
+
+
+def _hex_threshold(cum_fraction: float) -> str:
+    return format(min(int(cum_fraction * 65536), 65536), "04x") if cum_fraction < 1.0 else "ffffg"
+    # "ffffg" sorts after every 4-char hex string → the final split
+    # captures all remaining buckets even at cum == 1.0 exactly
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a `split` column assigning each row to a named split with the
+    given weights (default 90/5/5 train/val/test), deterministically by
+    content id.  Rows with equal ids always land in the same split."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    b = _bucket(F.col(id_col), salt)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = b < F.lit(_hex_threshold(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    label_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    id_col: str | None = None,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Keep a deterministic per-label fraction of rows (downsampling hot
+    classes is the standard rebalancing move in corpus curation).
+    Labels absent from ``fractions`` keep ``default_fraction``."""
+    key = F.col(id_col) if id_col else F.col(label_col)
+    b = _bucket(key, salt)
+    if not fractions:
+        return df.filter(b < F.lit(_hex_threshold(default_fraction)))
+    keep = None
+    for label, frac in fractions.items():
+        cond = (F.col(label_col) == label) & (b < F.lit(_hex_threshold(frac)))
+        keep = cond if keep is None else keep | cond
+    other = ~F.col(label_col).isin(*fractions) & (b < F.lit(_hex_threshold(default_fraction)))
+    keep = keep | other
+    return df.filter(keep)
+
+
+def split_sql(table: str, id_col: str, weights: dict[str, float] | None = None, salt: str = "split-v1") -> str:
+    """DuckDB twin of hash_split — the same md5 hex-bucket predicate."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = f"substr(md5(CAST({id_col} AS VARCHAR) || '|{salt}'), 1, 4)"
+    cases = []
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cases.append(f"WHEN {bucket} < '{_hex_threshold(cum)}' THEN '{name}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+    return f"SELECT {id_col}, {case} AS split FROM {table}"

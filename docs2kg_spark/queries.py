@@ -1282,6 +1282,57 @@ LEFT JOIN ln ON ln.doc_id = b.doc_id
 
 
 # ---------------------------------------------------------------------------
+# deterministic split / stratified sampling (operators/sampling.py)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_dedup_map(spark, sf_dir):
+    """near-dup clusters → min-id survivor map over documents (the
+    transitive-closure completion of the pairwise near-dup queries)."""
+    from docs2kg_spark.operators.dedup import doc_dedup_map
+
+    return doc_dedup_map(_t(spark, sf_dir, "documents"), spark)
+
+
+def _doc_dedup_map_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import doc_dedup_map_sql
+
+    return doc_dedup_map_sql()
+
+
+def q_doc_split(spark, sf_dir):
+    from docs2kg_spark.operators.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id").select("doc_id", "split")
+
+
+def _doc_split_sql() -> str:
+    from docs2kg_spark.operators.sampling import split_sql
+
+    return split_sql("documents", "doc_id")
+
+
+def q_doc_stratified(spark, sf_dir):
+    from docs2kg_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    # downsample the over-represented languages, keep the rest whole
+    return stratified_sample(
+        d, "lang", {"en": 0.25, "de": 0.5}, default_fraction=1.0, id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+SQL_DOC_STRATIFIED = """
+SELECT doc_id, lang FROM documents
+WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR) || '|sample-v1'), 1, 4) < '4000')
+   OR (lang = 'de' AND substr(md5(CAST(doc_id AS VARCHAR) || '|sample-v1'), 1, 4) < '8000')
+   OR (lang NOT IN ('en', 'de')
+       AND substr(md5(CAST(doc_id AS VARCHAR) || '|sample-v1'), 1, 4) < 'ffffg')
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1344,6 +1395,11 @@ SPARK_QUERIES = {
     "graph_triangles": q_graph_triangles,
     # repetition quality signals (SQL-oracled)
     "doc_repetition": q_doc_repetition,
+    # deterministic split / stratified sampling (SQL-oracled)
+    "doc_split": q_doc_split,
+    "doc_stratified": q_doc_stratified,
+    # near-dup clusters → canonical survivor (SQL-oracled)
+    "doc_dedup_map": q_doc_dedup_map,
 }
 
 ORACLE_SQL = {
@@ -1410,4 +1466,7 @@ ORACLE_SQL = {
     "graph_pagerank": _graph_pagerank_sql(),
     "graph_triangles": _graph_triangles_sql(),
     "doc_repetition": SQL_DOC_REPETITION,
+    "doc_split": _doc_split_sql(),
+    "doc_stratified": SQL_DOC_STRATIFIED,
+    "doc_dedup_map": _doc_dedup_map_sql(),
 }

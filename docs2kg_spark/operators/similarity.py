@@ -178,3 +178,105 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def kmeans_refine(
+    embeddings: DataFrame,
+    spark=None,
+    n_centroids: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Lloyd (k-means) refinement of the IVF seed centroids — the
+    periodic retraining job ivf_topk's docstring defers to.
+    → (cid, dim, val, n): per-centroid coordinates after ``iters``
+    assignment/update rounds, plus member counts.
+
+    Scale shape per iteration: assignment is the same NARROW per-row
+    argmin over centroid literals ivf_topk uses (no join, no shuffle,
+    whole-stage codegen), the update is ONE hash aggregate computing all
+    `dim` per-cluster means in a single pass (no explode — dim is a
+    schema constant), and only the k×dim centroid matrix ever reaches
+    the driver (model parameters, as in any k-means).
+
+    Cross-engine determinism: squared-L2 terms are folded left-to-right
+    (F.aggregate ≡ SQL left-assoc `+`), ties broken on centroid id, and
+    centroids are ROUNDED to ``round_dp`` between iterations so both
+    engines assign against the identical matrix.  Clusters that lose
+    all members drop out (identically in the SQL twin)."""
+    if iters < 1:
+        raise ValueError("kmeans_refine needs iters >= 1 (member counts come from the last assignment)")
+    src = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seed_rows = src.orderBy("id").limit(n_centroids).collect()
+    cents = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+    dim = len(cents[0][1])
+    counts: dict[int, int] = {}
+    for _ in range(iters):
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "v",
+                            F.array(*[F.lit(x) for x in cv]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        assigned = src.withColumn("cid", F.sort_array(dists)[0]["cid"])
+        aggs = [F.count("*").alias("n")] + [
+            F.round(F.avg(F.col("v")[k]), round_dp).alias(f"c{k}") for k in range(dim)
+        ]
+        rows = assigned.groupBy("cid").agg(*aggs).collect()
+        cents = sorted((int(r["cid"]), [float(r[f"c{k}"]) for k in range(dim)]) for r in rows)
+        counts = {int(r["cid"]): int(r["n"]) for r in rows}
+    out = [(cid, k, cv[k], counts[cid]) for cid, cv in cents for k in range(dim)]
+    sess = spark or embeddings.sparkSession
+    return sess.createDataFrame(out, "cid int, dim int, val double, n bigint")
+
+
+def kmeans_refine_sql(
+    n_centroids: int = 16, iters: int = 2, dim: int = 64, round_dp: int = 6
+) -> str:
+    """DuckDB twin of kmeans_refine: identical seed selection, unrolled
+    assignment/update CTEs per iteration (squared-L2 terms added in the
+    same left-assoc order as the Spark fold), centroids rounded between
+    iterations, min-(dist,cid) tie-break via ROW_NUMBER."""
+    dist = " + ".join(
+        f"(e.v[{k + 1}] - c.v[{k + 1}]) * (e.v[{k + 1}] - c.v[{k + 1}])" for k in range(dim)
+    )
+    avg_vec = ", ".join(f"ROUND(avg(v[{k + 1}]), {round_dp})" for k in range(dim))
+    ctes = [
+        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cid, v"
+        f" FROM (SELECT id, v FROM e ORDER BY id LIMIT {n_centroids}))",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT id, v, cid FROM (
+    SELECT e.id, e.v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY {dist} ASC, c.cid ASC) AS r
+    FROM e CROSS JOIN c{i - 1} c) WHERE r = 1)"""
+        )
+        ctes.append(
+            f"c{i} AS (SELECT cid, count(*) AS n, [{avg_vec}] AS v FROM a{i} GROUP BY cid)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(cid AS INT) AS cid, CAST(k - 1 AS INT) AS dim, v[k] AS val, n
+FROM c{iters}, unnest(generate_series(1, {dim})) AS t(k)
+"""
+    )

@@ -1286,6 +1286,20 @@ LEFT JOIN ln ON ln.doc_id = b.doc_id
 # ---------------------------------------------------------------------------
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """2-iteration Lloyd refinement of the IVF seed centroids
+    (similarity.kmeans_refine) — iterative ML training as DataFrame ops."""
+    from docs2kg_spark.operators.similarity import kmeans_refine
+
+    return kmeans_refine(_t(spark, sf_dir, "embeddings"), spark)
+
+
+def _kmeans_sql() -> str:
+    from docs2kg_spark.operators.similarity import kmeans_refine_sql
+
+    return kmeans_refine_sql()
+
+
 def q_doc_dedup_map(spark, sf_dir):
     """near-dup clusters → min-id survivor map over documents (the
     transitive-closure completion of the pairwise near-dup queries)."""
@@ -1400,6 +1414,8 @@ SPARK_QUERIES = {
     "doc_stratified": q_doc_stratified,
     # near-dup clusters → canonical survivor (SQL-oracled)
     "doc_dedup_map": q_doc_dedup_map,
+    # iterative k-means refinement of IVF centroids (SQL-oracled)
+    "kmeans_centroids": q_kmeans_centroids,
 }
 
 ORACLE_SQL = {
@@ -1469,4 +1485,5 @@ ORACLE_SQL = {
     "doc_split": _doc_split_sql(),
     "doc_stratified": SQL_DOC_STRATIFIED,
     "doc_dedup_map": _doc_dedup_map_sql(),
+    "kmeans_centroids": _kmeans_sql(),
 }

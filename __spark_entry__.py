@@ -1,11 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 entry()       — flagship end-to-end KG query on sf0.001.
-queries()     — one callable per implemented operator (SURVEY.md §2),
-                defined in docs2kg_spark/queries.py.
-oracle_sql()  — DuckDB twins for every SQL-expressible query; UDF-based
-                KG/dedup stages are rows-only here and deeply verified
-                in tests/ against the reference-faithful Python oracle.
+queries()     — one callable per implemented operator (SURVEY.md §2 plus
+                the training-data / graph-read additions), defined in
+                docs2kg_spark/queries.py.
+oracle_sql()  — a DuckDB twin for EVERY query (55/55): the UDF-backed
+                stages use mechanically-generated SQL built from the
+                same seeded constants (docs2kg_spark/oracle/sql_twins.py),
+                and are additionally verified in tests/ against the
+                reference-faithful Python oracle.
 """
 
 from __future__ import annotations

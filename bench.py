@@ -158,6 +158,14 @@ HEADLINE = [
     "kg_segments",
     "kg_mentions",
     "kg_triples",
+    # round-2 additions: graph reads, repetition signals, cluster dedup,
+    # deterministic split, iterative k-means
+    "graph_degrees",
+    "graph_khop",
+    "doc_repetition",
+    "doc_split",
+    "doc_dedup_map",
+    "kmeans_centroids",
 ]
 
 

@@ -134,6 +134,16 @@ class PipelineConfig:
     # Above it, the DataFrame-join min-label loop runs (the 10^12-turn
     # path; force it everywhere with cc_driver_max_edges=0).
     cc_driver_max_edges: int = 200_000
+    # When the distinct (text,label) surface vocabulary fits under this
+    # bound, the WHOLE linking stage (MinHash -> LSH banding -> block cap
+    # -> Jaccard verify -> CC) runs on the driver from one collect: the
+    # closed-gazetteer regime has a vocabulary orders of magnitude smaller
+    # than the mention table, and the distributed path's ~8 tiny Spark
+    # jobs are pure Amdahl serial time there (for a 1000-executor cluster
+    # as for the N-vs-4N bench).  Semantics are bit-identical to the
+    # distributed path (parity-tested); open-vocabulary extraction blows
+    # past the bound and takes the distributed path.  0 disables.
+    linking_driver_max_nodes: int = 20_000
     # per-project layout containment schema as ((parent, (children...)), ...);
     # None = operators.graph.LAYOUT_SCHEMA.  The config analog of the
     # reference's per-project schema.json (layout_kg.py:127-147).

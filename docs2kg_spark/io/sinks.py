@@ -44,6 +44,61 @@ class TableStore:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(name))
 
+    def partition_counts(self, name: str) -> list[tuple[int, int]]:
+        """Per-write-partition row counts from parquet file footers —
+        driver-side metadata only (no Spark job, no data rescan).  The
+        file index in the part-NNNNN name IS the write partition id.
+        On Iceberg this comes from manifest-file stats through the same
+        interface; either way stage metrics cost O(files) driver reads
+        instead of a full table re-scan per stage."""
+        import pyarrow.parquet as pq
+
+        p = self.path(name)
+        out = []
+        for f in sorted(os.listdir(p)):
+            if not f.endswith(".parquet"):
+                continue
+            try:
+                idx = int(f.split("-")[1])
+            except (IndexError, ValueError):
+                idx = len(out)
+            out.append((idx, pq.ParquetFile(os.path.join(p, f)).metadata.num_rows))
+        return out
+
+    def write_rows(self, rows: list[tuple], schema: str, name: str) -> str:
+        """Driver-side write of a small table (metrics, markers-adjacent
+        metadata).  For the parquet backend this is a direct pyarrow write
+        — zero Spark jobs; an Iceberg backend would route through its
+        commit API instead.  `schema` is the usual DDL string."""
+        if self.fmt != "parquet":
+            df = self.spark.createDataFrame(rows, schema)
+            return self.write(df, name)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        fields = []
+        for col in schema.split(","):
+            cname, ctype = col.strip().rsplit(" ", 1)
+            fields.append(pa.field(cname, _PA[ctype]))
+        table = pa.table(
+            [pa.array([r[i] for r in rows], type=f.type) for i, f in enumerate(fields)],
+            schema=pa.schema(fields),
+        )
+        p = self.path(name)
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+        pq.write_table(table, os.path.join(p, "part-00000.parquet"))
+        with open(os.path.join(p, "_SUCCESS"), "w"):
+            pass
+        return p
+
     def exists(self, name: str) -> bool:
         p = self.path(name)
         return os.path.isdir(p) and (

@@ -273,12 +273,97 @@ def connected_components(nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig
     )
 
 
+_BLOCK_STATS_SCHEMA = "n_blocks bigint, n_capped_blocks bigint, max_block_size bigint"
+
+
+def _canonical_driver_side(rows: list, cfg: PipelineConfig) -> tuple[list, tuple]:
+    """The whole LSH+verify+CC chain over an already-collected surface
+    vocabulary — semantically identical to candidate_pairs →
+    verified_edges → connected_components (parity-tested in
+    tests/test_linking.py), in zero Spark jobs.  numpy signature math is
+    shared with the distributed UDF (same _perm_params/_shingle_hashes),
+    banding groups on the raw (band, label, sig-rows) tuple the
+    distributed path sha2-hashes, and the union-find is min-id exactly
+    like _cc_driver_side."""
+    a_params, b_params = _perm_params(cfg.minhash_perms)
+    rows_per_band = cfg.minhash_perms // cfg.lsh_bands
+    k = cfg.shingle_k
+
+    blocks: dict[tuple, list] = {}
+    for r in rows:
+        hv = _shingle_hashes(r["text"] or "", k)
+        sig = (a_params[:, None] * hv[None, :] + b_params[:, None]).min(axis=1)
+        for i in range(cfg.lsh_bands):
+            key = (i, r["label"], tuple(int(x) for x in sig[i * rows_per_band : (i + 1) * rows_per_band]))
+            blocks.setdefault(key, []).append(r)
+    if blocks:
+        sizes = [len(v) for v in blocks.values()]
+        stats = (len(blocks), sum(1 for s in sizes if s > cfg.max_block_size), max(sizes))
+    else:
+        stats = (0, None, None)
+
+    def _shingles(s: str) -> set:
+        s = (s or "").lower()
+        if len(s) <= k:
+            return {s}
+        return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+    pairs: dict[tuple[str, str], tuple[str, str]] = {}
+    for members in blocks.values():
+        if len(members) > cfg.max_block_size:
+            continue
+        ms = sorted(members, key=lambda r: r["node_id"])
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                pairs[(ms[i]["node_id"], ms[j]["node_id"])] = (ms[i]["text"], ms[j]["text"])
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for (a, b), (ta, tb) in pairs.items():
+        sa, sb = _shingles(ta), _shingles(tb)
+        union = len(sa | sb)
+        sim = len(sa & sb) / union if union else 1.0
+        if sim >= cfg.jaccard_threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+
+    out = [
+        (r["node_id"], r["text"], r["label"], find(r["node_id"]))
+        for r in sorted(rows, key=lambda r: r["node_id"])
+    ]
+    return out, stats
+
+
 def build_canonical_map(
     mentions: DataFrame, spark: SparkSession, cfg: PipelineConfig | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """mentions → (canonical_map(node_id, text, label, canonical_id),
     block_stats)."""
     cfg = cfg or PipelineConfig()
+    cap = cfg.linking_driver_max_nodes
+    if cap > 0:
+        # one bounded collect probes the vocabulary size AND fetches it:
+        # ≤ cap surfaces means the entire linking stage resolves driver-side
+        # (closed-gazetteer regime); cap+1 rows means fall through to the
+        # distributed path having spent one cheap limit-scan
+        probe = [r.asDict() for r in entity_nodes(mentions).limit(cap + 1).collect()]
+        if len(probe) <= cap:
+            out, stats = _canonical_driver_side(probe, cfg)
+            cmap = spark.createDataFrame(
+                out, "node_id string, text string, label string, canonical_id string"
+            )
+            block_stats = spark.createDataFrame([stats], _BLOCK_STATS_SCHEMA)
+            return cmap, block_stats
     # the distinct-over-mentions shuffle is the expensive part at scale —
     # materialize it ONCE (localCheckpoint) instead of recomputing it for
     # banding, the CC seed, and the final join

@@ -26,7 +26,7 @@ from __future__ import annotations
 import time
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from docs2kg_spark.config import PipelineConfig
@@ -76,8 +76,13 @@ def split_quarantine(transcripts: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def partition_metrics(df: DataFrame, stage: str) -> DataFrame:
-    """Per-partition row counts (SURVEY §2.4 'stage metrics'): the
-    lineage/metrics rollup north_rule requires per stage."""
+    """Per-partition row counts (SURVEY §2.4 'stage metrics') computed at
+    runtime — the generic form for any DataFrame.  The pipeline itself
+    sources the same numbers from parquet footers after each stage write
+    (TableStore.partition_counts): O(files) driver-side metadata reads
+    instead of one full re-scan Spark job per stage, which at 1000
+    executors would serialize a scan of every stage output through the
+    metrics path."""
     return (
         df.groupBy(F.spark_partition_id().alias("partition_id"))
         .agg(F.count("*").alias("rows"))
@@ -113,12 +118,6 @@ def run_pipeline(
         side_futures.append(side.submit(fn, *args))
 
     meta_future = None
-    metric_parts: list[str] = []
-
-    def emit_metrics(df: DataFrame, name: str) -> None:
-        part = f"metrics_parts/{name}"
-        metric_parts.append(part)
-        submit_side(lambda: store.write(partition_metrics(df, name), part))
 
     def run_stage(name: str, build, partition_by: list[str] | None = None) -> DataFrame:
         """Build + persist one stage unless its checkpoint is current."""
@@ -130,9 +129,7 @@ def run_pipeline(
         store.write(df, name, partition_by)
         store.write_marker(name, fp)
         stage_times[name] = time.monotonic() - t0
-        out = store.read(name)
-        emit_metrics(out, name)
-        return out
+        return store.read(name)
 
     # Any critical-path failure must still join the background
     # quarantine/metrics/metadata writes: otherwise those threads keep
@@ -142,8 +139,23 @@ def run_pipeline(
     # below (their errors propagate there); this except only runs on
     # the failure path and must not mask the original error.
     try:
-        good, quarantined = split_quarantine(transcripts)
-        submit_side(lambda: store.write(quarantined, "quarantine"))
+        # Quarantine detection rides the segments pass as an Observation
+        # (zero extra scan): the common case — a clean input — costs
+        # nothing, and only when bad rows are OBSERVED does a side job
+        # scan the input again to materialize them with reasons.  The
+        # old always-on side write re-scanned the full input every run.
+        normalized = normalize_input(transcripts)
+        bad_cond = F.col("conv_id").isNull() | F.col("turn_idx").isNull()
+        seg_fresh = not (resume and store.stage_complete("segments", fp) and store.exists("segments"))
+        q_obs = Observation("quarantine_probe") if seg_fresh else None
+        src = normalized.observe(q_obs, F.sum(bad_cond.cast("long")).alias("n_bad")) if q_obs else normalized
+        good = src.filter(~bad_cond)
+        quarantined = normalized.filter(bad_cond).withColumn(
+            "quarantine_reason", F.lit("null conv_id or turn_idx")
+        )
+        quarantine_ddl = ", ".join(
+            f"{c} {t}" for c, t in INPUT_SCHEMA.items() if c in normalized.columns
+        ) + ", quarantine_reason string"
 
         if cfg.segment_bucket_turns > 0:
             from docs2kg_spark.operators.segments import segment_transcripts_bucketed
@@ -153,6 +165,16 @@ def run_pipeline(
             )
         else:
             segments = run_stage("segments", lambda: segment_transcripts(good))
+
+        if q_obs is not None:
+            # segments just materialized → the observation is bound
+            if int(q_obs.get["n_bad"] or 0) > 0:
+                submit_side(lambda: store.write(quarantined, "quarantine"))
+            else:
+                store.write_rows([], quarantine_ddl, "quarantine")
+        elif not store.exists("quarantine"):
+            # segments resumed but quarantine missing (partial workdir)
+            submit_side(lambda: store.write(quarantined, "quarantine"))
 
         # metadata KG depends only on the raw turns — overlap it with the
         # whole extraction/linking critical path
@@ -243,8 +265,6 @@ def run_pipeline(
             stage_times["mentions"] = time.monotonic() - t0
             mentions = store.read("mentions")
             triples = store.read("triples")
-            emit_metrics(mentions, "mentions")
-            emit_metrics(triples, "triples")
 
         # ontology round-trip (reference: semantic_kg/base.py:60-82): merge
         # newly discovered mention types into the persisted ontology so an
@@ -256,8 +276,14 @@ def run_pipeline(
 
         def _canonical():
             cmap, block_stats = build_canonical_map(mentions, spark, cfg)
-            stats = block_stats.collect()[0].asDict()
-            store.write_marker("canonical_block_stats", fp, extra=stats)
+            # the stats collect is lineage bookkeeping, not a canonical_map
+            # dependency — run it off the critical path (for the small-vocab
+            # driver fast path it is a local relation, not even a job)
+            submit_side(
+                lambda: store.write_marker(
+                    "canonical_block_stats", fp, extra=block_stats.collect()[0].asDict()
+                )
+            )
             return cmap
 
         canonical_map = run_stage("canonical_map", _canonical)
@@ -285,28 +311,39 @@ def run_pipeline(
             stage_times["kg_nodes"] = time.monotonic() - t0
         kg_nodes = store.read("kg_nodes")
         kg_edges = store.read("kg_edges")
-        emit_metrics(kg_nodes, "kg_nodes")
 
         if meta_future is not None:
             meta_future.result()
         metadata_nodes = store.read("metadata_nodes")
         metadata_edges = store.read("metadata_edges")
 
-        # drain side jobs (quarantine, per-stage partition metrics), then
-        # assemble the combined metrics table: per-stage parts were computed
-        # concurrently with the critical path, so this union only re-reads the
-        # tiny metric parquets, not the stage outputs
+        # drain side jobs (quarantine, ontology, block stats), then assemble
+        # the combined metrics table driver-side: per-partition rows come
+        # from the parquet footers of each stage table (no re-scan jobs),
+        # wall times from the stage_times dict — the whole metrics table is
+        # a driver-side metadata write, zero Spark jobs
         for f in side_futures:
             f.result()
         side.shutdown(wait=True)
-        times_df = spark.createDataFrame(
-            [(-1, int(v * 1000), k) for k, v in stage_times.items()],
-            "partition_id int, rows bigint, stage string",
-        ).withColumn("stage", F.concat(F.col("stage"), F.lit("__wall_ms")))
-        all_metrics = times_df
-        for part in metric_parts:
-            all_metrics = all_metrics.unionByName(store.read(part))
-        store.write(all_metrics, "metrics")
+        metric_rows: list[tuple] = [
+            (-1, int(v * 1000), f"{k}__wall_ms") for k, v in stage_times.items()
+        ]
+        for name in (
+            "segments",
+            "mentions",
+            "triples",
+            "canonical_map",
+            "kg_nodes",
+            "kg_edges",
+            "metadata_nodes",
+            "metadata_edges",
+            "quarantine",
+        ):
+            if store.exists(name):
+                metric_rows.extend(
+                    (pid, rows, name) for pid, rows in store.partition_counts(name)
+                )
+        store.write_rows(metric_rows, "partition_id int, rows bigint, stage string", "metrics")
 
         return {
             "fingerprint": fp,

@@ -55,6 +55,59 @@ def test_cc_edge_permutation_invariance(spark):
     assert _cc(spark, list("abcd"), e1) == _cc(spark, list("abcd"), e2)
 
 
+def test_driver_fast_path_parity(spark, transcripts_df):
+    """The small-vocab driver fast path must be bit-identical to the
+    distributed LSH+verify+CC chain: same canonical_map rows, same
+    block stats (linking_driver_max_nodes=0 forces distributed)."""
+    segs = segment_transcripts(transcripts_df)
+    m = extract_mentions(segs, spark)
+    fast_map, fast_stats = build_canonical_map(m, spark, PipelineConfig())
+    dist_map, dist_stats = build_canonical_map(
+        m, spark, PipelineConfig(linking_driver_max_nodes=0)
+    )
+    fast = {tuple(r) for r in fast_map.collect()}
+    dist = {tuple(r) for r in dist_map.collect()}
+    assert fast == dist and len(fast) > 0
+    assert fast_stats.collect()[0].asDict() == dist_stats.collect()[0].asDict()
+
+
+def test_driver_fast_path_parity_near_dups(spark):
+    """Parity on a crafted vocabulary with real near-duplicates, a capped
+    block, and multi-node chains."""
+    surfaces = (
+        [("Acme Corporation", "Organization"), ("Acme Corporatio", "Organization"),
+         ("Acme Corp oration", "Organization"), ("acme corporation", "Organization"),
+         ("Globex Inc", "Organization"), ("Globex Incorporated", "Organization"),
+         ("Paris", "Location"), ("Pariss", "Location"),
+         ("unrelated thing", "Product")]
+        + [(f"aaaaaa{i:03d}", "Organization") for i in range(40)]
+    )
+    rows = [(t, lbl, "c") for t, lbl in surfaces]
+    m = spark.createDataFrame(rows, "text string, label string, conv_id string")
+    cfg_fast = PipelineConfig(max_block_size=10, jaccard_threshold=0.3)
+    cfg_dist = PipelineConfig(
+        max_block_size=10, jaccard_threshold=0.3, linking_driver_max_nodes=0
+    )
+    fast_map, fast_stats = build_canonical_map(m, spark, cfg_fast)
+    dist_map, dist_stats = build_canonical_map(m, spark, cfg_dist)
+    fast = {tuple(r) for r in fast_map.collect()}
+    dist = {tuple(r) for r in dist_map.collect()}
+    assert fast == dist
+    # near-dups actually linked (not a vacuous pass): some node maps to a
+    # canonical id other than itself
+    assert any(r[0] != r[3] for r in fast)
+    assert fast_stats.collect()[0].asDict() == dist_stats.collect()[0].asDict()
+    assert fast_stats.collect()[0].n_capped_blocks > 0
+
+
+def test_driver_fast_path_empty(spark):
+    m = spark.createDataFrame([], "text string, label string, conv_id string")
+    cmap, stats = build_canonical_map(m, spark, PipelineConfig())
+    assert cmap.count() == 0
+    s = stats.collect()[0]
+    assert s.n_blocks == 0
+
+
 def test_block_cap_is_counted_not_silent(spark):
     """degenerate blocks (identical texts → identical signatures) get
     capped and the stats report it."""

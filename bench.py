@@ -308,6 +308,23 @@ def scaling_main() -> None:
     # experiment alive instead of wedging it.
     run_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "1500"))
 
+    # The box is multi-tenant; a run that starts under external load is
+    # wasted wall-clock AND a wasted sample.  Gate each run on the 1-min
+    # loadavg dropping below a threshold (bounded wait — after the timeout
+    # the run proceeds and the recorded load tells the reader the sample
+    # was taken under contention).
+    idle_load = float(os.environ.get("SPARK_GRAFT_SCALING_IDLE_LOAD", "1.5"))
+    idle_wait = int(os.environ.get("SPARK_GRAFT_SCALING_IDLE_WAIT", "600"))
+
+    def _wait_for_idle() -> float:
+        deadline = time.monotonic() + idle_wait
+        while True:
+            with open("/proc/loadavg") as f:
+                load = float(f.read().split()[0])
+            if load < idle_load or time.monotonic() > deadline:
+                return load
+            time.sleep(15)
+
     def one_run(cpus: str) -> dict | None:
         env = dict(
             os.environ,
@@ -317,6 +334,7 @@ def scaling_main() -> None:
         )
         for attempt in (1, 2):
             try:
+                load = _wait_for_idle()
                 out = subprocess.run(
                     pin([sys.executable, __file__, "--pipeline-only"], cpus),
                     env=env,
@@ -326,7 +344,9 @@ def scaling_main() -> None:
                     timeout=run_timeout,
                 )
                 line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-                return json.loads(line)
+                r = json.loads(line)
+                r["load_at_start"] = load
+                return r
             except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as exc:
                 print(f"run at local[{cpus}] attempt {attempt} failed: {type(exc).__name__}", file=sys.stderr)
                 subprocess.run(["pkill", "-9", "-f", "pyspark.daemon"], check=False)
@@ -390,6 +410,10 @@ def scaling_main() -> None:
             f"{m_lo['secs']} | {m_lo['triples_per_sec']} | {[r['secs'] for r in runs_lo]} |\n"
             f"| local[{hi}] | {b_hi['secs']} | {b_hi['triples_per_sec']} | "
             f"{m_hi['secs']} | {m_hi['triples_per_sec']} | {[r['secs'] for r in runs_hi]} |\n\n"
+            "Runs are idle-gated (each waits for 1-min loadavg < "
+            f"{idle_load}, bounded at {idle_wait}s); loadavg at each run start: "
+            f"local[{lo}] {[r.get('load_at_start') for r in runs_lo]}, "
+            f"local[{hi}] {[r.get('load_at_start') for r in runs_hi]}.\n\n"
             f"**Scaling efficiency (local[{lo}] → local[{hi}], 4× cores): "
             f"{efficiency} best-of-{n_runs}, {eff_median} median** (target ≥ 0.8 per\n"
             "north_rule; single shared JVM — driver-side fixed costs are not\n"

@@ -350,18 +350,24 @@ def build_canonical_map(
     """mentions → (canonical_map(node_id, text, label, canonical_id),
     block_stats)."""
     cfg = cfg or PipelineConfig()
+    # the distinct-over-mentions shuffle is the expensive part at scale —
+    # materialize it ONCE (localCheckpoint); the size probe, the driver
+    # fast path's collect, and (on the distributed path) banding, the CC
+    # seed, and the final join all reuse it.  (A limit(cap+1).collect()
+    # probe without the checkpoint re-scans mentions in escalating
+    # CollectLimit waves — measured slower than one clean materialization.)
+    nodes = entity_nodes(mentions).localCheckpoint()
     cap = cfg.linking_driver_max_nodes
     if cap > 0:
-        # one bounded collect probes the vocabulary size AND fetches it:
-        # ≤ cap surfaces means the entire linking stage resolves driver-side
-        # (closed-gazetteer regime); cap+1 rows means fall through to the
-        # distributed path having spent one cheap limit-scan
-        probe = [r.asDict() for r in entity_nodes(mentions).limit(cap + 1).collect()]
-        if len(probe) <= cap:
+        if nodes.count() <= cap:
+            probe = [r.asDict() for r in nodes.collect()]
             out, stats = _canonical_driver_side(probe, cfg)
+            # one slice/file: the map is dimension-sized (it feeds broadcast
+            # joins downstream) — don't smear ~41 rows over default-parallelism
+            # empty files
             cmap = spark.createDataFrame(
                 out, "node_id string, text string, label string, canonical_id string"
-            )
+            ).coalesce(1)
             block_stats = spark.createDataFrame([stats], _BLOCK_STATS_SCHEMA)
             return cmap, block_stats
     # the distinct-over-mentions shuffle is the expensive part at scale —

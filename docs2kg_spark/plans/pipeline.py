@@ -190,18 +190,25 @@ def run_pipeline(
         import os as _os
 
         # Overlapping the metadata branch with the extraction critical path
-        # measured NEGATIVE at high parallelism (local[32]: +50s — its
+        # measured NEGATIVE at high local parallelism (local[32]: +50s — its
         # shuffle/write tasks interleave into the Arrow-UDF stage's slots and
-        # strangle it; local[8]: −4s).  Serial placement costs ~4s and is
-        # parallelism-neutral, so it is the default; the flag re-enables the
-        # overlap for multi-executor clusters where the metadata job's tasks
-        # land on OTHER executors instead of stealing UDF slots.
+        # strangle it) but POSITIVE at low (local[8]: −4s, where the branch
+        # is otherwise a pure serial insertion).  Default: overlap on real
+        # clusters (the branch's tasks land on OTHER executors) and in
+        # local mode up to 8 slots; serial above that.  DOCS2KG_OVERLAP_META
+        # overrides either way.
         # The paired same-stage table writes (mentions+triples,
         # kg_nodes+kg_edges) measured POSITIVE at both levels (local[32]:
         # 37s vs 55s serial) — two jobs over the SAME checkpointed input keep
         # all slots busy through each other's write tails — so they stay
         # concurrent by default.
-        overlap_meta = _os.environ.get("DOCS2KG_OVERLAP_META", "0") != "0"
+        _ov = _os.environ.get("DOCS2KG_OVERLAP_META")
+        if _ov is not None:
+            overlap_meta = _ov != "0"
+        elif spark.sparkContext.master.startswith("local"):
+            overlap_meta = spark.sparkContext.defaultParallelism <= 8
+        else:
+            overlap_meta = True
         paired_writes = _os.environ.get("DOCS2KG_PAIRED_WRITES", "1") != "0"
         if resume and store.stage_complete("metadata_nodes", fp) and store.exists("metadata_nodes"):
             stage_times["metadata_nodes"] = 0.0

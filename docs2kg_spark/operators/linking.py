@@ -14,11 +14,13 @@ near-duplicate surface linking (per BASELINE.json::north_star):
    candidate pairs; degenerate blocks are capped and the drop is
    *counted and returned*, never silent (SURVEY.md §4.3.3);
 4. exact Jaccard verification of candidates (pandas UDF) ≥ threshold;
-5. connected components via iterative min-label propagation in
-   DataFrame joins (Kiveris-style hash-to-min; each round two shuffles,
-   localCheckpoint to cut lineage; converges in O(log n) rounds —
-   SURVEY.md §4.4), survivor = min(node_id) — the deterministic
-   replacement for Cypher's arbitrary-first (neo4j_loader.py:171-174).
+5. connected components in DataFrame joins — alternating
+   large-star/small-star (Kiveris et al. SoCC'14, the default and the
+   algorithm north_star names) or min-label propagation
+   (cfg.cc_algorithm), both bounded by cc_max_rounds with
+   localCheckpoint lineage cuts (SURVEY.md §4.4); survivor =
+   min(node_id) — the deterministic replacement for Cypher's
+   arbitrary-first (neo4j_loader.py:171-174).
 
 Scale notes: band self-join is the only potentially-skewed shuffle and
 is protected by the block cap + AQE skew-join; the CC loop operates on
@@ -26,6 +28,8 @@ candidate-pair edges only (≪ nodes), not on the mention table.
 """
 
 from __future__ import annotations
+
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -224,6 +228,89 @@ def _cc_driver_side(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def _cc_star(nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14) in
+    DataFrame joins — the algorithm named by BASELINE.json::north_star.
+
+    The edge set itself is rewritten each half-round (unlike hash-to-min,
+    which joins labels against a static edge set):
+
+    - large-star: group neighborhoods in BOTH directions by u with
+      m = min(Γ(u) ∪ {u}); every neighbor v > u is re-pointed at m.
+      Each undirected edge is processed exactly once (from its smaller
+      endpoint), so the emitted set is ≤ the input set.
+    - small-star: orient edges high→low, group by the high endpoint u
+      with m = min(Γ⁻(u)); every v ∈ Γ⁻(u) ∪ {u} \\ {m} is pointed at m.
+
+    The fixpoint is a union of stars whose centers are the component
+    minima, so the final edge list IS the (node → canonical) map.
+    Convergence is detected from (count, xor of edge hashes) read off
+    the same job that materializes the round's edges — one job per
+    half-round, no extra comparison scan.
+    """
+
+    def _canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _signature(e: DataFrame, obs_name: str) -> tuple[DataFrame, tuple]:
+        obs = Observation(obs_name)
+        observed = e.observe(
+            obs, F.count(F.lit(1)).alias("n"), F.bit_xor(F.xxhash64("a", "b")).alias("h")
+        )
+        out = observed.localCheckpoint()
+        m = obs.get
+        return out, (m["n"], m["h"])
+
+    def _large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = nbrs.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
+        return (
+            nbrs.join(mins, on="a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def _small_star(e: DataFrame) -> DataFrame:
+        # e is already high→low oriented (large-star emits v > u ≥ m)
+        mins = e.groupBy("a").agg(F.min("b").alias("m"))
+        withm = e.join(mins, on="a")
+        re_pointed = withm.filter(F.col("b") != F.col("m")).select(
+            F.col("b").alias("a"), F.col("m").alias("b")
+        )
+        self_edge = mins.select(F.col("a"), F.col("m").alias("b"))
+        return re_pointed.union(self_edge).filter(F.col("a") != F.col("b")).distinct()
+
+    cur, sig = _signature(_canon(edges), "cc_star_init")
+    converged = False
+    for _ in range(cfg.cc_max_rounds):
+        after_large = _large_star(cur)
+        cur, sig2 = _signature(_small_star(after_large), "cc_star_round")
+        if sig2 == sig:
+            converged = True
+            break
+        sig = sig2
+    if not converged:
+        warnings.warn(
+            f"star CC hit cc_max_rounds={cfg.cc_max_rounds} without a fixpoint; "
+            "component labels may be non-minimal (raise cc_max_rounds)",
+            stacklevel=2,
+        )
+
+    # fixpoint edges are (member, component-min) stars
+    return (
+        nodes.select("node_id")
+        .join(cur.select(F.col("a").alias("node_id"), F.col("b").alias("comp")), on="node_id", how="left")
+        .select("node_id", F.coalesce("comp", "node_id").alias("canonical_id"))
+    )
+
+
 def connected_components(nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """min-label propagation over (a,b) edges → (node_id, canonical_id).
 
@@ -240,12 +327,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig
     edges = edges.localCheckpoint()
     if edges.count() <= cfg.cc_driver_max_edges:
         return _cc_driver_side(nodes, edges)
+    if cfg.cc_algorithm == "star":
+        return _cc_star(nodes, edges, cfg)
     both = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # only nodes that appear in any edge need iterating; singletons map to themselves
     edge_nodes = both.select(F.col("a").alias("node_id")).distinct()
     labels = edge_nodes.withColumn("comp", F.col("node_id")).localCheckpoint()
     both = both.localCheckpoint()
 
+    converged = False
     for _ in range(cfg.cc_max_rounds):
         # ONE job per round: propagate + min-reduce + convergence check via
         # observation metrics, materialized by the eager localCheckpoint
@@ -264,7 +354,15 @@ def connected_components(nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig
         )
         labels = observed.select("node_id", "comp").localCheckpoint()
         if obs.get["changed"] == 0:
+            converged = True
             break
+    if not converged:
+        warnings.warn(
+            f"hash_to_min CC hit cc_max_rounds={cfg.cc_max_rounds} without converging; "
+            "this loop needs O(graph diameter) rounds — raise cc_max_rounds or use "
+            "cc_algorithm='star' (O(log^2 n) rounds)",
+            stacklevel=2,
+        )
 
     return (
         nodes.select("node_id")
@@ -370,10 +468,6 @@ def build_canonical_map(
             ).coalesce(1)
             block_stats = spark.createDataFrame([stats], _BLOCK_STATS_SCHEMA)
             return cmap, block_stats
-    # the distinct-over-mentions shuffle is the expensive part at scale —
-    # materialize it ONCE (localCheckpoint) instead of recomputing it for
-    # banding, the CC seed, and the final join
-    nodes = entity_nodes(mentions).localCheckpoint()
     pairs, block_stats = candidate_pairs(nodes, cfg)
     edges = verified_edges(pairs, cfg)
     cmap = connected_components(nodes, edges, cfg)

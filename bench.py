@@ -166,6 +166,9 @@ HEADLINE = [
     "doc_split",
     "doc_dedup_map",
     "kmeans_centroids",
+    # PII scrub + benchmark decontamination
+    "pii_scrub",
+    "contamination",
 ]
 
 

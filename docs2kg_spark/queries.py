@@ -1346,6 +1346,115 @@ WHERE (lang = 'en' AND substr(md5(CAST(doc_id AS VARCHAR) || '|sample-v1'), 1, 4
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub over documents.  The synthetic corpus carries no real
+    PII, so the query injects deterministic doc_id-derived PII spans
+    into the text first (identically in the SQL twin) — the oracle then
+    value-checks nonzero counts AND the exact redacted output, not a
+    vacuous all-zeros row set."""
+    from docs2kg_spark.operators.pii import scrub_documents
+
+    d = _t(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    s = scrub_documents(injected)
+    return s.select(
+        "doc_id",
+        F.col("n_email").cast("bigint").alias("n_email"),
+        F.col("n_phone").cast("bigint").alias("n_phone"),
+        F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+        F.col("n_ssn").cast("bigint").alias("n_ssn"),
+        F.col("n_ccn").cast("bigint").alias("n_ccn"),
+        F.md5("redacted").alias("redacted_digest"),
+    )
+
+
+# DuckDB twin: RE2 and Java interpret these conservative patterns
+# identically (ASCII \d/\b, char classes, bounded quantifiers,
+# non-capturing groups); DuckDB needs the explicit 'g' flag where Spark
+# replaces globally by default, and len(regexp_extract_all(...)) is the
+# regexp_count twin.
+SQL_PII_SCRUB = r"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789' AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(text, '\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{16}\b')) AS BIGINT) AS n_ccn,
+  md5(
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:\d{4}[- ]){3}\d{4}\b|\b\d{16}\b', '<CREDIT_CARD>', 'g'),
+        '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g')
+  ) AS redacted_digest
+FROM injected
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination: word-3-gram overlap of every document
+    against a deterministic 'benchmark set' (the 5 lowest doc_ids,
+    derived from the same table in both engines — no external data)."""
+    from docs2kg_spark.operators.contamination import contamination_scores
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    s = contamination_scores(d, bench, n=3)
+    return s.select(
+        "doc_id",
+        "bench_id",
+        F.col("shared_grams").cast("bigint").alias("shared_grams"),
+        F.round("contaminated_frac", 6).alias("contaminated_frac"),
+    )
+
+
+SQL_CONTAMINATION = r"""
+WITH toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT id, array_to_string(list_slice(t, i+1, i+3), ' ') AS gram
+  FROM toks, UNNEST(range(0, greatest(len(t)-3, 0)+1)) AS u(i)
+  WHERE length(array_to_string(list_slice(t, i+1, i+3), ' ')) > 0
+), bench AS (
+  SELECT id AS bench_id, gram FROM grams WHERE id < 5
+), sizes AS (
+  SELECT bench_id, COUNT(*) AS n FROM bench GROUP BY 1
+), shared AS (
+  SELECT g.id AS doc_id, b.bench_id, COUNT(*) AS shared_grams
+  FROM grams g JOIN bench b ON g.gram = b.gram
+  GROUP BY 1, 2
+)
+SELECT s.doc_id, s.bench_id, CAST(s.shared_grams AS BIGINT) AS shared_grams,
+       ROUND(CAST(s.shared_grams AS DOUBLE) / z.n, 6) AS contaminated_frac
+FROM shared s JOIN sizes z ON s.bench_id = z.bench_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1416,6 +1525,9 @@ SPARK_QUERIES = {
     "doc_dedup_map": q_doc_dedup_map,
     # iterative k-means refinement of IVF centroids (SQL-oracled)
     "kmeans_centroids": q_kmeans_centroids,
+    # PII scrub + benchmark contamination (SQL-oracled)
+    "pii_scrub": q_pii_scrub,
+    "contamination": q_contamination,
 }
 
 ORACLE_SQL = {
@@ -1486,4 +1598,6 @@ ORACLE_SQL = {
     "doc_stratified": SQL_DOC_STRATIFIED,
     "doc_dedup_map": _doc_dedup_map_sql(),
     "kmeans_centroids": _kmeans_sql(),
+    "pii_scrub": SQL_PII_SCRUB,
+    "contamination": SQL_CONTAMINATION,
 }

@@ -169,6 +169,7 @@ HEADLINE = [
     # PII scrub + benchmark decontamination
     "pii_scrub",
     "contamination",
+    "doc_packing",
 ]
 
 

@@ -1455,6 +1455,52 @@ FROM shared s JOIN sizes z ON s.bench_id = z.bench_id
 """
 
 
+def q_doc_packing(spark, sf_dir):
+    """GPT-style concat-and-chunk sequence packing over the documents
+    table (whitespace token counts, 512-token packs, 16 shards so the
+    small corpus still exercises multi-doc packs)."""
+    from docs2kg_spark.operators.packing import pack_documents
+    from docs2kg_spark.operators.text import whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count("text").alias("n_tok")
+    )
+    return pack_documents(d, "n_tok", budget=512, n_shards=16).select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "pack_first",
+        "pack_last",
+        "pack_offset",
+        "token_count",
+    )
+
+
+SQL_DOC_PACKING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         md5(CAST(doc_id AS VARCHAR) || '|pack-v1') AS h
+  FROM documents
+), sharded AS (
+  SELECT doc_id, n_tok, h,
+         ('0x' || substr(h, 1, 4))::UBIGINT % 16 AS shard
+  FROM toks
+), cum AS (
+  SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS token_count,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM sharded
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST((c - token_count) // 512 AS BIGINT) AS pack_first,
+       CAST(greatest((c - 1) // 512, (c - token_count) // 512) AS BIGINT) AS pack_last,
+       CAST((c - token_count) % 512 AS BIGINT) AS pack_offset,
+       token_count
+FROM cum
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1528,6 +1574,8 @@ SPARK_QUERIES = {
     # PII scrub + benchmark contamination (SQL-oracled)
     "pii_scrub": q_pii_scrub,
     "contamination": q_contamination,
+    # concat-and-chunk sequence packing (SQL-oracled)
+    "doc_packing": q_doc_packing,
 }
 
 ORACLE_SQL = {
@@ -1600,4 +1648,5 @@ ORACLE_SQL = {
     "kmeans_centroids": _kmeans_sql(),
     "pii_scrub": SQL_PII_SCRUB,
     "contamination": SQL_CONTAMINATION,
+    "doc_packing": SQL_DOC_PACKING,
 }

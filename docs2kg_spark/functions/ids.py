@@ -10,6 +10,17 @@ sha256("|".join(str(p) for p in parts)).
 
 from __future__ import annotations
 
+# Whitespace-run tokenizer class shared by every engine we compare
+# against.  `\s` is NOT dialect-portable: Java includes U+000B
+# (vertical tab) where DuckDB/RE2 does not, and Python's `\s` on str
+# patterns additionally matches Unicode spaces (U+001C-1F, U+0085,
+# U+00A0, ...).  Spelling the class out pins all three engines to the
+# identical set [space, \t, \n, \r, \f, \x0B] (ADVICE r2, contamination
+# dialect-parity item).  The raw string keeps the escapes symbolic, so
+# the very same characters splice into Java regex args, Python
+# re.compile, and DuckDB SQL literals (RE2 interprets the escapes).
+WS_RE = r"[ \t\n\r\f\x0B]+"
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from docs2kg_spark.functions.ids import WS_RE
+
 from docs2kg_spark.functions.skew import ensure_min_parallelism
 
 
@@ -42,7 +44,7 @@ def word_ngrams(
     dedup.ngram_jaccard_pairs and its green SQL twin)."""
     toks = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE).alias("toks"),
     )
     return (
         toks.select(

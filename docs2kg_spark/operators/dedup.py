@@ -23,6 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from docs2kg_spark.functions.ids import WS_RE
 from pyspark.sql.functions import pandas_udf
 
 from docs2kg_spark.config import PipelineConfig
@@ -248,7 +250,7 @@ def ngram_jaccard_pairs(
     intersection counts), which is exactly why the drop count surfaces."""
     toks = ensure_min_parallelism(documents).select(
         F.col(id_col).alias("id"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE).alias("toks"),
     )
     grams = (
         toks.select(
@@ -317,6 +319,7 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     bucket_above: int = 1_000_000,
     n_planes: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """→ (a, b, cos): within-label cosine pairs ≥ threshold.
 
@@ -332,11 +335,18 @@ def embedding_near_dup_pairs(
     brute-force-within-label path runs — that is the path the DuckDB
     oracle checks at test scale; the bucketed path is parity-tested
     against it in the degenerate 0-plane case and subset-tested at 8.
-    The size probe is one count() over the id column (column-pruned
-    scan), negligible next to the pair join it sizes."""
+    Pass ``n_rows`` when the caller already knows the corpus size
+    (catalog stats / Iceberg snapshot row count) to skip the probe
+    entirely; otherwise the probe is one count() over the UNPROJECTED
+    input — for a parquet/Iceberg source that collapses to a
+    metadata-only aggregate (footers, no data scan), where the round-2
+    form counted the projected+repartitioned relation and paid a real
+    scan job per call."""
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col("label").alias("lbl")]
     src = ensure_min_parallelism(embeddings.select(*cols))
-    if src.count() > bucket_above:
+    if n_rows is None:
+        n_rows = embeddings.count()
+    if n_rows > bucket_above:
         from docs2kg_spark.operators.similarity import _bucket_expr, hyperplanes
 
         dim = len(src.select("v").first()["v"])

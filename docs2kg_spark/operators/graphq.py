@@ -34,7 +34,7 @@ Scale design (every function is DataFrame-only, no Python in the loop):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -83,23 +83,38 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
 
     The Cypher analog is `MATCH (s)-[*..k]->(n)` with shortest-path
     semantics.  Frontier-based: each hop touches only the frontier's
-    out-edges; early-exits when the frontier drains."""
-    visited = seeds.select("node").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
-    frontier = visited
+    out-edges; early-exits when the frontier drains.
+
+    Exactly ONE job per hop: only the new frontier is checkpointed (the
+    round-2 form re-materialized the whole visited set each hop —
+    O(k·|V|) checkpoint writes) and its size rides that same job as an
+    Observation (no separate isEmpty() job).  The anti-join's right side
+    is the lazy union of the prior frontier checkpoints — the same rows
+    the old visited table held (frontiers are disjoint by construction),
+    read from the already-materialized blocks, never rewritten.  The
+    returned DataFrame is the lazy union of all frontiers."""
+    from functools import reduce
+
+    first = seeds.select("node").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
+    frontiers = [first]
+    frontier = first
     for h in range(1, k + 1):
+        obs = Observation(f"k_hop_frontier_{h}")
+        seen = reduce(DataFrame.unionByName, [f.select("node") for f in frontiers])
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(seen, "node", "left_anti")
             .withColumn("hops", F.lit(h))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if nxt.isEmpty():
+        if int(obs.get["n"] or 0) == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        frontiers.append(nxt)
         frontier = nxt
-    return visited
+    return reduce(DataFrame.unionByName, frontiers)
 
 
 def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFrame:
@@ -128,15 +143,45 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
     return ranks
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, orient: str = "id") -> DataFrame:
     """Per-node triangle participation over the undirected simple graph
     of ``edges`` (direction and parallel edges ignored, self-loops
-    dropped).  → (node, triangles)."""
-    und = (
-        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
+    dropped).  → (node, triangles).
+
+    ``orient`` picks the total order that acyclically orients the edges
+    (every triangle is then one wedge + one closing edge, counted once):
+
+    - "id" (default): lexicographic node id — the form the exact SQL
+      twin replicates.
+    - "degree": (degree, id) order — the classic hub-killer for skewed
+      graphs: a degree-d hub has out-degree ≤ its number of
+      HIGHER-degree neighbors under this order, so the wedge join's
+      per-key fanout is bounded by arboricity-ish quantities instead of
+      d² (Suri & Vassilvitskii, WWW'11).  Same counts (any total order
+      counts each triangle exactly once — parity-tested), one extra
+      degree aggregate + join to stamp the order key."""
+    if orient not in ("id", "degree"):
+        raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
     )
+    if orient == "degree":
+        deg = degrees(sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct(),
+                      src="u", dst="v").select("node", "degree")
+        with_deg = (
+            sym.join(deg.withColumnRenamed("node", "u").withColumnRenamed("degree", "du"), on="u")
+            .join(deg.withColumnRenamed("node", "v").withColumnRenamed("degree", "dv"), on="v")
+        )
+        lower_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+        )
+        und = with_deg.select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        ).distinct()
+    else:
+        und = sym.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
     e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.b") == F.col("e2.a"))  # wedge a<b<c

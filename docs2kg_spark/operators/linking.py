@@ -303,10 +303,16 @@ def _cc_star(nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig) -> DataFra
             stacklevel=2,
         )
 
-    # fixpoint edges are (member, component-min) stars
+    # fixpoint edges are (member, component-min) stars.  min(comp) per
+    # node is free at a true fixpoint (one edge per member) but restores
+    # the one-row-per-node invariant when cc_max_rounds stopped the loop
+    # mid-convergence — small-star can emit (b,m) from several groups,
+    # and a bare left join would then duplicate node rows (a malformed
+    # canonical map, strictly worse than non-minimal labels).
+    star_map = cur.groupBy(F.col("a").alias("node_id")).agg(F.min("b").alias("comp"))
     return (
         nodes.select("node_id")
-        .join(cur.select(F.col("a").alias("node_id"), F.col("b").alias("comp")), on="node_id", how="left")
+        .join(star_map, on="node_id", how="left")
         .select("node_id", F.coalesce("comp", "node_id").alias("canonical_id"))
     )
 
@@ -324,6 +330,13 @@ def connected_components(nodes: DataFrame, edges: DataFrame, cfg: PipelineConfig
     to a driver-side union-find (1 job instead of rounds x 2-shuffle
     jobs + checkpoints — measured ~4s saved per pipeline run at sandbox
     sizes), above it the distributed loop runs."""
+    if cfg.cc_algorithm not in ("star", "hash_to_min"):
+        # an unvalidated typo ('Star', 'large_star') would silently fall
+        # through to hash-to-min, which needs O(diameter) rounds where
+        # star converges in O(log^2 n) — fail loudly instead
+        raise ValueError(
+            f"cc_algorithm must be 'star' or 'hash_to_min', got {cfg.cc_algorithm!r}"
+        )
     edges = edges.localCheckpoint()
     if edges.count() <= cfg.cc_driver_max_edges:
         return _cc_driver_side(nodes, edges)

@@ -74,13 +74,22 @@ def real_decode(payload: bytes, kind: str):
     )
 
 
-def extract_features(assets: DataFrame, batch_hint: int = 256) -> DataFrame:
+def extract_features(assets: DataFrame, batch_hint: int = 256, decode=None) -> DataFrame:
     """binary assets → fixed-dim features via mapInPandas (Arrow batch
-    iterator — the pattern a real image/audio featurizer plugs into)."""
+    iterator — the pattern a real image/audio featurizer plugs into).
+
+    ``decode`` is the injection seam for real codecs: any callable
+    (payload: bytes, kind: str) -> sequence[float] — e.g. a
+    PIL/ffmpeg/librosa featurizer on a cluster that has them — is
+    shipped to the workers via the UDF closure, so a user with media
+    libraries plugs in WITHOUT editing this operator.  Defaults to the
+    deterministic hash featurizer (the sandbox has no codecs;
+    ``real_decode`` documents that boundary)."""
+    fn = decode or _fake_decode
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [_fake_decode(p, k).tolist() for p, k in zip(pdf["payload"], pdf["kind"])]
+            feats = [list(map(float, fn(p, k))) for p, k in zip(pdf["payload"], pdf["kind"])]
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],

@@ -29,9 +29,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from docs2kg_spark.functions.ids import WS_RE
+
 
 def _words(text: Column) -> Column:
-    return F.filter(F.split(F.lower(F.trim(text)), r"\s+"), lambda w: w != "")
+    return F.filter(F.split(F.lower(F.trim(text)), WS_RE), lambda w: w != "")
 
 
 def _top_run(sorted_arr: Column) -> Column:

@@ -110,16 +110,20 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos, rank): IVF-flat ANN — corpus is
     inverted-list partitioned by nearest centroid, queries probe only
     their n_probe nearest lists.
 
-    Centroids are the vectors with the n_centroids smallest ids — a
-    deterministic choice (no k-means iterations) so the oracle SQL can
-    replicate the exact assignment; on a real corpus you would refresh
-    centroids with a periodic k-means job and the plan shape is
-    unchanged.  Scale shape: the corpus-side assignment is a genuinely
+    Centroids default to the vectors with the n_centroids smallest ids —
+    a deterministic choice (no k-means iterations) so the oracle SQL can
+    replicate the exact assignment.  Pass ``centroids`` (the long-format
+    (cid, dim, val[, n]) table kmeans_refine returns) to seed the
+    inverted lists from the periodic Lloyd retraining job instead —
+    the composition the docstring used to defer to; the plan shape is
+    identical either way (the k×dim matrix is a bounded collect that
+    ships as literals).  Scale shape: the corpus-side assignment is a genuinely
     NARROW per-row array argmax over the centroid table collected to the
     driver (n_centroids rows by construction — a bounded limit-N
     collect, not a data-sized one) and shipped as literals — no shuffle
@@ -128,12 +132,24 @@ def ivf_topk(
     which shuffled the full expansion; round-1 advice item 5).  The
     probe join is an equi-join on centroid id, so cost is the sum over
     probed lists, not |Q|×|C|."""
-    cent_rows = (
-        embeddings.orderBy(F.col(id_col).asc())
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centv"))
-        .collect()
-    )
+    if centroids is not None:
+        # kmeans_refine long format → dense rows; cids stay whatever the
+        # trainer produced (ints), dims reassembled in order
+        long_rows = centroids.select("cid", "dim", "val").collect()
+        by_cid: dict = {}
+        for r in long_rows:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["val"]
+        cent_rows = [
+            {"cid": cid, "centv": [dims[k] for k in sorted(dims)]}
+            for cid, dims in sorted(by_cid.items())
+        ]
+    else:
+        cent_rows = (
+            embeddings.orderBy(F.col(id_col).asc())
+            .limit(n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centv"))
+            .collect()
+        )
 
     def nearest(df, vec_alias, keep_n):
         # array of (−ccos, cid) structs; ascending sort == (ccos desc,

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from docs2kg_spark.functions.ids import WS_RE
+
 # tiny per-language stopword signals for the heuristic language ID
 LANG_SIGNALS: dict[str, list[str]] = {
     "en": ["the", "and", "of", "to", "is"],
@@ -32,7 +34,7 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def whitespace_token_count(text: Column | str) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     t = F.trim(c)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_RE)))
 
 
 def bpe_token_count(text: Column | str) -> Column:
@@ -99,7 +101,7 @@ def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: sha2 over lowercased,
     whitespace-collapsed text — the exact-dedup key."""
     c = F.col(text) if isinstance(text, str) else text
-    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    normalized = F.trim(F.regexp_replace(F.lower(c), WS_RE, " "))
     return F.sha2(normalized, 256)
 
 

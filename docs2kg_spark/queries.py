@@ -444,7 +444,7 @@ def q_fingerprint_groups(spark, sf_dir):
 
 
 SQL_FINGERPRINT = r"""
-SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+SELECT sha256(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fingerprint,
        COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1
 """
@@ -463,7 +463,7 @@ SQL_DOC_EXACT_DEDUP = r"""
 SELECT doc_id FROM documents
 WHERE doc_id IN (
     SELECT MIN(doc_id) FROM documents
-    GROUP BY sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    GROUP BY sha256(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')))
 )
 """
 
@@ -471,7 +471,7 @@ WHERE doc_id IN (
 
 SQL_NGRAM_JACCARD = r"""
 WITH toks AS (
-  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS t FROM documents
 ), grams AS (
   SELECT DISTINCT id, array_to_string(list_slice(t, i+1, i+3), ' ') AS gram
   FROM toks, UNNEST(range(0, greatest(len(t)-3, 0)+1)) AS u(i)
@@ -502,7 +502,7 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
 # bit_count over a negative HUGEINT counts 64 extra sign bits.
 SQL_SIMHASH = r"""
 WITH toks AS (
-  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS tok
   FROM documents WHERE length(trim(text)) > 0
 ), th AS (
   SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks WHERE tok <> ''
@@ -538,7 +538,7 @@ def q_token_counts(spark, sf_dir):
 SQL_TOKEN_COUNTS = r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
-            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+            ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END AS ws_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
 FROM documents
 """
@@ -563,7 +563,7 @@ WITH m AS (
   SELECT doc_id,
          length(text) AS n_chars,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+              ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens,
          len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
          len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
   FROM documents
@@ -1244,7 +1244,7 @@ def q_doc_repetition(spark, sf_dir):
 SQL_DOC_REPETITION = r"""
 WITH w AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS words
+         list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS words
   FROM documents
 ),
 base AS (SELECT doc_id, text, words, len(words) AS n FROM w),
@@ -1435,7 +1435,7 @@ def q_contamination(spark, sf_dir):
 
 SQL_CONTAMINATION = r"""
 WITH toks AS (
-  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS t FROM documents
 ), grams AS (
   SELECT DISTINCT id, array_to_string(list_slice(t, i+1, i+3), ' ') AS gram
   FROM toks, UNNEST(range(0, greatest(len(t)-3, 0)+1)) AS u(i)
@@ -1479,7 +1479,7 @@ SQL_DOC_PACKING = r"""
 WITH toks AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+              ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END AS n_tok,
          md5(CAST(doc_id AS VARCHAR) || '|pack-v1') AS h
   FROM documents
 ), sharded AS (

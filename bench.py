@@ -46,7 +46,13 @@ def _sf_of(sf_dir: str) -> str:
 def _make_spark(cpus: str):
     from docs2kg_spark.session import get_spark
 
-    shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(int(cpus), 8)
+    # shuffle partitions at ~4x slots (standard practice, what an operator
+    # sets on any real fleet): one-task-per-core gives a straggler zero
+    # slack — and it biased the N-vs-4N comparison, because max(cpus, 8)
+    # handed local[2] a 4x granularity cushion while local[8] ran every
+    # shuffle stage at exactly 1 task/core.  AQE's parallelismFirst
+    # coalescing keeps the floor at defaultParallelism either way.
+    shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(4 * int(cpus), 8)
     return get_spark(app_name="docs2kg_bench", master=f"local[{cpus}]", shuffle_partitions=shuf)
 
 
@@ -240,7 +246,28 @@ def main() -> None:
     }
     if probe is not None:
         out["local8_probe"] = probe
+    scaling = _latest_scaling_blocks()
+    if scaling:
+        out["scaling"] = scaling
     print(json.dumps(out))
+
+
+def _latest_scaling_blocks() -> dict:
+    """Machine-readable summary of every --scaling span measured in this
+    repo (BENCH/span_*.json, written by scaling_main): round-over-round
+    scaling efficiency diffs straight from the bench JSON, without
+    opening the narrative span_*.md files."""
+    import glob
+
+    blocks: dict = {}
+    for p in sorted(glob.glob("BENCH/span_*.json")):
+        try:
+            with open(p) as f:
+                b = json.load(f)
+            blocks[f"{b['lo']}_{b['hi']}"] = b
+        except (OSError, ValueError, KeyError):
+            continue
+    return blocks
 
 
 def _local8_probe() -> dict | None:
@@ -425,18 +452,24 @@ def scaling_main() -> None:
             f"- per-stage seconds at local[{lo}] (best run): {json.dumps(b_lo.get('stage_secs', {}))}\n"
             f"- per-stage seconds at local[{hi}] (best run): {json.dumps(b_hi.get('stage_secs', {}))}\n"
         )
-    print(
-        json.dumps(
-            {
-                f"t{lo}": b_lo["secs"],
-                f"t{hi}": b_hi["secs"],
-                "efficiency": efficiency,
-                "efficiency_median": eff_median,
-                "runs_lo": [r["secs"] for r in runs_lo],
-                "runs_hi": [r["secs"] for r in runs_hi],
-            }
-        )
-    )
+    summary = {
+        "lo": int(lo),
+        "hi": int(hi),
+        "efficiency": efficiency,
+        "efficiency_median": eff_median,
+        "secs_best": {lo: b_lo["secs"], hi: b_hi["secs"]},
+        "tps_best": {lo: b_lo["triples_per_sec"], hi: b_hi["triples_per_sec"]},
+        "runs_secs": {lo: [r["secs"] for r in runs_lo], hi: [r["secs"] for r in runs_hi]},
+        "load_at_start": {
+            lo: [r.get("load_at_start") for r in runs_lo],
+            hi: [r.get("load_at_start") for r in runs_hi],
+        },
+        "n_turns": m_hi["n_turns"],
+        "n_convs": m_hi["n_convs"],
+    }
+    with open(f"BENCH/span_{lo}_{hi}.json", "w") as f:
+        json.dump(summary, f)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -238,6 +238,7 @@ def run_pipeline(
             # and silently re-run the UDF) and adds a resume point at the
             # most expensive stage
             store.write(enriched, "extraction")
+            stage_times["x_extraction_write"] = time.monotonic() - t0
             store.write_marker("extraction", fp)
             enriched_t = store.read("extraction")
             mentions_df = enriched_t.select(
@@ -262,10 +263,10 @@ def run_pipeline(
                 with ThreadPoolExecutor(max_workers=2) as pool:
                     fm = pool.submit(_timed_write, mentions_df, "mentions")
                     ft = pool.submit(_timed_write, triples_df, "triples")
-                    fm.result()
+                    stage_times["x_mentions_write"] = fm.result()
                     stage_times["triples"] = ft.result()
             else:
-                _timed_write(mentions_df, "mentions")
+                stage_times["x_mentions_write"] = _timed_write(mentions_df, "mentions")
                 stage_times["triples"] = _timed_write(triples_df, "triples")
             store.write_marker("mentions", fp)
             store.write_marker("triples", fp)
@@ -303,16 +304,21 @@ def run_pipeline(
             nodes_df, edges_df = materialize_kg(
                 segments, mentions, triples, canonical_map, layout_schema=schema
             )
+            def _timed_store_write(df, name):
+                s = time.monotonic()
+                store.write(df, name)
+                return time.monotonic() - s
+
             if paired_writes:
                 # node and edge tables share inputs but not outputs → concurrent
                 with ThreadPoolExecutor(max_workers=2) as pool:
-                    fn = pool.submit(store.write, nodes_df, "kg_nodes")
-                    fe = pool.submit(store.write, edges_df, "kg_edges")
-                    fn.result()
-                    fe.result()
+                    fn = pool.submit(_timed_store_write, nodes_df, "kg_nodes")
+                    fe = pool.submit(_timed_store_write, edges_df, "kg_edges")
+                    stage_times["x_kg_nodes_write"] = fn.result()
+                    stage_times["x_kg_edges_write"] = fe.result()
             else:
-                store.write(nodes_df, "kg_nodes")
-                store.write(edges_df, "kg_edges")
+                stage_times["x_kg_nodes_write"] = _timed_store_write(nodes_df, "kg_nodes")
+                stage_times["x_kg_edges_write"] = _timed_store_write(edges_df, "kg_edges")
             store.write_marker("kg_nodes", fp)
             store.write_marker("kg_edges", fp)
             stage_times["kg_nodes"] = time.monotonic() - t0

@@ -176,6 +176,9 @@ HEADLINE = [
     "pii_scrub",
     "contamination",
     "doc_packing",
+    # round-3 additions: term statistics + engine-exact resampling
+    "doc_tfidf",
+    "doc_lang_balance",
 ]
 
 

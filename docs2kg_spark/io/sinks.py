@@ -41,6 +41,80 @@ class TableStore:
         w.save(p)
         return p
 
+    def append(self, df: DataFrame, name: str) -> str:
+        """Append-mode write of one delta slice (the parquet stand-in for
+        an Iceberg append snapshot) — used by the incremental pipeline's
+        per-micro-batch delta logs (streaming/incremental.py)."""
+        p = self.path(name)
+        df.write.mode("append").format(self.fmt).save(p)
+        return p
+
+    def append_batch(self, df: DataFrame, name: str, batch_id: int) -> str:
+        """Idempotent per-micro-batch delta write: the batch's rows land
+        in partition ``_batch_id=N`` via DYNAMIC partition overwrite, so
+        a retried foreachBatch body (Structured Streaming replays a
+        failed batch under the same batch_id) replaces exactly its own
+        slice instead of appending duplicates — the parquet analog of
+        Iceberg's replace-partition commit."""
+        from pyspark.sql import functions as F
+
+        p = self.path(name)
+        (
+            df.withColumn("_batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .format(self.fmt)
+            .partitionBy("_batch_id")
+            .save(p)
+        )
+        return p
+
+    def has_data(self, name: str) -> bool:
+        """True iff the table dir contains at least one parquet file
+        (recursively — partitioned delta tables nest their files), i.e.
+        spark.read on it will succeed without schema inference failing."""
+        p = self.path(name)
+        if not os.path.isdir(p):
+            return False
+        for _root, _dirs, files in os.walk(p):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def append_rows(self, rows: list[tuple], schema: str, name: str, suffix: str) -> str:
+        """Driver-side append of a small row set into table ``name`` as
+        one file keyed by ``suffix`` (idempotent: a retried micro-batch
+        overwrites its own file instead of duplicating rows).  Zero Spark
+        jobs on the parquet backend — the analog of an Iceberg metadata
+        commit."""
+        if self.fmt != "parquet":
+            self.append(self.spark.createDataFrame(rows, schema), name)
+            return self.path(name)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _PA = {
+            "int": pa.int32(),
+            "bigint": pa.int64(),
+            "string": pa.string(),
+            "double": pa.float64(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        fields = []
+        for col in schema.split(","):
+            cname, ctype = col.strip().rsplit(" ", 1)
+            fields.append(pa.field(cname, _PA[ctype]))
+        table = pa.table(
+            [pa.array([r[i] for r in rows], type=f.type) for i, f in enumerate(fields)],
+            schema=pa.schema(fields),
+        )
+        p = self.path(name)
+        os.makedirs(p, exist_ok=True)
+        pq.write_table(table, os.path.join(p, f"part-{suffix}.parquet"))
+        with open(os.path.join(p, "_SUCCESS"), "w"):
+            pass
+        return p
+
     def read(self, name: str) -> DataFrame:
         return self.spark.read.format(self.fmt).load(self.path(name))
 

@@ -132,21 +132,24 @@ def layout_edges(
     )
 
 
-def materialize_kg(
-    segments: DataFrame,
-    mentions: DataFrame,
-    triples: DataFrame,
-    canonical_map: DataFrame,
-    layout_schema: dict[str, tuple[str, ...]] | None = None,
+def static_kg_parts(
+    segments: DataFrame, layout_schema: dict[str, tuple[str, ...]] | None = None
 ) -> tuple[DataFrame, DataFrame]:
-    """→ (kg_nodes(node_id, canonical_id, type, properties),
-          kg_edges(src, dst, type, conv_id, properties)).
-    ``layout_schema`` overrides the default containment schema
-    (see layout_edges)."""
+    """Canonicalization-INDEPENDENT slice of the KG: file + segment nodes
+    and the structural CONTAINS/NEXT edges.  These depend only on the
+    segment rows of their own conversation — never on entity linking —
+    so the incremental pipeline (streaming/incremental.py) appends them
+    per micro-batch and never rewrites them when a later batch merges
+    entity surfaces.  Returns
+    (static_nodes(conv_id, node_id, canonical_id, type, properties),
+     struct_edges(src, dst, type, conv_id, properties)); the conv_id
+    column on nodes exists for per-conversation repair/replace at
+    compaction and is dropped by materialize_kg."""
     file_nodes = (
         segments.select("conv_id")
         .distinct()
         .select(
+            F.col("conv_id"),
             det_id_col(F.lit("file"), "conv_id").alias("node_id"),
             det_id_col(F.lit("file"), "conv_id").alias("canonical_id"),
             F.lit("FILE").alias("type"),
@@ -155,6 +158,7 @@ def materialize_kg(
     )
 
     seg_nodes = segments.select(
+        F.col("conv_id"),
         F.col("seg_id").alias("node_id"),
         F.col("seg_id").alias("canonical_id"),
         sanitize_label_col("label").alias("type"),
@@ -163,6 +167,20 @@ def materialize_kg(
         ).alias("properties"),
     )
 
+    struct_edges = layout_edges(segments, layout_schema)
+    return file_nodes.unionByName(seg_nodes), struct_edges
+
+
+def entity_kg_parts(
+    mentions: DataFrame, triples: DataFrame, canonical_map: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Canonicalization-DEPENDENT slice of the KG: surviving entity nodes
+    plus the HAS_ENTITY / relation edges redirected through
+    canonical_map.  The incremental pipeline recomputes exactly this
+    slice at compaction (entity merges in a later batch invalidate it),
+    while the static slice streams through untouched.  Returns
+    (entity_nodes(node_id, canonical_id, type, properties),
+     entity_edges(src, dst, type, conv_id, properties))."""
     # entity nodes: only canonical survivors materialize (the analog of
     # DELETE duplicate at neo4j_loader.py:210-217); survivor surface =
     # the canonical node's own (text,label)
@@ -175,11 +193,6 @@ def materialize_kg(
             F.to_json(F.struct(F.col("text"), F.col("label"))).alias("properties"),
         )
     )
-
-    kg_nodes = file_nodes.unionByName(seg_nodes).unionByName(entity_nodes_df)
-
-    # --- edges -----------------------------------------------------------
-    struct_edges = layout_edges(segments, layout_schema)
 
     cmap = canonical_map.select("node_id", "canonical_id")
 
@@ -227,7 +240,25 @@ def materialize_kg(
         )
     )
 
-    kg_edges = struct_edges.unionByName(has_entity).unionByName(rel)
+    return entity_nodes_df, has_entity.unionByName(rel)
+
+
+def materialize_kg(
+    segments: DataFrame,
+    mentions: DataFrame,
+    triples: DataFrame,
+    canonical_map: DataFrame,
+    layout_schema: dict[str, tuple[str, ...]] | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (kg_nodes(node_id, canonical_id, type, properties),
+          kg_edges(src, dst, type, conv_id, properties)).
+    ``layout_schema`` overrides the default containment schema
+    (see layout_edges).  Composition of static_kg_parts (structure) and
+    entity_kg_parts (canonicalized entity graph)."""
+    static_nodes, struct_edges = static_kg_parts(segments, layout_schema)
+    entity_nodes_df, entity_edges = entity_kg_parts(mentions, triples, canonical_map)
+    kg_nodes = static_nodes.drop("conv_id").unionByName(entity_nodes_df)
+    kg_edges = struct_edges.unionByName(entity_edges)
     return kg_nodes, kg_edges
 
 

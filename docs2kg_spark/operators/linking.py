@@ -118,15 +118,17 @@ def make_jaccard_udf(cfg: PipelineConfig):
     return jaccard
 
 
-def candidate_pairs(nodes: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
-    """nodes(node_id, text, label) → (pairs(a, b, text_a, text_b),
-    block_stats).  block_stats reports capped blocks so drops are logged,
-    not silent."""
+def band_table(nodes: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """nodes(node_id, text, label) → (node_id, text, label, band_key):
+    one row per (node, LSH band); band_key = sha2(band_idx | label |
+    that band's signature rows).  Shared by the batch candidate join
+    (candidate_pairs) and the incremental band state
+    (streaming/incremental.py), so both generate identical keys."""
     rows_per_band = cfg.minhash_perms // cfg.lsh_bands
     mh = make_minhash_udf(cfg)
     sig = nodes.withColumn("sig", mh("text"))
 
-    bands = sig.select(
+    return sig.select(
         "node_id",
         "text",
         "label",
@@ -147,6 +149,13 @@ def candidate_pairs(nodes: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, D
             )
         ).alias("band_key"),
     )
+
+
+def candidate_pairs(nodes: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """nodes(node_id, text, label) → (pairs(a, b, text_a, text_b),
+    block_stats).  block_stats reports capped blocks so drops are logged,
+    not silent."""
+    bands = band_table(nodes, cfg)
 
     # materialize the band table ONCE: block_stats (collected by the
     # pipeline for lineage) and the candidate self-join both consume it,

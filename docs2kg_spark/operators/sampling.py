@@ -82,6 +82,65 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def _bucket_int(id_col: Column, salt: str) -> Column:
+    """The 16-bit bucket as an integer (for thresholds that are COLUMNS —
+    a per-row weight or a per-class quota — where the fixed-width hex
+    string comparison of _bucket can't apply)."""
+    return F.conv(_bucket(id_col, salt), 16, 10).cast("int")
+
+
+def weighted_keep(
+    df: DataFrame,
+    id_col: str,
+    weight_col: Column | str,
+    salt: str = "resample-v1",
+) -> DataFrame:
+    """Importance resampling: keep each row with probability
+    clamp(weight, 0, 1), deterministically by content id — the standard
+    quality-weighted corpus filter (keep good documents w.h.p., keep a
+    calibrated trickle of mediocre ones).
+
+    Engine-exact by construction: the weight is rounded to 6dp and
+    multiplied by 65536 = 2^16 (a power of two, so the scaling is EXACT
+    in binary floating point); floor of that is an integer both engines
+    compute identically, compared against the integer bucket.  Zero
+    shuffle — a narrow filter, stable under repartitioning."""
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    w6 = F.round(F.greatest(F.least(w, F.lit(1.0)), F.lit(0.0)), 6)
+    threshold = F.floor(w6 * F.lit(65536)).cast("int")
+    return df.filter(_bucket_int(F.col(id_col), salt) < threshold)
+
+
+def balance_by_class(
+    df: DataFrame,
+    label_col: str,
+    id_col: str,
+    target: int | None = None,
+    salt: str = "balance-v1",
+) -> DataFrame:
+    """Downsample every class to ~``target`` rows (default: the size of
+    the smallest class) — the language/domain-rebalancing move of corpus
+    mixing.  keep iff bucket * n_class < 65536 * target: pure INTEGER
+    arithmetic, so the kept set is bit-identical across engines and
+    independent of partitioning.
+
+    Plan shape: one hash agg for the class counts (class-cardinality
+    rows), broadcast back; the minimum joins in as a broadcast single
+    row.  The big table is touched by exactly one narrow filter pass."""
+    counts = df.groupBy(label_col).agg(F.count("*").alias("_class_n"))
+    out = df.join(F.broadcast(counts), on=label_col)
+    if target is None:
+        tgt = counts.agg(F.min("_class_n").alias("_target"))
+        out = out.crossJoin(F.broadcast(tgt))
+    else:
+        out = out.withColumn("_target", F.lit(int(target)))
+    keep = (
+        _bucket_int(F.col(id_col), salt).cast("bigint") * F.col("_class_n")
+        < F.lit(65536).cast("bigint") * F.col("_target")
+    )
+    return out.filter(keep).drop("_class_n", "_target")
+
+
 def split_sql(table: str, id_col: str, weights: dict[str, float] | None = None, salt: str = "split-v1") -> str:
     """DuckDB twin of hash_split — the same md5 hex-bucket predicate."""
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}

@@ -1,0 +1,98 @@
+"""TF-IDF term scoring and corpus vocabulary — the term-statistics
+primitives of a training-data pipeline (salient-term extraction for
+dataset inspection, vocabulary construction for tokenizer training).
+
+Scale shape (the 100 TB plan, verified with .explain):
+- tokenize = split + explode: narrow, whole-stage codegen, no Python;
+- tf = one hash aggregate on (doc, token) with map-side partial agg;
+- df (document frequency) aggregates the ALREADY-reduced tf table — one
+  token-keyed shuffle over the vocabulary, never the token stream;
+- the corpus size joins in as a broadcast single-row relation
+  (no global window, no collect);
+- top-k per doc is a row_number window partitioned by doc (the same
+  doc-keyed partitioning tf already has);
+- vocabulary top-N is orderBy+limit = distributed TakeOrdered — each
+  partition contributes its local top-N, only N rows reach the driver.
+
+Cross-engine determinism (the kmeans_centroids playbook): idf is rounded
+to 6dp BEFORE the tf multiply, the score again after, and ranking orders
+by the ROUNDED score with the token string as the total-order tie-break,
+so both engines rank the identical matrix.
+
+Tokenization is the explicit whitespace class WS_RE shared with the
+token-count/packing twins (bare \\s diverges across engines on U+000B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from docs2kg_spark.functions.ids import WS_RE
+
+
+def _tokens(documents: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, tok) pairs: lowercased, explicit-whitespace-split, empties
+    dropped (an empty document contributes nothing)."""
+    return (
+        documents.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS_RE)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def doc_tfidf_topk(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document →
+    (id, tok, tf, score, rnk), smooth idf = ln((1+N)/(1+df)) + 1
+    (the standard add-one-smoothed form, so unseen-corpus edge cases
+    never divide by zero)."""
+    toks = _tokens(documents, id_col, text_col)
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = documents.select(F.count("*").alias("n_docs"))
+
+    idf6 = F.round(F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df"))) + F.lit(1.0), 6)
+    scored = (
+        tf.join(df, on="tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.round(F.col("tf") * idf6, 6))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(
+            "id",
+            "tok",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("score").cast("double").alias("score"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def vocabulary_topn(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Corpus-level top-N tokens by total occurrence count → (tok, n);
+    ties broken by token string so the cut is a total order.  orderBy +
+    limit compiles to TakeOrdered: per-partition local top-N, only N
+    rows cross to the driver — no global sort."""
+    return (
+        _tokens(documents, id_col, text_col)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(top_n)
+        .select("tok", F.col("n").cast("bigint").alias("n"))
+    )

@@ -1501,6 +1501,112 @@ FROM cum
 """
 
 
+def q_doc_tfidf(spark, sf_dir):
+    from docs2kg_spark.operators.tfidf import doc_tfidf_topk
+
+    d = _t(spark, sf_dir, "documents")
+    return doc_tfidf_topk(d, top_k=5).withColumnRenamed("id", "doc_id")
+
+
+# idf is rounded to 6dp BEFORE the tf multiply and the score again after,
+# identically on both sides, so both engines rank the same matrix (the
+# kmeans_centroids cross-engine playbook); ties break on the token string
+# (binary collation in both engines).
+SQL_DOC_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.id, tf.tok, tf.tf,
+         ROUND(tf.tf * ROUND(ln((1 + n_docs) / CAST(1 + df AS DOUBLE)) + 1.0, 6), 6) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+), ranked AS (
+  SELECT id AS doc_id, tok, CAST(tf AS BIGINT) AS tf, score,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, tok) AS rnk
+  FROM scored
+)
+SELECT doc_id, tok, tf, score, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 5
+"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    from docs2kg_spark.operators.tfidf import vocabulary_topn
+
+    return vocabulary_topn(_t(spark, sf_dir, "documents"), top_n=100)
+
+
+SQL_VOCAB_TOPK = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents
+)
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks WHERE tok <> ''
+GROUP BY tok ORDER BY n DESC, tok LIMIT 100
+"""
+
+
+def q_doc_resample(spark, sf_dir):
+    from docs2kg_spark.operators.sampling import weighted_keep
+    from docs2kg_spark.operators.text import quality_columns
+
+    d = _t(spark, sf_dir, "documents")
+    q = quality_columns("text")
+    scored = d.select("doc_id", F.round(q["quality"], 6).alias("quality"))
+    return weighted_keep(scored, "doc_id", "quality").select("doc_id", "quality")
+
+
+# keep iff bucket < floor(round(quality,6) * 65536): 65536 = 2^16 makes
+# the scaling EXACT in binary floating point, so the kept set is
+# engine-identical (see operators/sampling.py::weighted_keep)
+SQL_DOC_RESAMPLE = r"""
+WITH m AS (
+  SELECT doc_id, length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END AS n_tokens,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+         len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+  FROM documents
+), q AS (
+  SELECT doc_id, ROUND(0.4 * LEAST(n_chars / 500.0, 1.0)
+       + 0.3 * LEAST(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END * 2, 1.0)
+       + 0.3 * (1.0 - LEAST(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END * 4, 1.0)), 6) AS quality
+  FROM m
+)
+SELECT doc_id, quality FROM q
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|resample-v1'), 1, 4))::INT
+      < CAST(floor(ROUND(GREATEST(LEAST(quality, 1.0), 0.0), 6) * 65536) AS INT)
+"""
+
+
+def q_doc_lang_balance(spark, sf_dir):
+    from docs2kg_spark.operators.sampling import balance_by_class
+    from docs2kg_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    labeled = d.select("doc_id", lang_id("text").alias("pred_lang"))
+    return balance_by_class(labeled, "pred_lang", "doc_id").select("doc_id", "pred_lang")
+
+
+def _doc_lang_balance_sql() -> str:
+    """Downsample every predicted language to the smallest class's size:
+    keep iff bucket * class_n < 65536 * target — pure integer arithmetic,
+    composed on the mechanical lang-id twin."""
+    return f"""
+WITH lang AS ({_sql_lang_id_mechanical()}),
+counts AS (SELECT pred_lang, COUNT(*) AS class_n FROM lang GROUP BY 1),
+tgt AS (SELECT MIN(class_n) AS target FROM counts)
+SELECT l.doc_id, l.pred_lang
+FROM lang l JOIN counts c ON l.pred_lang = c.pred_lang CROSS JOIN tgt
+WHERE ('0x' || substr(md5(CAST(l.doc_id AS VARCHAR) || '|balance-v1'), 1, 4))::BIGINT * c.class_n
+      < CAST(65536 AS BIGINT) * tgt.target
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1576,6 +1682,12 @@ SPARK_QUERIES = {
     "contamination": q_contamination,
     # concat-and-chunk sequence packing (SQL-oracled)
     "doc_packing": q_doc_packing,
+    # term statistics: TF-IDF top-k per doc + corpus vocabulary (SQL-oracled)
+    "doc_tfidf": q_doc_tfidf,
+    "vocab_topk": q_vocab_topk,
+    # deterministic importance resampling + class rebalancing (SQL-oracled)
+    "doc_resample": q_doc_resample,
+    "doc_lang_balance": q_doc_lang_balance,
 }
 
 ORACLE_SQL = {
@@ -1649,4 +1761,8 @@ ORACLE_SQL = {
     "pii_scrub": SQL_PII_SCRUB,
     "contamination": SQL_CONTAMINATION,
     "doc_packing": SQL_DOC_PACKING,
+    "doc_tfidf": SQL_DOC_TFIDF,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "doc_resample": SQL_DOC_RESAMPLE,
+    "doc_lang_balance": _doc_lang_balance_sql(),
 }

@@ -1,0 +1,82 @@
+"""Corpus / key-distribution profiling — the diagnostics a 100 TB job
+runs BEFORE committing to a partitioning strategy.
+
+The reference has no profiling stage (its per-file loop never sees the
+corpus as a whole); these are the distributed-first additions that make
+the north_rule's "skew from hot entities and long conversations is
+handled explicitly" actionable: you salt what the profile shows is hot.
+
+- ``key_skew_profile``: top-N hottest keys of any column with their
+  share of total rows — the direct input to choosing ``relation_salts``
+  / AQE skew thresholds (functions/skew.py).  Scale shape: ONE hash
+  aggregate reduces the row stream to |distinct keys|; the top-N is
+  orderBy+limit = TakeOrdered (per-partition local top-N, only N rows
+  reach the driver); the total joins in as a broadcast single-row agg
+  over the SAME grouped exchange (Catalyst reuses it), never a global
+  window over the counts table (|keys| rows through one reducer).
+
+- ``length_quantiles``: exact per-group percentiles of a length-like
+  expression (p50/p90/p99 + count).  Exact (sort-based) percentile is
+  the oracle-comparable form; at petabyte scale swap in
+  ``F.percentile_approx`` (t-digest, one pass, mergeable) — same call
+  shape, documented trade: approx results are engine-specific and lose
+  the DuckDB twin.
+
+Both emit 6dp-rounded doubles so the DuckDB twins compare exactly
+(linear-interpolation percentiles and integer-ratio shares are
+deterministic given identical inputs in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(df: DataFrame, key_col: str, top_n: int = 20) -> DataFrame:
+    """→ (key, n, share, rnk): the ``top_n`` most frequent values of
+    ``key_col`` (nulls excluded — a null key never routes to a shuffle
+    partition), with ``share`` = n / total non-null rows rounded to 6dp
+    and ``rnk`` the 1-based hotness rank (count desc, key asc — a total
+    order, so the cut is deterministic)."""
+    counts = (
+        df.filter(F.col(key_col).isNotNull())
+        .groupBy(F.col(key_col).cast("string").alias("key"))
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    top = counts.orderBy(F.col("n").desc(), F.col("key").asc()).limit(top_n)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        )
+        .withColumn(
+            "rnk",
+            # window over the already-cut top-N relation: top_n rows through
+            # one task, never the full counts table
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("key").asc()))
+            .cast("int"),
+        )
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """→ (group, n_docs, p50, p90, p99): exact linear-interpolation
+    percentiles of ``length(text_col)`` per group.  Column names follow
+    the requested percentiles (p{int(q*100)})."""
+    ln = F.length(F.col(text_col))
+    aggs = [F.count("*").cast("bigint").alias("n_docs")]
+    for q in percentiles:
+        aggs.append(
+            F.round(F.percentile(ln, F.lit(q)), 6).alias(f"p{int(round(q * 100))}")
+        )
+    return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)

@@ -78,6 +78,53 @@ def doc_tfidf_topk(
     )
 
 
+def doc_unigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the KenLM-perplexity-filter stand-in (CCNet/Gopher
+    style quality signal: gibberish and boilerplate score far from the
+    corpus mode) → (id, n_tokens, avg_logprob).
+
+    Scale shape: token stream reduces to corpus counts in ONE hash agg;
+    the per-token logprob table is vocabulary-sized and joins back to the
+    (doc, token) tf table token-keyed (AQE broadcasts it when small);
+    documents with zero tokens carry no probability mass and are absent.
+
+    Cross-engine exactness: the per-token logprob is rounded to 6dp and
+    SCALED TO AN INTEGER (×10^6) before the per-doc sum — integer sums
+    are associative, so the result is independent of Spark's partial-agg
+    order AND bit-identical to the DuckDB twin, where a double sum over
+    an unspecified row order would not be.
+    """
+    toks = _tokens(documents, id_col, text_col)
+    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+
+    lp6 = F.round(F.log(F.col("n") / F.col("total")), 6)
+    lp_scaled = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.round(lp6 * 1_000_000).cast("long").alias("lp_i")
+    )
+    return (
+        tf.join(lp_scaled, on="tok")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_i")).alias("lp_sum"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                F.col("lp_sum").cast("double") / F.col("n_tokens") / 1_000_000.0, 6
+            ).alias("avg_logprob"),
+        )
+    )
+
+
 def vocabulary_topn(
     documents: DataFrame,
     id_col: str = "doc_id",

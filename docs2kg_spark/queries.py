@@ -1550,6 +1550,76 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT 100
 """
 
 
+def q_doc_logprob(spark, sf_dir):
+    from docs2kg_spark.operators.tfidf import doc_unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return doc_unigram_logprob(d).withColumnRenamed("id", "doc_id")
+
+
+# per-token logprob rounded to 6dp then scaled to an INTEGER before the
+# per-doc sum: integer sums are associative, so the value is independent
+# of either engine's aggregation order (see operators/tfidf.py)
+SQL_DOC_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2
+), vocab AS (
+  SELECT tok, SUM(tf) AS n FROM tf GROUP BY 1
+), tot AS (SELECT SUM(n) AS total FROM vocab),
+lp AS (
+  SELECT tok, CAST(ROUND(ROUND(ln(n / CAST(total AS DOUBLE)), 6) * 1000000) AS BIGINT) AS lp_i
+  FROM vocab CROSS JOIN tot
+)
+SELECT tf.id AS doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(tf.tf * lp.lp_i) AS DOUBLE) / SUM(tf.tf) / 1000000.0, 6) AS avg_logprob
+FROM tf JOIN lp USING (tok)
+GROUP BY tf.id
+"""
+
+
+def q_skew_profile(spark, sf_dir):
+    from docs2kg_spark.operators.profiling import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "orders"), "o_custkey", top_n=20)
+
+
+SQL_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS n
+  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+), tot AS (SELECT SUM(n) AS total FROM counts),
+top AS (
+  SELECT key, n, ROW_NUMBER() OVER (ORDER BY n DESC, key ASC) AS rnk
+  FROM counts ORDER BY n DESC, key ASC LIMIT 20
+)
+SELECT key, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(total AS DOUBLE), 6) AS share,
+       CAST(rnk AS INT) AS rnk
+FROM top CROSS JOIN tot
+"""
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    from docs2kg_spark.operators.profiling import length_quantiles
+
+    return length_quantiles(_t(spark, sf_dir, "documents"), "source", "text")
+
+
+SQL_DOC_LENGTH_QUANTILES = """
+SELECT source AS grp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(length(text), 0.5), 6) AS p50,
+       ROUND(quantile_cont(length(text), 0.9), 6) AS p90,
+       ROUND(quantile_cont(length(text), 0.99), 6) AS p99
+FROM documents
+GROUP BY source
+"""
+
+
 def q_doc_resample(spark, sf_dir):
     from docs2kg_spark.operators.sampling import weighted_keep
     from docs2kg_spark.operators.text import quality_columns
@@ -1688,6 +1758,10 @@ SPARK_QUERIES = {
     # deterministic importance resampling + class rebalancing (SQL-oracled)
     "doc_resample": q_doc_resample,
     "doc_lang_balance": q_doc_lang_balance,
+    # corpus-model quality scoring + distribution profiling (SQL-oracled)
+    "doc_logprob": q_doc_logprob,
+    "skew_profile": q_skew_profile,
+    "doc_length_quantiles": q_doc_length_quantiles,
 }
 
 ORACLE_SQL = {
@@ -1765,4 +1839,7 @@ ORACLE_SQL = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "doc_resample": SQL_DOC_RESAMPLE,
     "doc_lang_balance": _doc_lang_balance_sql(),
+    "doc_logprob": SQL_DOC_LOGPROB,
+    "skew_profile": SQL_SKEW_PROFILE,
+    "doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
 }

@@ -14,9 +14,10 @@ over a deterministically synthesized transcript table sized to the SF.
 --pipeline-only : run just the KG pipeline, print its JSON (used by the
                   scaling mode so each parallelism level gets a fresh JVM).
 --scaling       : run --pipeline-only at local[8] and local[32] in
-                  subprocesses and write BENCH/BASELINE.md with
-                  throughput at both + scaling efficiency
-                  (the sandbox stand-in for N vs 4N executors).
+                  subprocesses and write BENCH/span_{N}_{4N}.{md,json}
+                  with throughput at both + scaling efficiency
+                  (the sandbox stand-in for N vs 4N executors;
+                  BENCH/BASELINE.md is hand-curated from the spans).
 --scaling-busmatched : the bus-load-matched variant of --scaling: the
                   low level is 4 CONCURRENT local[N] copies pinned to
                   disjoint core sets (same aggregate DRAM-bus load as

@@ -38,6 +38,63 @@ def _pack_hash(id_str: Column) -> Column:
     return F.md5(F.concat(id_str, F.lit("|pack-v1")))
 
 
+def chunk_examples(
+    examples: DataFrame,
+    token_col: str,
+    budget: int,
+    n_shards: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, shard, n_tokens, n_windows, win_first, pad_tokens) —
+    boundary-respecting chunking: each example (a document, or a whole
+    conversation whose turns were already concatenated) is chunked into
+    ``ceil(tokens/budget)`` windows of its own; no window ever contains
+    two examples.  This is the no-cross-example-attention layout SFT
+    pipelines use, the complement of :func:`pack_documents`'s
+    concat-and-chunk (which trades isolation for zero padding).
+
+    - every example yields ≥1 window (a zero/short example is one padded
+      window); ``pad_tokens`` is the padding wasted in its last window —
+      aggregate it for the padding-efficiency corpus stat;
+    - window ids are globally unique as (shard, win_first + k): examples
+      hash to a deterministic shard and ``win_first`` is the shard-local
+      running sum of preceding window counts, so the layout is a pure
+      function of (ids, token counts, budget, n_shards) — repartition-
+      and resume-stable for the same reason pack_documents is, and the
+      only shuffle is the same PARTITION BY shard window (never a global
+      ORDER BY).
+    """
+    id_str = F.col(id_col).cast("string")
+    shard = (
+        F.conv(F.substring(_pack_hash(id_str), 1, 4), 16, 10).cast("long") % n_shards
+    )
+    n_windows = F.greatest(
+        F.expr(f"(_toks + {budget} - 1) DIV {budget}"), F.lit(1).cast("long")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(_pack_hash(id_str), id_str)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        examples.select(
+            F.col(id_col),
+            shard.alias("shard"),
+            F.col(token_col).cast("long").alias("_toks"),
+        )
+        .withColumn("_nw", n_windows)
+        .withColumn("_cumw", F.sum("_nw").over(w))
+        .select(
+            id_col,
+            "shard",
+            F.col("_toks").alias("n_tokens"),
+            F.col("_nw").cast("long").alias("n_windows"),
+            (F.col("_cumw") - F.col("_nw")).cast("long").alias("win_first"),
+            (F.col("_nw") * budget - F.col("_toks")).cast("long").alias("pad_tokens"),
+        )
+    )
+
+
 def pack_documents(
     documents: DataFrame,
     token_col: str,

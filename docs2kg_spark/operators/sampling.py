@@ -141,6 +141,53 @@ def balance_by_class(
     return out.filter(keep).drop("_class_n", "_target")
 
 
+def sqrt_temperature_mixture(
+    df: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """→ (grp, n_docs, weight, sample_rate): α=0.5 temperature-scaled
+    mixture weights per group — the multilingual-corpus rebalancing rule
+    (sampling probability ∝ n^α flattens the head and boosts the tail;
+    α=0.5 is the common published setting).  ``weight`` is the group's
+    share of the α-scaled mass; ``sample_rate`` = min(1, weight·N/n) is
+    the per-row keep probability that realizes the mixture at the same
+    corpus size (feed it to ``weighted_keep``).
+
+    α is FIXED at 0.5 because IEEE-754 requires sqrt to be correctly
+    rounded — both engines produce the bit-identical double, unlike
+    pow(n, α) whose last ulp is libm-specific.  The α-mass sum is made
+    associative the same way operators/tfidf.py's logprob sum is: each
+    sqrt is rounded to 6dp and scaled to an INTEGER before summing, so
+    the result is independent of Spark's partial-agg order and exact in
+    the DuckDB twin.
+
+    Plan shape: ONE hash aggregate reduces the corpus to |groups| rows;
+    everything after is arithmetic over that tiny relation (the two
+    single-row totals broadcast in).
+    """
+    counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    scaled = counts.withColumn(
+        "_s", F.round(F.round(F.sqrt(F.col("n_docs")), 6) * 1_000_000).cast("long")
+    )
+    tot = scaled.agg(
+        F.sum("_s").alias("_mass"), F.sum("n_docs").alias("_n_total")
+    )
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(F.col("_s") / F.col("_mass"), 6).alias("weight"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                (F.col("_s") / F.col("_mass")) * F.col("_n_total") / F.col("n_docs"),
+            ),
+            6,
+        ).alias("sample_rate"),
+    )
+
+
 def split_sql(table: str, id_col: str, weights: dict[str, float] | None = None, salt: str = "split-v1") -> str:
     """DuckDB twin of hash_split — the same md5 hex-bucket predicate."""
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}

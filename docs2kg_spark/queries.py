@@ -1620,6 +1620,102 @@ GROUP BY source
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition table of event_type sequences per
+    user (ts + event_id = a total order) — the tool-chain / funnel-flow
+    profile of an agent-trace corpus."""
+    from docs2kg_spark.operators.sequences import transition_counts
+
+    e = _t(spark, sf_dir, "events")
+    return transition_counts(e, "user_id", ["ts", "event_id"], "event_type")
+
+
+SQL_EVENT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+), counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+)
+SELECT src, dst, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS prob
+FROM counts
+"""
+
+
+def q_source_mixture(spark, sf_dir):
+    """Grouped by lang (the skewed column in the synthetic corpus —
+    en dominates) so the α=0.5 flattening is non-vacuous: the head lang
+    gets sample_rate < 1, tail langs are boosted to the cap."""
+    from docs2kg_spark.operators.sampling import sqrt_temperature_mixture
+
+    return sqrt_temperature_mixture(_t(spark, sf_dir, "documents"), "lang")
+
+
+# sqrt is IEEE-correctly-rounded in both engines (pow is not — that is
+# why α is pinned at 0.5), and the α-mass sum is integer-scaled so it
+# is associative; see operators/sampling.py::sqrt_temperature_mixture
+SQL_SOURCE_MIXTURE = """
+WITH counts AS (
+  SELECT lang AS grp, COUNT(*) AS n_docs FROM documents GROUP BY 1
+), scaled AS (
+  SELECT grp, n_docs,
+         CAST(ROUND(ROUND(sqrt(n_docs), 6) * 1000000) AS BIGINT) AS s
+  FROM counts
+), tot AS (SELECT SUM(s) AS mass, SUM(n_docs) AS n_total FROM scaled)
+SELECT grp, CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(s / CAST(mass AS DOUBLE), 6) AS weight,
+       ROUND(LEAST(1.0, s / CAST(mass AS DOUBLE) * n_total / n_docs), 6) AS sample_rate
+FROM scaled CROSS JOIN tot
+"""
+
+
+def q_doc_chunking(spark, sf_dir):
+    """Boundary-respecting chunking (the SFT layout: no window spans two
+    examples) — same token convention / budget / shards as doc_packing
+    so the two layouts are directly comparable."""
+    from docs2kg_spark.operators.packing import chunk_examples
+    from docs2kg_spark.operators.text import whitespace_token_count
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_token_count("text").alias("n_tok")
+    )
+    return chunk_examples(d, "n_tok", budget=512, n_shards=16).select(
+        "doc_id",
+        F.col("shard").cast("bigint").alias("shard"),
+        "n_tokens",
+        "n_windows",
+        "win_first",
+        "pad_tokens",
+    )
+
+
+SQL_DOC_CHUNKING = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '[ \t\n\r\f\x0B]+')) END AS n_tok,
+         md5(CAST(doc_id AS VARCHAR) || '|pack-v1') AS h
+  FROM documents
+), sharded AS (
+  SELECT doc_id, n_tok, h,
+         ('0x' || substr(h, 1, 4))::UBIGINT % 16 AS shard,
+         greatest((n_tok + 511) // 512, 1) AS nw
+  FROM toks
+), cum AS (
+  SELECT doc_id, shard, CAST(n_tok AS BIGINT) AS n_tokens, CAST(nw AS BIGINT) AS n_windows,
+         SUM(nw) OVER (PARTITION BY shard ORDER BY h, CAST(doc_id AS VARCHAR)
+                       ROWS UNBOUNDED PRECEDING) AS cw
+  FROM sharded
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, n_windows,
+       CAST(cw - n_windows AS BIGINT) AS win_first,
+       CAST(n_windows * 512 - n_tokens AS BIGINT) AS pad_tokens
+FROM cum
+"""
+
+
 def q_doc_resample(spark, sf_dir):
     from docs2kg_spark.operators.sampling import weighted_keep
     from docs2kg_spark.operators.text import quality_columns
@@ -1762,6 +1858,10 @@ SPARK_QUERIES = {
     "doc_logprob": q_doc_logprob,
     "skew_profile": q_skew_profile,
     "doc_length_quantiles": q_doc_length_quantiles,
+    # sequence mining + mixture weighting + SFT chunk layout (SQL-oracled)
+    "event_transitions": q_event_transitions,
+    "source_mixture": q_source_mixture,
+    "doc_chunking": q_doc_chunking,
 }
 
 ORACLE_SQL = {
@@ -1842,4 +1942,7 @@ ORACLE_SQL = {
     "doc_logprob": SQL_DOC_LOGPROB,
     "skew_profile": SQL_SKEW_PROFILE,
     "doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
+    "event_transitions": SQL_EVENT_TRANSITIONS,
+    "source_mixture": SQL_SOURCE_MIXTURE,
+    "doc_chunking": SQL_DOC_CHUNKING,
 }

@@ -421,3 +421,83 @@ def doc_dedup_keep(
     return documents.join(
         keep, on=F.col(id_col).cast("string") == F.col("_keep_id"), how="left_semi"
     )
+
+
+# --------------------------------------------------------------------------
+# duplicated-substring profiling (exact-substring dedup, gram-granular)
+# --------------------------------------------------------------------------
+
+def dup_span_profile(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """→ (doc_id, n_grams, n_dup_grams, dup_fraction): per-document
+    share of word-``n``-gram positions whose gram also occurs in at
+    least ``min_df`` DISTINCT documents — the gram-granular form of
+    exact-substring deduplication (the published suffix-array method's
+    per-document duplication profile, scored at fixed-length windows so
+    it distributes).  High ``dup_fraction`` docs are boilerplate /
+    template / mirror candidates; the profile is the input to choosing
+    a removal threshold, the way repetition signals feed quality
+    filtering.
+
+    Tokenization is byte-identical to :func:`ngram_jaccard_pairs` /
+    contamination (lower + trim + ``WS_RE`` split — the pinned
+    dialect-identical whitespace class).  Documents shorter than ``n``
+    tokens contribute their single sub-``n`` gram (same convention as
+    ``contamination.word_ngrams``); empty/whitespace docs have
+    ``n_grams = 0`` and ``dup_fraction = 0.0``.
+
+    Scale shape (100 TB):
+    - gram generation is a narrow ``transform``+``explode`` over the
+      pruned (id, text) scan — no shuffle;
+    - occurrences collapse to (doc, gram, occ) FIRST (shuffle 1, with
+      map-side partial agg), so a document repeating one gram a million
+      times ships one row into everything downstream;
+    - the distinct-document frequency is ``count(*)`` over a
+      PARTITION BY gram window on that deduped relation (shuffle 2) —
+      one row per (doc, gram) means the plain count IS the distinct doc
+      count, no countDistinct expansion;
+    - the per-doc rollup aggregates the same deduped rows (shuffle 3).
+      All three shuffles move (gram, doc) pairs, never raw text; at
+      petabyte scale substitute ``xxhash64(gram)`` for the gram string
+      to fix the shuffle key at 8 bytes (kept as the string here so the
+      DuckDB twin is value-exact).
+    """
+    from pyspark.sql import Window
+
+    toks = ensure_min_parallelism(documents).select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text_col))), WS_RE).alias("toks"),
+    )
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("gram"),
+    ).filter(F.length("gram") > 0)
+    pairs = grams.groupBy("id", "gram").agg(F.count("*").alias("occ"))
+    flagged = pairs.withColumn(
+        "df", F.count("*").over(Window.partitionBy("gram"))
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.sum("occ").alias("n_grams"),
+        F.coalesce(
+            F.sum(F.when(F.col("df") >= min_df, F.col("occ"))), F.lit(0)
+        ).alias("n_dup"),
+    )
+    ids = documents.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.round(
+            F.coalesce(F.col("n_dup") / F.col("n_grams"), F.lit(0.0)), 6
+        ).alias("dup_fraction"),
+    )

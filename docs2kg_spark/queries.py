@@ -1716,6 +1716,39 @@ FROM cum
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    """Gram-granular exact-substring duplication profile (per-doc share
+    of word-8-gram positions repeated across ≥2 distinct docs) — the
+    distributed stand-in for suffix-array substring dedup."""
+    from docs2kg_spark.operators.dedup import dup_span_profile
+
+    return dup_span_profile(_t(spark, sf_dir, "documents"), n=8, min_df=2)
+
+
+SQL_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+  FROM toks, unnest(range(1, greatest(len(w) - 8, 0) + 2)) AS t(i)
+), pairs AS (
+  SELECT doc_id, gram, COUNT(*) AS occ FROM grams WHERE len(gram) > 0 GROUP BY 1, 2
+), flagged AS (
+  SELECT doc_id, occ, COUNT(*) OVER (PARTITION BY gram) AS df FROM pairs
+), per_doc AS (
+  SELECT doc_id, SUM(occ) AS n_grams,
+         COALESCE(SUM(occ) FILTER (WHERE df >= 2), 0) AS n_dup
+  FROM flagged GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       ROUND(COALESCE(p.n_dup / CAST(p.n_grams AS DOUBLE), 0.0), 6) AS dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_doc_resample(spark, sf_dir):
     from docs2kg_spark.operators.sampling import weighted_keep
     from docs2kg_spark.operators.text import quality_columns
@@ -1862,6 +1895,7 @@ SPARK_QUERIES = {
     "event_transitions": q_event_transitions,
     "source_mixture": q_source_mixture,
     "doc_chunking": q_doc_chunking,
+    "dup_spans": q_dup_spans,
 }
 
 ORACLE_SQL = {
@@ -1945,4 +1979,5 @@ ORACLE_SQL = {
     "event_transitions": SQL_EVENT_TRANSITIONS,
     "source_mixture": SQL_SOURCE_MIXTURE,
     "doc_chunking": SQL_DOC_CHUNKING,
+    "dup_spans": SQL_DUP_SPANS,
 }

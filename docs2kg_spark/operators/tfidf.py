@@ -25,7 +25,7 @@ token-count/packing twins (bare \\s diverges across engines on U+000B).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from docs2kg_spark.functions.ids import WS_RE
@@ -142,4 +142,82 @@ def vocabulary_topn(
         .orderBy(F.col("n").desc(), F.col("tok").asc())
         .limit(top_n)
         .select("tok", F.col("n").cast("bigint").alias("n"))
+    )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169) scored with unigram bag-of-words features:
+    per-document mean log importance ratio log(p_target/p_raw) under
+    Laplace-smoothed unigram models, where the target model is fit on
+    the rows matching the ``target`` predicate and the raw model on the
+    whole corpus → (id, n_tokens, avg_llr).  Rank by ``avg_llr`` (or
+    feed ``exp(avg_llr)`` to ``sampling.weighted_keep``) to select
+    corpus data distributed like the target slice.
+
+    Smoothing: add-1 over the RAW vocabulary V (the target slice is a
+    subset of the corpus, so its vocabulary is a subset of V and every
+    ratio is finite):  p_t = (c_t+1)/(N_t+V),  p_r = (c_r+1)/(N_r+V).
+
+    Scale shape: the token stream collapses to (doc, tok, tf) in one
+    hash agg; BOTH models come out of a single vocabulary-sized agg over
+    it (sum + filtered sum — the target model is a conditional sum, not
+    a second corpus pass); the per-token log-ratio table is
+    vocabulary-sized and joins back token-keyed (AQE broadcasts it when
+    small).  Zero-token documents carry no mass and are absent, same as
+    :func:`doc_unigram_logprob`.
+
+    Cross-engine exactness: same recipe as ``doc_unigram_logprob`` —
+    the log argument is one double division of two exactly-representable
+    integer products, the log-ratio is rounded to 6dp and integer-scaled
+    before the per-doc sum, so the sum is associative and bit-identical
+    to the DuckDB twin.
+    """
+    tagged = documents.select(
+        F.col(id_col).alias("id"),
+        target.alias("tgt"),
+        F.col(text_col).alias("_text"),
+    )
+    toks = tagged.select(
+        "id",
+        "tgt",
+        F.explode(F.split(F.trim(F.lower(F.col("_text"))), WS_RE)).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("id", "tgt", "tok").agg(F.count("*").alias("tf"))
+    vocab = tf.groupBy("tok").agg(
+        F.sum("tf").alias("n_r"),
+        F.coalesce(F.sum(F.when(F.col("tgt"), F.col("tf"))), F.lit(0)).alias("n_t"),
+    )
+    tot = vocab.agg(
+        F.sum("n_r").alias("NR"), F.sum("n_t").alias("NT"), F.count("*").alias("V")
+    )
+    llr6 = F.round(
+        F.log(
+            ((F.col("n_t") + 1) * (F.col("NR") + F.col("V")))
+            / ((F.col("n_r") + 1) * (F.col("NT") + F.col("V")))
+        ),
+        6,
+    )
+    lp = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok", F.round(llr6 * 1_000_000).cast("long").alias("lp_i")
+    )
+    return (
+        tf.join(lp, on="tok")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lp_i")).alias("lp_sum"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            F.round(
+                F.col("lp_sum").cast("double") / F.col("n_tokens") / 1_000_000.0, 6
+            ).alias("avg_llr"),
+        )
     )

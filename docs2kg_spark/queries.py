@@ -1749,6 +1749,43 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights with the en-language slice as the target
+    distribution — en is the corpus head (218/500 at sf0.01), so both
+    models are well-populated and the log-ratios are non-degenerate."""
+    from docs2kg_spark.operators.tfidf import dsir_weights
+
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(d, target=F.col("lang") == "en").select(
+        F.col("id").alias("doc_id"), "n_tokens", "avg_llr"
+    )
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id AS id, (lang = 'en') AS tgt,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT id, tgt, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2, 3
+), vocab AS (
+  SELECT tok, SUM(tf) AS n_r,
+         COALESCE(SUM(tf) FILTER (WHERE tgt), 0) AS n_t
+  FROM tf GROUP BY 1
+), tot AS (SELECT SUM(n_r) AS nr, SUM(n_t) AS nt, COUNT(*) AS v FROM vocab),
+lp AS (
+  SELECT tok,
+         CAST(ROUND(ROUND(ln(((n_t + 1) * (nr + v)) / CAST((n_r + 1) * (nt + v) AS DOUBLE)), 6) * 1000000) AS BIGINT) AS lp_i
+  FROM vocab CROSS JOIN tot
+)
+SELECT tf.id AS doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(tf.tf * lp.lp_i) AS DOUBLE) / SUM(tf.tf) / 1000000.0, 6) AS avg_llr
+FROM tf JOIN lp USING (tok)
+GROUP BY tf.id
+"""
+
+
 def q_doc_resample(spark, sf_dir):
     from docs2kg_spark.operators.sampling import weighted_keep
     from docs2kg_spark.operators.text import quality_columns
@@ -1896,6 +1933,7 @@ SPARK_QUERIES = {
     "source_mixture": q_source_mixture,
     "doc_chunking": q_doc_chunking,
     "dup_spans": q_dup_spans,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLE_SQL = {
@@ -1980,4 +2018,5 @@ ORACLE_SQL = {
     "source_mixture": SQL_SOURCE_MIXTURE,
     "doc_chunking": SQL_DOC_CHUNKING,
     "dup_spans": SQL_DUP_SPANS,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }

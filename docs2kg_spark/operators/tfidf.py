@@ -100,8 +100,20 @@ def doc_unigram_logprob(
     an unspecified row order would not be.
     """
     toks = _tokens(documents, id_col, text_col)
-    tf = toks.groupBy("id", "tok").agg(F.count("*").alias("tf"))
-    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("n"))
+    # tf is consumed twice (model fit + per-doc join) and vocab twice
+    # (total + logprob table): checkpoint both so the corpus is scanned
+    # and token-exploded ONCE — Spark re-executes shared subtrees per
+    # consumer otherwise (ReuseExchange does not span AQE subqueries),
+    # which at 100 TB means re-reading the corpus per use.  Lazy, so
+    # nothing materializes until the first action.
+    tf = (
+        toks.groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        tf.groupBy("tok").agg(F.sum("tf").alias("n")).localCheckpoint(eager=False)
+    )
     total = vocab.agg(F.sum("n").alias("total"))
 
     lp6 = F.round(F.log(F.col("n") / F.col("total")), 6)
@@ -188,11 +200,18 @@ def dsir_weights(
         "tgt",
         F.explode(F.split(F.trim(F.lower(F.col("_text"))), WS_RE)).alias("tok"),
     ).filter(F.col("tok") != "")
-    tf = toks.groupBy("id", "tgt", "tok").agg(F.count("*").alias("tf"))
+    # same exchange-reuse discipline as doc_unigram_logprob: tf and
+    # vocab each feed two consumers — checkpoint so the corpus is
+    # scanned and exploded once, not three times.
+    tf = (
+        toks.groupBy("id", "tgt", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     vocab = tf.groupBy("tok").agg(
         F.sum("tf").alias("n_r"),
         F.coalesce(F.sum(F.when(F.col("tgt"), F.col("tf"))), F.lit(0)).alias("n_t"),
-    )
+    ).localCheckpoint(eager=False)
     tot = vocab.agg(
         F.sum("n_r").alias("NR"), F.sum("n_t").alias("NT"), F.count("*").alias("V")
     )

@@ -102,6 +102,36 @@ def lsh_bucketed_topk(
     )
 
 
+def _centroid_rows(
+    embeddings: DataFrame,
+    centroids: DataFrame | None,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> list[dict]:
+    """k×dim bounded collect of the centroid matrix: either the explicit
+    long-format (cid, dim, val) table kmeans_refine returns, or the
+    deterministic min-id seeds (no k-means iterations, so the oracle SQL
+    can replicate the exact assignment)."""
+    if centroids is not None:
+        # kmeans_refine long format → dense rows; cids stay whatever the
+        # trainer produced (ints), dims reassembled in order
+        long_rows = centroids.select("cid", "dim", "val").collect()
+        by_cid: dict = {}
+        for r in long_rows:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["val"]
+        return [
+            {"cid": cid, "centv": [dims[k] for k in sorted(dims)]}
+            for cid, dims in sorted(by_cid.items())
+        ]
+    return (
+        embeddings.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centv"))
+        .collect()
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -132,24 +162,7 @@ def ivf_topk(
     which shuffled the full expansion; round-1 advice item 5).  The
     probe join is an equi-join on centroid id, so cost is the sum over
     probed lists, not |Q|×|C|."""
-    if centroids is not None:
-        # kmeans_refine long format → dense rows; cids stay whatever the
-        # trainer produced (ints), dims reassembled in order
-        long_rows = centroids.select("cid", "dim", "val").collect()
-        by_cid: dict = {}
-        for r in long_rows:
-            by_cid.setdefault(r["cid"], {})[r["dim"]] = r["val"]
-        cent_rows = [
-            {"cid": cid, "centv": [dims[k] for k in sorted(dims)]}
-            for cid, dims in sorted(by_cid.items())
-        ]
-    else:
-        cent_rows = (
-            embeddings.orderBy(F.col(id_col).asc())
-            .limit(n_centroids)
-            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("centv"))
-            .collect()
-        )
+    cent_rows = _centroid_rows(embeddings, centroids, n_centroids, id_col, vec_col)
 
     def nearest(df, vec_alias, keep_n):
         # array of (−ccos, cid) structs; ascending sort == (ccos desc,
@@ -295,4 +308,100 @@ def kmeans_refine_sql(
 SELECT CAST(cid AS INT) AS cid, CAST(k - 1 AS INT) AS dim, v[k] AS val, n
 FROM c{iters}, unnest(generate_series(1, {dim})) AS t(k)
 """
+    )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    tau: float = 0.3,
+    centroids: DataFrame | None = None,
+    cfg=None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and removing within-cluster
+    cosine near-duplicates → (vec_id, cid, cos_c, canonical_id, kept).
+
+    Faithful to the paper's shape: (1) k-means cluster assignment (seed
+    centroids by min-id, or pass ``centroids`` = the long-format table
+    ``kmeans_refine`` returns, same seam as ``ivf_topk``); (2) pairwise
+    cosine INSIDE each cluster only; (3) duplicate groups (connected
+    components of the ≥τ pair graph — components can't cross clusters
+    since edges don't) keep the member with the LOWEST similarity to its
+    cluster centroid (the paper's keep rule; ties broken by id).
+    ``kept`` marks survivors; singletons keep themselves.
+
+    Scale shape: assignment is the same narrow per-row argmax over
+    centroid literals as ``ivf_topk`` (no shuffle, no |C|×k expansion);
+    the pair join is an equi-join on cluster id, so cost is Σ|cluster|²
+    — the paper's own scaling argument is that k grows with the corpus
+    so cluster sizes stay bounded (for us: pick n_clusters ∝ N, and
+    the key-skew profiler flags hot clusters before they hurt);
+    components run on the ≥τ edges only via the hybrid CC used
+    everywhere else.  τ defaults to 0.3 because the synthetic embedding
+    fixture has no true near-duplicates (max pairwise cosine ≈ 0.51) —
+    real corpora use ≈0.95+; the knob, not the plan, changes.
+    """
+    from docs2kg_spark.config import PipelineConfig
+    from docs2kg_spark.operators.linking import connected_components
+
+    cent_rows = _centroid_rows(embeddings, centroids, n_clusters, id_col, vec_col)
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -cosine_expr(
+                        F.col("v"), F.array(*[F.lit(float(x)) for x in row["centv"]])
+                    )
+                ).alias("neg"),
+                F.lit(row["cid"]).alias("cid"),
+            )
+            for row in cent_rows
+        ]
+    )
+    top1 = F.sort_array(scored)[0]
+    # consumed three times (both sides of the pair join + final output):
+    # checkpoint so the corpus is scanned and assigned once
+    assigned = (
+        ensure_min_parallelism(
+            embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        )
+        .withColumn("_t", top1)
+        .select(
+            "vec_id",
+            "v",
+            F.col("_t.cid").alias("cid"),
+            F.round(-F.col("_t.neg"), 6).alias("cos_c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = assigned.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "cid")
+    b = assigned.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "cid")
+    edges = (
+        a.join(b, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .filter(cosine_expr(F.col("va"), F.col("vb")) >= tau)
+        .select(
+            F.col("a").cast("string").alias("a"), F.col("b").cast("string").alias("b")
+        )
+    )
+    nodes = assigned.select(F.col("vec_id").cast("string").alias("node_id"))
+    comp = connected_components(nodes, edges, cfg or PipelineConfig())
+    labeled = assigned.join(
+        comp, assigned["vec_id"].cast("string") == comp["node_id"]
+    ).select("vec_id", "cid", "cos_c", F.col("canonical_id").alias("comp"))
+    w = Window.partitionBy("comp").orderBy(F.col("cos_c").asc(), F.col("vec_id").asc())
+    surv = (
+        labeled.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("comp", F.col("vec_id").alias("canonical_id"))
+    )
+    return labeled.join(surv, "comp").select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cid"),
+        "cos_c",
+        F.col("canonical_id").cast("bigint").alias("canonical_id"),
+        (F.col("vec_id") == F.col("canonical_id")).alias("kept"),
     )

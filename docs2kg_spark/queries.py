@@ -1786,6 +1786,54 @@ GROUP BY tf.id
 """
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup over the embeddings table: 16 min-id-seeded clusters,
+    within-cluster cosine ≥ 0.3 duplicate groups, keep the member least
+    similar to its centroid.  τ=0.3 because the synthetic embeddings
+    have no true near-dups (max pairwise cos ≈ 0.51) — non-vacuous at
+    both SFs (≥180 within-cluster pairs)."""
+    from docs2kg_spark.operators.similarity import semdedup
+
+    return semdedup(_t(spark, sf_dir, "embeddings"), n_clusters=16, tau=0.3)
+
+
+SQL_SEMDEDUP = """
+WITH RECURSIVE cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS centv FROM embeddings ORDER BY vec_id LIMIT 16
+), emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), assigned AS MATERIALIZED (
+  SELECT vec_id, v, cid, ROUND(ccos, 6) AS cos_c FROM (
+    SELECT e.vec_id, e.v, c.cid, list_cosine_similarity(e.v, c.centv) AS ccos,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.centv) DESC, c.cid ASC) AS r
+    FROM emb e CROSS JOIN cents c) WHERE r = 1
+), sd_edges AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+), sd_sym AS (SELECT a, b FROM sd_edges UNION SELECT b, a FROM sd_edges),
+sd_reach(n, c) AS (
+  SELECT a, a FROM sd_sym
+  UNION
+  SELECT s.b, r.c FROM sd_reach r JOIN sd_sym s ON s.a = r.n
+), sd_comp AS (SELECT n AS vec_id, MIN(c) AS comp FROM sd_reach GROUP BY 1),
+labeled AS (
+  SELECT x.vec_id, x.cid, x.cos_c, COALESCE(cp.comp, x.vec_id) AS comp
+  FROM assigned x LEFT JOIN sd_comp cp USING (vec_id)
+), surv AS (
+  SELECT comp, vec_id AS canonical_id FROM (
+    SELECT comp, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY comp ORDER BY cos_c ASC, vec_id ASC) AS r
+    FROM labeled) WHERE r = 1
+)
+SELECT l.vec_id, CAST(l.cid AS BIGINT) AS cid, l.cos_c,
+       CAST(s.canonical_id AS BIGINT) AS canonical_id,
+       (l.vec_id = s.canonical_id) AS kept
+FROM labeled l JOIN surv s USING (comp)
+"""
+
+
 def q_doc_resample(spark, sf_dir):
     from docs2kg_spark.operators.sampling import weighted_keep
     from docs2kg_spark.operators.text import quality_columns
@@ -1934,6 +1982,7 @@ SPARK_QUERIES = {
     "doc_chunking": q_doc_chunking,
     "dup_spans": q_dup_spans,
     "dsir_weights": q_dsir_weights,
+    "semdedup": q_semdedup,
 }
 
 ORACLE_SQL = {
@@ -2019,4 +2068,5 @@ ORACLE_SQL = {
     "doc_chunking": SQL_DOC_CHUNKING,
     "dup_spans": SQL_DUP_SPANS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "semdedup": SQL_SEMDEDUP,
 }

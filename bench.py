@@ -193,6 +193,14 @@ HEADLINE = [
     "doc_lang_balance",
     "doc_logprob",
     "skew_profile",
+    # round-3 additions: sequence mining, mixture weighting, SFT
+    # chunking, substring-dup profiling, DSIR selection, SemDeDup
+    "event_transitions",
+    "source_mixture",
+    "doc_chunking",
+    "dup_spans",
+    "dsir_weights",
+    "semdedup",
 ]
 
 

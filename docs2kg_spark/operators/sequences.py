@@ -59,3 +59,77 @@ def transition_counts(
             F.round(F.col("n") / F.col("_tot"), 6).alias("prob"),
         )
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """→ (step, step_name, users): ordered-funnel analysis — for each
+    prefix of ``steps``, how many keys (users / conversations) performed
+    those states IN ORDER (as a subsequence of their state stream, other
+    states freely interleaved).  The classic product-analytics funnel
+    and the agent-trace analog (plan → act → observe completion rates).
+
+    Progress is computed by a greedy earliest-match fold, which is the
+    optimal subsequence matcher: per key, events are restricted to the
+    step states, sorted by ``order_cols`` (pass a unique tiebreaker
+    last), mapped to their 1-based step index, and folded with
+    ``acc' = acc+1 if x == acc+1 else acc`` — a JVM-side higher-order
+    ``aggregate``, no UDF.
+
+    Scale shape: the ONLY shuffle is the per-key groupBy; events that
+    are not funnel steps are filtered BEFORE collect_list, so the
+    per-key array is bounded by the key's step-event count, not its
+    total activity (a hot key with millions of irrelevant events ships
+    nothing).  The per-key progress relation then collapses to ONE
+    row via a single conditional aggregate; the (step, users) unpivot
+    is over that row.  Counts are integers — engine-exact.
+    """
+    n = len(steps)
+    p = F.when(F.col(state_col) == steps[0], 1)
+    for i, s in enumerate(steps[1:], start=2):
+        p = p.when(F.col(state_col) == s, i)
+    p = p.otherwise(0)
+    seqs = (
+        events.select(
+            F.col(key_col).alias("key"),
+            *[F.col(c).alias(f"_o{i}") for i, c in enumerate(order_cols)],
+            p.alias("p"),
+        )
+        .filter(F.col("p") > 0)
+        .groupBy("key")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        *[F.col(f"_o{i}") for i in range(len(order_cols))], F.col("p")
+                    )
+                )
+            ).alias("seq")
+        )
+    )
+    prog = seqs.select(
+        F.aggregate(
+            F.transform("seq", lambda s: s["p"]),
+            F.lit(0),
+            lambda acc, x: F.when(x == acc + 1, acc + 1).otherwise(acc),
+        ).alias("progress")
+    )
+    wide = prog.agg(
+        *[
+            F.sum(F.when(F.col("progress") >= k, 1).otherwise(0)).alias(f"_s{k}")
+            for k in range(1, n + 1)
+        ]
+    )
+    stack = ", ".join(f"{k}, '{steps[k - 1]}', _s{k}" for k in range(1, n + 1))
+    return wide.select(
+        F.expr(f"stack({n}, {stack}) AS (step, step_name, users)")
+    ).select(
+        F.col("step").cast("bigint").alias("step"),
+        "step_name",
+        F.col("users").cast("bigint").alias("users"),
+    )

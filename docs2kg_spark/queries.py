@@ -1834,6 +1834,44 @@ FROM labeled l JOIN surv s USING (comp)
 """
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user (greedy subsequence
+    match over the (ts, event_id)-ordered event stream)."""
+    from docs2kg_spark.operators.sequences import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        order_cols=["ts", "event_id"],
+        state_col="event_type",
+        steps=["view", "click", "purchase"],
+    )
+
+
+SQL_FUNNEL = """
+WITH mapped AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 0 END AS p
+  FROM events
+), seqs AS (
+  SELECT user_id, list_prepend(0, array_agg(p ORDER BY ts, event_id)) AS l
+  FROM mapped WHERE p > 0 GROUP BY 1
+), prog AS (
+  SELECT list_reduce(l, (a, x) -> CASE WHEN x = a + 1 THEN a + 1 ELSE a END) AS progress
+  FROM seqs
+)
+SELECT step, step_name, CAST(users AS BIGINT) AS users FROM (
+  SELECT 1 AS step, 'view' AS step_name,
+         COUNT(*) FILTER (WHERE progress >= 1) AS users FROM prog
+  UNION ALL
+  SELECT 2, 'click', COUNT(*) FILTER (WHERE progress >= 2) FROM prog
+  UNION ALL
+  SELECT 3, 'purchase', COUNT(*) FILTER (WHERE progress >= 3) FROM prog
+)
+"""
+
+
 def q_doc_resample(spark, sf_dir):
     from docs2kg_spark.operators.sampling import weighted_keep
     from docs2kg_spark.operators.text import quality_columns
@@ -1983,6 +2021,7 @@ SPARK_QUERIES = {
     "dup_spans": q_dup_spans,
     "dsir_weights": q_dsir_weights,
     "semdedup": q_semdedup,
+    "funnel": q_funnel,
 }
 
 ORACLE_SQL = {
@@ -2069,4 +2108,5 @@ ORACLE_SQL = {
     "dup_spans": SQL_DUP_SPANS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "semdedup": SQL_SEMDEDUP,
+    "funnel": SQL_FUNNEL,
 }

@@ -113,3 +113,36 @@ def test_chunk_vs_pack_same_shard_and_order(spark):
     c = {r.doc_id: r.shard for r in chunk_examples(df, "n_tok", 128, 4).collect()}
     p = {r.doc_id: r.shard for r in pack_documents(df, "n_tok", 128, 4).collect()}
     assert c == p
+
+
+def test_funnel_hand_computed(spark):
+    from docs2kg_spark.operators.sequences import funnel_counts
+
+    # u1 completes A->B->C in order (with noise); u2 does B before A
+    # (only A counts); u3 does A,B but C precedes B; u4 has no steps
+    rows = [
+        ("u1", 1, "A"), ("u1", 2, "X"), ("u1", 3, "B"), ("u1", 4, "C"),
+        ("u2", 1, "B"), ("u2", 2, "A"),
+        ("u3", 1, "A"), ("u3", 2, "C"), ("u3", 3, "B"),
+        ("u4", 1, "X"),
+    ]
+    df = spark.createDataFrame(rows, "user string, seq long, ev string")
+    out = {
+        r["step_name"]: r["users"]
+        for r in funnel_counts(df, "user", ["seq"], "ev", ["A", "B", "C"]).collect()
+    }
+    assert out == {"A": 3, "B": 2, "C": 1}
+
+
+def test_funnel_greedy_is_optimal(spark):
+    from docs2kg_spark.operators.sequences import funnel_counts
+
+    # A at t1 and t3, B at t2: greedy matches A@1 then B@2 -> progress 2;
+    # a non-greedy matcher that took A@3 would miss B
+    rows = [("u", 1, "A"), ("u", 2, "B"), ("u", 3, "A")]
+    df = spark.createDataFrame(rows, "user string, seq long, ev string")
+    out = {
+        r["step_name"]: r["users"]
+        for r in funnel_counts(df, "user", ["seq"], "ev", ["A", "B"]).collect()
+    }
+    assert out == {"A": 1, "B": 1}

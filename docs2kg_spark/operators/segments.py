@@ -121,3 +121,51 @@ def segment_transcripts_bucketed(transcripts: DataFrame, bucket_turns: int = 100
         .withColumn("seg_id", det_id_col("conv_id", "turn_idx", "text"))
         .select("conv_id", "seg_id", "seg_idx", "turn_idx", "label", "role", "tool", "text")
     )
+
+
+def conversation_profile(transcripts: DataFrame) -> DataFrame:
+    """→ (conv_id, n_turns, n_system, n_user, n_assistant, n_tool,
+    n_role_repeats, n_idx_gaps, first_role, last_role): per-conversation
+    integrity/shape profile — the data-quality gate a transcript corpus
+    passes before training (role-alternation violations, non-dense turn
+    indices, role balance).  ``n_role_repeats`` counts adjacent
+    same-role turn pairs; ``n_idx_gaps`` counts turns whose turn_idx is
+    not exactly predecessor+1 (a dense 0..n-1 conversation has 0).
+
+    Scale shape: ONE shuffle — the lag() window partitions by conv_id
+    and the groupBy that follows aggregates on the same key, so the
+    exchange is reused (hashpartitioning(conv_id) already satisfies the
+    aggregate's distribution); everything else is conditional counting.
+    Long conversations stream through the window (no frame).  All
+    outputs are integers or min/max strings — engine-exact.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag("turn_idx").over(w).alias("_prev_idx"),
+    )
+    cnt_role = lambda r: F.sum(F.when(F.col("role") == r, 1).otherwise(0))
+    return lagged.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        cnt_role("system").cast("bigint").alias("n_system"),
+        cnt_role("user").cast("bigint").alias("n_user"),
+        cnt_role("assistant").cast("bigint").alias("n_assistant"),
+        cnt_role("tool").cast("bigint").alias("n_tool"),
+        F.sum(F.when(F.col("role") == F.col("_prev_role"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_role_repeats"),
+        F.sum(
+            F.when(
+                F.col("_prev_idx").isNotNull()
+                & (F.col("turn_idx") != F.col("_prev_idx") + 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_idx_gaps"),
+        F.min_by("role", "turn_idx").alias("first_role"),
+        F.max_by("role", "turn_idx").alias("last_role"),
+    )

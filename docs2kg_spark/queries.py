@@ -1962,6 +1962,63 @@ WHERE ('0x' || substr(md5(CAST(l.doc_id AS VARCHAR) || '|balance-v1'), 1, 4))::B
 """
 
 
+def q_bm25(spark, sf_dir):
+    """BM25 top-10 retrieval for 3 probe queries (the 3 lowest doc_ids,
+    derived from the same table in both engines — no external data):
+    decontamination-by-retrieval / near-dup triage over the corpus."""
+    from docs2kg_spark.operators.retrieval import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(d, probes, top_k=10)
+
+
+# BM25 constants reach both engines as repr()'d doubles: a
+# correctly-rounding parser (DuckDB's) round-trips repr exactly, so both
+# engines compute the identical IEEE expression (see operators/retrieval.py
+# for the full cross-engine-exactness argument).
+_BM25_K1, _BM25_B = 1.2, 0.75
+SQL_BM25 = rf"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT id, tok, COUNT(*) AS tf FROM toks WHERE tok <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT id, SUM(tf) AS dl FROM tf GROUP BY 1
+), dfreq AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_toks FROM dl
+), qterms AS (
+  SELECT DISTINCT id AS query_id, tok FROM tf WHERE id < 3
+), cand AS (
+  SELECT q.query_id, tf.id, tf.tf,
+         ROUND(ln((s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0), 6) AS idf,
+         ROUND((dl.dl * s.n_docs) / CAST(s.total_toks AS DOUBLE), 6) AS ratio
+  FROM tf JOIN qterms q USING (tok) JOIN dfreq USING (tok) JOIN dl USING (id)
+       CROSS JOIN stats s
+), terms AS (
+  SELECT query_id, id,
+         CAST(ROUND(ROUND(idf * (tf * {_BM25_K1 + 1.0!r})
+              / (tf + {_BM25_K1!r} * (1.0 - {_BM25_B!r} + {_BM25_B!r} * ratio)), 6)
+              * 1000000) AS BIGINT) AS t_i
+  FROM cand
+), scores AS (
+  SELECT query_id, id,
+         ROUND(CAST(SUM(t_i) AS DOUBLE) / 1000000.0, 6) AS score
+  FROM terms GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, id AS doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rnk
+  FROM scores
+)
+SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2056,6 +2113,7 @@ SPARK_QUERIES = {
     "semdedup": q_semdedup,
     "funnel": q_funnel,
     "conv_profile": q_conv_profile,
+    "bm25_topk": q_bm25,
 }
 
 ORACLE_SQL = {
@@ -2144,4 +2202,5 @@ ORACLE_SQL = {
     "semdedup": SQL_SEMDEDUP,
     "funnel": SQL_FUNNEL,
     "conv_profile": SQL_CONV_PROFILE,
+    "bm25_topk": SQL_BM25,
 }

@@ -1,0 +1,107 @@
+"""BM25 retrieval: parity vs a plain-Python reference, ranking sanity,
+and the zero-token edge case."""
+
+import math
+import re
+
+import pytest
+
+from docs2kg_spark.operators.retrieval import bm25_topk
+
+WS = re.compile(r"[ \t\n\r\f\x0B]+")
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "sphinx of black quartz judge my vow"),
+    (4, "the the the the the"),
+    (5, "quick quick fox fox fox"),
+    (6, "   "),  # zero tokens: must be absent from N, avgdl, and results
+    (7, "liquor jugs and a lazy sphinx"),
+]
+
+
+def _py_bm25(docs, queries, k1=1.2, b=0.75, top_k=10):
+    """Reference implementation mirroring the operator's rounding
+    contract (6dp idf/ratio/term, integer-scaled sum)."""
+    tf = {}
+    for i, t in docs:
+        toks = [w for w in WS.split(t.strip().lower()) if w]
+        if not toks:
+            continue
+        d = tf.setdefault(i, {})
+        for w in toks:
+            d[w] = d.get(w, 0) + 1
+    n_docs = len(tf)
+    dl = {i: sum(d.values()) for i, d in tf.items()}
+    total = sum(dl.values())
+    df = {}
+    for d in tf.values():
+        for w in d:
+            df[w] = df.get(w, 0) + 1
+
+    out = {}
+    for qid, qt in queries:
+        qtoks = {w for w in WS.split(qt.strip().lower()) if w}
+        scores = {}
+        for i, d in tf.items():
+            s_i = 0
+            for w in qtoks:
+                if w not in d:
+                    continue
+                idf = round(math.log((n_docs - df[w] + 0.5) / (df[w] + 0.5) + 1.0), 6)
+                ratio = round((dl[i] * n_docs) / total, 6)
+                term = round(
+                    idf * (d[w] * (k1 + 1.0)) / (d[w] + k1 * (1.0 - b + b * ratio)), 6
+                )
+                s_i += int(round(term * 1_000_000))
+            if s_i:
+                scores[i] = round(s_i / 1_000_000.0, 6)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        out[qid] = [(i, s, r + 1) for r, (i, s) in enumerate(ranked)]
+    return out
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [(100, "quick fox"), (101, "liquor sphinx"), (102, "zzz_unseen")],
+        "query_id long, text string",
+    )
+    rows = bm25_topk(docs, queries, top_k=10).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score, r.rnk))
+    for v in got.values():
+        v.sort(key=lambda x: x[2])
+    return got
+
+
+def test_matches_python_reference(result):
+    want = _py_bm25(
+        DOCS, [(100, "quick fox"), (101, "liquor sphinx"), (102, "zzz_unseen")]
+    )
+    assert result.get(100) == want[100]
+    assert result.get(101) == want[101]
+
+
+def test_unseen_query_term_yields_no_rows(result):
+    assert 102 not in result
+
+
+def test_ranking_shape(result):
+    # "quick fox": doc 5 (quick x2, fox x3, short) must beat doc 0 (one
+    # of each in a longer doc); every hit contains at least one term.
+    hits100 = [d for d, _, _ in result[100]]
+    assert set(hits100) <= {0, 1, 5}
+    assert hits100[0] == 5 or hits100[0] == 1  # short docs win on length norm
+    # scores strictly ordered desc with rnk 1..n
+    for v in result.values():
+        assert [r for _, _, r in v] == list(range(1, len(v) + 1))
+        assert all(v[i][1] >= v[i + 1][1] for i in range(len(v) - 1))
+
+
+def test_zero_token_doc_absent(result):
+    assert all(6 not in [d for d, _, _ in v] for v in result.values())

@@ -201,6 +201,12 @@ HEADLINE = [
     "dup_spans",
     "dsir_weights",
     "semdedup",
+    # round-3 additions: collocations, graph similarity/communities,
+    # SFT context assembly
+    "collocations",
+    "graph_jaccard",
+    "graph_communities",
+    "event_context",
 ]
 
 

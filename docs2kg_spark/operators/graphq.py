@@ -193,3 +193,110 @@ def triangle_counts(edges: DataFrame, orient: str = "id") -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
+
+
+def neighbor_jaccard(
+    edges: DataFrame, min_common: int = 1, min_sim: float = 0.0
+) -> DataFrame:
+    """Node-pair similarity by neighbor-set Jaccard over the undirected
+    simple graph of ``edges`` → (a, b, common, jaccard) with a < b.
+
+    This is the structural-similarity read behind entity-resolution
+    candidate scoring (two KG entities whose neighborhoods overlap are
+    merge candidates even when their surfaces differ — the graph-side
+    complement of linking.py's surface MinHash).  Neo4j ships the same
+    read as gds.nodeSimilarity; reference provenance: Docs2KG unifies
+    entities purely on surface text (kg_construction/semantic_kg.py),
+    so this is the engine-native upgrade path.
+
+    Scale shape: candidate pairs come ONLY from the wedge join (pairs
+    sharing ≥1 neighbor — never the all-pairs cross), grouped per pair
+    with one hash aggregate; degrees join in by node key.  Per-wedge
+    fanout is bounded by the hub degree — for hub-heavy graphs cap or
+    sample hot neighbor keys upstream (the linking.py block-cap
+    pattern); AQE skew-join splits the residue."""
+    # distinct symmetric closure, self-loops dropped (a self-loop would
+    # inflate its node's degree without ever forming a candidate pair)
+    nbr = undirect(edges).filter(F.col("src") != F.col("dst"))
+    deg = nbr.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    n1 = nbr.select(F.col("dst").alias("w"), F.col("src").alias("a"))
+    n2 = nbr.select(F.col("dst").alias("w"), F.col("src").alias("b"))
+    common = (
+        n1.join(n2, on="w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    return (
+        common.join(da, on="a")
+        .join(db, on="b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("bigint").alias("common"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_sim)
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected simple graph of ``edges`` → (node, community).
+
+    Each node starts in its own community (label = own id); every
+    iteration each node adopts the label most frequent among its
+    neighbours, ties broken by the LEXICOGRAPHICALLY SMALLEST label
+    (Raghavan et al. 2007, synchronous variant).  The deliberate
+    choices, both for cross-engine exactness:
+
+    - synchronous fixed-iteration (the async variant visits nodes in an
+      order no two engines would replicate, and GraphX's LPA is the
+      same synchronous form);
+    - deterministic tie-break (the paper's random tie-break would make
+      the result a coin flip).
+
+    Scale shape per iteration: one equi-join edges⋈labels (the same
+    shuffle key every round — co-partitioning is reused) + one hash
+    aggregate on (node, label) + one per-node arg-max window over the
+    ALREADY-aggregated label counts (at most deg(v) rows per node, not
+    the edge stream).  Labels are localCheckpoint'ed per round — flat
+    lineage, the cluster analog is a stage table.  No driver-side data
+    beyond the checkpoint bookkeeping."""
+    und = undirect(edges).filter(F.col("src") != F.col("dst")).localCheckpoint()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("community").asc())
+    for _ in range(iters):
+        counts = (
+            und.join(labels, und["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "community")
+            .groupBy("node", "community")
+            .agg(F.count("*").alias("c"))
+        )
+        picked = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "community")
+        )
+        # every node of an undirected simple graph has ≥1 neighbour, so
+        # `picked` covers the node set; the left join + coalesce keeps
+        # the invariant explicit (and future-proofs isolated nodes)
+        labels = (
+            labels.select("node", F.col("community").alias("prev"))
+            .join(picked, on="node", how="left")
+            .select("node", F.coalesce("community", "prev").alias("community"))
+            .localCheckpoint()
+        )
+    return labels

@@ -133,3 +133,40 @@ def funnel_counts(
         "step_name",
         F.col("users").cast("bigint").alias("users"),
     )
+
+
+def context_assembly(
+    events: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    state_col: str,
+    k: int = 3,
+    sep: str = ">",
+) -> DataFrame:
+    """Sliding-context construction: for every event, the concatenation
+    of the previous ``k`` states within its key →
+    input columns + ``ctx`` (empty string at sequence starts).
+
+    This is the SFT-example builder's core move — each turn of a
+    transcript becomes a training row carrying its preceding context
+    window — expressed as a frame-bounded window so the context never
+    leaves the executor:
+
+    - ONE shuffle on the sequence key (same key the ordering window in
+      segments.py already uses — co-partitioning is reused when
+      composed);
+    - the frame is ROWS BETWEEN k PRECEDING AND 1 PRECEDING, so state
+      held per partition is O(k), not O(sequence) — a hot key (one very
+      long conversation) streams through;
+    - collect_list inside an ORDERED frame preserves frame order, so the
+      concatenation is deterministic given a total order (pass a unique
+      tiebreaker last in ``order_cols``).
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order_cols)
+        .rowsBetween(-k, -1)
+    )
+    return events.withColumn(
+        "ctx", F.concat_ws(sep, F.collect_list(F.col(state_col)).over(w))
+    )

@@ -2020,6 +2020,157 @@ SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <=
 
 
 # ---------------------------------------------------------------------------
+# bigram PMI collocations (operators/collocations.py)
+# ---------------------------------------------------------------------------
+
+
+def q_collocations(spark, sf_dir):
+    """Top-100 adjacent-bigram collocations by PMI over the corpus —
+    the multi-word-expression / tokenizer-merge-candidate statistic."""
+    from docs2kg_spark.operators.collocations import bigram_pmi
+
+    return bigram_pmi(_t(spark, sf_dir, "documents"), min_count=3, top_n=100)
+
+
+# the PMI double is the SAME left-associative expression in both engines
+# (CAST(pair_count AS DOUBLE) * n_tok / c1 * n_tok / c2 / n_big), rounded
+# to 6dp before ranking; (w1, w2) is unique so the order is total
+SQL_COLLOCATIONS = r"""
+WITH arrs AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+  FROM arrs WHERE len(toks) >= 2
+), bigrams AS (
+  SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS pair_count FROM pairs GROUP BY 1, 2
+), uc AS (
+  SELECT tok, COUNT(*) AS c FROM (SELECT unnest(toks) AS tok FROM arrs) GROUP BY 1
+), tot AS (
+  SELECT CAST((SELECT SUM(c) FROM uc) AS BIGINT) AS n_tok,
+         CAST((SELECT SUM(pair_count) FROM bigrams) AS BIGINT) AS n_big
+)
+SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+       ROUND(ln(CAST(pair_count AS DOUBLE) * n_tok / c1.c * n_tok / c2.c / n_big), 6) AS pmi
+FROM bigrams JOIN uc c1 ON c1.tok = w1 JOIN uc c2 ON c2.tok = w2 CROSS JOIN tot
+WHERE pair_count >= 3
+ORDER BY pmi DESC, w1, w2 LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# graph reads round 3: neighbor-Jaccard node similarity + label-propagation
+# communities (operators/graphq.py), composed on the kg_triples CTE chain
+# ---------------------------------------------------------------------------
+
+
+def q_graph_jaccard(spark, sf_dir):
+    """Structural entity similarity: neighbor-set Jaccard over the
+    entity co-occurrence graph (the graph-side complement of surface
+    MinHash linking — gds.nodeSimilarity's read)."""
+    from docs2kg_spark.operators.graphq import neighbor_jaccard
+
+    t = q_kg_triples(spark, sf_dir)
+    return neighbor_jaccard(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")), min_common=2
+    )
+
+
+def _graph_jaccard_sql(min_common: int = 2) -> str:
+    return (
+        _entity_graph_prefix()
+        + f""",
+gj_und AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM eg_e UNION SELECT dst, src FROM eg_e
+  ) WHERE src <> dst
+),
+gj_deg AS (SELECT src AS node, COUNT(*) AS deg FROM gj_und GROUP BY 1),
+gj_common AS (
+  SELECT n1.src AS a, n2.src AS b, COUNT(*) AS common
+  FROM gj_und n1 JOIN gj_und n2 ON n1.dst = n2.dst AND n1.src < n2.src
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_common}
+)
+SELECT a, b, CAST(common AS BIGINT) AS common,
+       ROUND(CAST(common AS DOUBLE) / (da.deg + db.deg - common), 6) AS jaccard
+FROM gj_common JOIN gj_deg da ON da.node = a JOIN gj_deg db ON db.node = b
+"""
+    )
+
+
+def q_graph_communities(spark, sf_dir):
+    """Synchronous label-propagation communities (4 fixed iterations,
+    min-label tie-break) over the entity co-occurrence graph — the
+    community read GraphX ships as LabelPropagation."""
+    from docs2kg_spark.operators.graphq import label_propagation
+
+    t = q_kg_triples(spark, sf_dir)
+    return label_propagation(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")), iters=4
+    )
+
+
+def _graph_lpa_sql(iters: int = 4) -> str:
+    """Unrolled synchronous LPA — per iteration: neighbor label counts,
+    per-node argmax by (count DESC, label ASC), coalesce over the prior
+    labels (the exact recurrence of graphq.py::label_propagation)."""
+    ctes = [
+        """lpa_und AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM eg_e UNION SELECT dst, src FROM eg_e
+  ) WHERE src <> dst)""",
+        "lp0 AS (SELECT DISTINCT src AS node, src AS community FROM lpa_und)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""nc{i} AS (
+  SELECT u.dst AS node, p.community, COUNT(*) AS c
+  FROM lpa_und u JOIN lp{i - 1} p ON p.node = u.src GROUP BY 1, 2),
+pk{i} AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, community) AS rn
+    FROM nc{i}) WHERE rn = 1),
+lp{i} AS (
+  SELECT p.node, coalesce(k.community, p.community) AS community
+  FROM lp{i - 1} p LEFT JOIN pk{i} k ON k.node = p.node)"""
+        )
+    return (
+        _entity_graph_prefix()
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, community FROM lp{iters}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding-context SFT example assembly (operators/sequences.py)
+# ---------------------------------------------------------------------------
+
+
+def q_event_context(spark, sf_dir):
+    """Each event with the concatenation of its previous 3 event_types
+    within the user's stream — the SFT context-window builder as a
+    frame-bounded window (state per partition is O(k))."""
+    from docs2kg_spark.operators.sequences import context_assembly
+
+    e = _t(spark, sf_dir, "events")
+    return context_assembly(e, "user_id", ["ts", "event_id"], "event_type", k=3).select(
+        "event_id", "user_id", "event_type", "ctx"
+    )
+
+
+SQL_EVENT_CONTEXT = """
+SELECT event_id, user_id, event_type,
+       coalesce(string_agg(event_type, '>') OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS ctx
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2114,6 +2265,11 @@ SPARK_QUERIES = {
     "funnel": q_funnel,
     "conv_profile": q_conv_profile,
     "bm25_topk": q_bm25,
+    # bigram-PMI collocations + round-3 graph reads + SFT context windows
+    "collocations": q_collocations,
+    "graph_jaccard": q_graph_jaccard,
+    "graph_communities": q_graph_communities,
+    "event_context": q_event_context,
 }
 
 ORACLE_SQL = {
@@ -2203,4 +2359,9 @@ ORACLE_SQL = {
     "funnel": SQL_FUNNEL,
     "conv_profile": SQL_CONV_PROFILE,
     "bm25_topk": SQL_BM25,
+    "collocations": SQL_COLLOCATIONS,
+    # entity-graph reads composed on the kg_triples CTE chain
+    "graph_jaccard": _graph_jaccard_sql(),
+    "graph_communities": _graph_lpa_sql(),
+    "event_context": SQL_EVENT_CONTEXT,
 }

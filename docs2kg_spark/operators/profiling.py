@@ -80,3 +80,47 @@ def length_quantiles(
             F.round(F.percentile(ln, F.lit(q)), 6).alias(f"p{int(round(q * 100))}")
         )
     return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+def entity_timeline(
+    mentions: DataFrame, segments: DataFrame, canonical_map: DataFrame
+) -> DataFrame:
+    """Per-canonical-entity corpus timeline →
+    (canonical_id, canonical_text, n_mentions, n_convs, first_turn,
+    last_turn).
+
+    The temporal-KG read: when does each (canonicalized) entity first
+    and last appear across the corpus, how often, and in how many
+    conversations — the per-entity lineage summary the reference's
+    users would run in Cypher over the loaded graph (Docs2KG keeps
+    per-document provenance on nodes; this aggregates it corpus-wide
+    after entity unification).
+
+    Scale shape: mentions→segments is an equi-join on seg_id (both
+    sides carry it from the same upstream partitioning); the
+    (text,label)→canonical join is against the entity VOCABULARY
+    (distinct surfaces — broadcast-sized by construction, same argument
+    as linking.py's driver fast path); the aggregate is one hash agg
+    keyed by canonical_id.  count(DISTINCT conv_id) uses Spark's
+    two-phase distinct-aggregate expansion — bounded by mentions×1,
+    never a per-key set collect."""
+    m = mentions.select("conv_id", "seg_id", "text", "label")
+    s = segments.select("seg_id", "seg_idx")
+    c = F.broadcast(canonical_map.select("text", "label", "canonical_id"))
+    agg = (
+        m.join(s, on="seg_id")
+        .join(c, on=["text", "label"])
+        .groupBy("canonical_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+            F.min("seg_idx").cast("int").alias("first_turn"),
+            F.max("seg_idx").cast("int").alias("last_turn"),
+        )
+    )
+    survivors = F.broadcast(
+        canonical_map.filter(F.col("node_id") == F.col("canonical_id")).select(
+            "canonical_id", F.col("text").alias("canonical_text")
+        )
+    )
+    return agg.join(survivors, on="canonical_id")

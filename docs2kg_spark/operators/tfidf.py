@@ -240,3 +240,89 @@ def dsir_weights(
             ).alias("avg_llr"),
         )
     )
+
+
+# interpolation weight for the bigram model; LAM2 is computed ONCE here
+# and repr-injected into the SQL twin so both engines use the identical
+# IEEE double (1 - 0.7 is NOT 0.3 in binary floating point)
+BIGRAM_LAMBDA = 0.7
+BIGRAM_LAMBDA2 = 1.0 - BIGRAM_LAMBDA
+
+
+def doc_bigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document mean INTERPOLATED-BIGRAM log-probability under the
+    corpus's own LM: lp(w1,w2) = ln(λ·P(w2|w1) + (1-λ)·P(w2)) —
+    one rung up the n-gram ladder from doc_unigram_logprob and the
+    closer stand-in for the KenLM perplexity filter (CCNet): word-salad
+    that sails through a unigram model (common words, shuffled order)
+    scores far from the corpus mode here.
+    → (id, n_bigrams, avg_logprob); docs with <2 tokens are absent.
+
+    Scale shape: the per-doc bigram stream is built INSIDE the row
+    (collocations.py's transform — adjacency never shuffles); it reduces
+    to per-doc multiplicities in one hash agg, the corpus bigram and
+    unigram models are ONE further agg each over the already-reduced
+    tables, and both join back by gram key (vocabulary-sized, AQE
+    broadcasts when small).  The interpolation backoff means unseen-pair
+    smoothing costs nothing: every observed pair has both terms.
+
+    Cross-engine exactness: per-pair logprob rounded to 6dp then
+    integer-scaled before the per-doc sum (associative — the
+    doc_unigram_logprob playbook); λ and 1-λ reach both engines as
+    repr'd doubles."""
+    from docs2kg_spark.operators.collocations import _token_arrays
+
+    arrs = _token_arrays(documents, id_col, text_col)
+    pairs_col = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()"))
+    # per-doc bigram multiplicities; consumed by the corpus model AND the
+    # per-doc score join — checkpoint so the explode happens once
+    tf_big = (
+        arrs.select("id", F.explode(pairs_col).alias("p"))
+        .select("id", "p.w1", "p.w2")
+        .groupBy("id", "w1", "w2")
+        .agg(F.count("*").alias("m"))
+        .localCheckpoint(eager=False)
+    )
+    big = tf_big.groupBy("w1", "w2").agg(F.sum("m").alias("c_xy"))
+    uni = (
+        arrs.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n_tok = uni.agg(F.sum("c").alias("n_tok"))
+
+    p_bi = F.col("c_xy").cast("double") / F.col("c_x")
+    p_uni = F.col("c_y").cast("double") / F.col("n_tok")
+    lp6 = F.round(
+        F.log(F.lit(BIGRAM_LAMBDA) * p_bi + F.lit(BIGRAM_LAMBDA2) * p_uni), 6
+    )
+    lp_scaled = (
+        big.join(uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_x")), on="w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_y")), on="w2")
+        .crossJoin(F.broadcast(n_tok))
+        .select("w1", "w2", F.round(lp6 * 1_000_000).cast("long").alias("lp_i"))
+    )
+    return (
+        tf_big.join(lp_scaled, on=["w1", "w2"])
+        .groupBy("id")
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("m") * F.col("lp_i")).cast("double")
+                / F.sum("m")
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )

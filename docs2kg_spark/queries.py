@@ -2171,6 +2171,122 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# KG analytics round 3: entity timelines + predicate statistics
+# (composed on the kg CTE chains)
+# ---------------------------------------------------------------------------
+
+
+def q_kg_entity_timeline(spark, sf_dir):
+    """Per-canonical-entity lineage: first/last turn index, mention and
+    conversation counts — the temporal-KG read after unification."""
+    from docs2kg_spark.operators.profiling import entity_timeline
+
+    return entity_timeline(
+        q_kg_mentions(spark, sf_dir),
+        q_kg_segments(spark, sf_dir),
+        q_kg_canonical_map(spark, sf_dir),
+    )
+
+
+def _kg_entity_timeline_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+tl AS (
+  SELECT c.canonical_id,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(count(DISTINCT m.conv_id) AS BIGINT) AS n_convs,
+         CAST(min(s.seg_idx) AS INT) AS first_turn,
+         CAST(max(s.seg_idx) AS INT) AS last_turn
+  FROM mentions m
+  JOIN segs s ON s.seg_id = m.seg_id
+  JOIN cmap c ON c.text = m.text AND c.label = m.label
+  GROUP BY 1
+)
+SELECT t.canonical_id, surv.text AS canonical_text,
+       t.n_mentions, t.n_convs, t.first_turn, t.last_turn
+FROM tl t JOIN cmap surv ON surv.node_id = t.canonical_id
+"""
+
+
+def q_kg_predicate_stats(spark, sf_dir):
+    """Per-predicate KG summary: edge count + distinct subject/object/
+    conversation counts — the graph-shape profile a KG consumer checks
+    first (predicate skew drives every downstream join plan)."""
+    t = q_kg_triples(spark, sf_dir)
+    return t.groupBy("pred").agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.countDistinct("subj").cast("bigint").alias("n_subj"),
+        F.countDistinct("obj").cast("bigint").alias("n_obj"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+    )
+
+
+def _kg_predicate_stats_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)}
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM triples GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# interpolated-bigram LM quality scoring (operators/tfidf.py)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_bigram_logprob(spark, sf_dir):
+    """Per-doc mean interpolated-bigram log-probability under the
+    corpus's own LM — the KenLM-perplexity-filter stand-in, one rung up
+    from the unigram model (catches shuffled-word salad)."""
+    from docs2kg_spark.operators.tfidf import doc_bigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    return doc_bigram_logprob(d).withColumnRenamed("id", "doc_id")
+
+
+def _doc_bigram_logprob_sql() -> str:
+    from docs2kg_spark.operators.tfidf import BIGRAM_LAMBDA, BIGRAM_LAMBDA2
+
+    return rf"""
+WITH arrs AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), pairs AS (
+  SELECT id, unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+  FROM arrs WHERE len(toks) >= 2
+), tf_big AS (
+  SELECT id, p[1] AS w1, p[2] AS w2, COUNT(*) AS m FROM pairs GROUP BY 1, 2, 3
+), big AS (
+  SELECT w1, w2, SUM(m) AS c_xy FROM tf_big GROUP BY 1, 2
+), uni AS (
+  SELECT tok, COUNT(*) AS c FROM (SELECT unnest(toks) AS tok FROM arrs) GROUP BY 1
+), tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uni),
+lp AS (
+  SELECT w1, w2,
+         CAST(ROUND(ROUND(ln({BIGRAM_LAMBDA!r} * (CAST(c_xy AS DOUBLE) / c1.c)
+                             + {BIGRAM_LAMBDA2!r} * (CAST(c2.c AS DOUBLE) / n_tok)), 6)
+              * 1000000) AS BIGINT) AS lp_i
+  FROM big JOIN uni c1 ON c1.tok = w1 JOIN uni c2 ON c2.tok = w2 CROSS JOIN tot
+)
+SELECT t.id AS doc_id,
+       CAST(SUM(t.m) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(t.m * lp.lp_i) AS DOUBLE) / SUM(t.m) / 1000000.0, 6) AS avg_logprob
+FROM tf_big t JOIN lp USING (w1, w2)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2270,6 +2386,10 @@ SPARK_QUERIES = {
     "graph_jaccard": q_graph_jaccard,
     "graph_communities": q_graph_communities,
     "event_context": q_event_context,
+    # KG analytics: entity timelines + predicate shape; bigram LM scoring
+    "kg_entity_timeline": q_kg_entity_timeline,
+    "kg_predicate_stats": q_kg_predicate_stats,
+    "doc_bigram_logprob": q_doc_bigram_logprob,
 }
 
 ORACLE_SQL = {
@@ -2364,4 +2484,7 @@ ORACLE_SQL = {
     "graph_jaccard": _graph_jaccard_sql(),
     "graph_communities": _graph_lpa_sql(),
     "event_context": SQL_EVENT_CONTEXT,
+    "kg_entity_timeline": _kg_entity_timeline_sql(),
+    "kg_predicate_stats": _kg_predicate_stats_sql(),
+    "doc_bigram_logprob": _doc_bigram_logprob_sql(),
 }

@@ -108,3 +108,122 @@ def test_doc_unigram_logprob_partitioning_independent(spark):
     a = sorted(map(tuple, doc_unigram_logprob(df).collect()))
     b = sorted(map(tuple, doc_unigram_logprob(df.repartition(13)).collect()))
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# interpolated-bigram LM scoring (operators/tfidf.py)
+# ---------------------------------------------------------------------------
+
+
+def _py_bigram_logprob(docs):
+    from docs2kg_spark.operators.tfidf import BIGRAM_LAMBDA, BIGRAM_LAMBDA2
+
+    toks = {i: [t for t in txt.lower().strip().split() if t] for i, txt in docs}
+    uni: dict[str, int] = {}
+    big: dict[tuple[str, str], int] = {}
+    for ts in toks.values():
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for p in zip(ts, ts[1:]):
+            big[p] = big.get(p, 0) + 1
+    n_tok = sum(uni.values())
+    lp_i = {
+        p: round(
+            round(
+                math.log(
+                    BIGRAM_LAMBDA * c / uni[p[0]] + BIGRAM_LAMBDA2 * uni[p[1]] / n_tok
+                ),
+                6,
+            )
+            * 1_000_000
+        )
+        for p, c in big.items()
+    }
+    out = {}
+    for i, ts in toks.items():
+        ps = list(zip(ts, ts[1:]))
+        if not ps:
+            continue
+        out[i] = (
+            len(ps),
+            round(sum(lp_i[p] for p in ps) / len(ps) / 1_000_000.0, 6),
+        )
+    return out
+
+
+def test_doc_bigram_logprob_matches_python(spark):
+    from docs2kg_spark.operators.tfidf import doc_bigram_logprob
+
+    docs = DOCS + [(5, "solo")]  # 1-token doc: feeds the LM, absent from output
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    got = {r.id: (r.n_bigrams, r.avg_logprob) for r in doc_bigram_logprob(df).collect()}
+    want = _py_bigram_logprob(docs)
+    assert got == want
+    assert 4 not in got and 5 not in got  # <2-token docs contribute no score
+
+
+def test_doc_bigram_logprob_partitioning_independent(spark):
+    from docs2kg_spark.operators.tfidf import doc_bigram_logprob
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    a = sorted(map(tuple, doc_bigram_logprob(df).collect()))
+    b = sorted(map(tuple, doc_bigram_logprob(df.repartition(13)).collect()))
+    assert a == b
+
+
+def test_bigram_beats_unigram_on_shuffled_salad(spark):
+    """The discriminative claim in the docstring: a doc made of common
+    words in a nonsense ORDER scores near-mode under the unigram model
+    but far from a fluent doc under the bigram model."""
+    fluent = "the cat sat on the mat " * 10
+    salad = "mat the on sat the cat " * 10
+    df = spark.createDataFrame(
+        [(1, fluent), (2, salad)], "doc_id int, text string"
+    )
+    from docs2kg_spark.operators.tfidf import doc_bigram_logprob
+
+    uni = {r.id: r.avg_logprob for r in doc_unigram_logprob(df).collect()}
+    big = {r.id: r.avg_logprob for r in doc_bigram_logprob(df).collect()}
+    # identical bags of words → identical unigram scores
+    assert uni[1] == uni[2]
+    # but the bigram model separates them
+    assert big[1] > big[2]
+
+
+# ---------------------------------------------------------------------------
+# entity timeline (operators/profiling.py)
+# ---------------------------------------------------------------------------
+
+
+def test_entity_timeline_small_fixture(spark):
+    from docs2kg_spark.operators.profiling import entity_timeline
+
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "s1", "alice", "Person"),
+            ("c1", "s2", "alyce", "Person"),
+            ("c2", "s3", "alice", "Person"),
+            ("c2", "s3", "acme", "Organization"),
+        ],
+        "conv_id string, seg_id string, text string, label string",
+    )
+    segments = spark.createDataFrame(
+        [("s1", 0), ("s2", 3), ("s3", 1)], "seg_id string, seg_idx int"
+    )
+    cmap = spark.createDataFrame(
+        [
+            ("n1", "alice", "Person", "n1"),
+            ("n2", "alyce", "Person", "n1"),  # variant folded into n1
+            ("n3", "acme", "Organization", "n3"),
+        ],
+        "node_id string, text string, label string, canonical_id string",
+    )
+    got = {
+        r.canonical_id: (r.canonical_text, r.n_mentions, r.n_convs, r.first_turn, r.last_turn)
+        for r in entity_timeline(mentions, segments, cmap).collect()
+    }
+    # n1 aggregates BOTH surfaces (alice + alyce) across both conversations
+    assert got == {
+        "n1": ("alice", 3, 2, 0, 3),
+        "n3": ("acme", 1, 1, 1, 1),
+    }

@@ -207,6 +207,13 @@ HEADLINE = [
     "graph_jaccard",
     "graph_communities",
     "event_context",
+    # round-3 additions: entity timelines, predicate shape, bigram LM
+    "kg_entity_timeline",
+    "kg_predicate_stats",
+    "doc_bigram_logprob",
+    # round-3 additions: graph connectivity + transitivity
+    "graph_components",
+    "graph_clustering",
 ]
 
 

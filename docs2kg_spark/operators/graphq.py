@@ -300,3 +300,82 @@ def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
             .localCheckpoint()
         )
     return labels
+
+
+def weakly_connected(
+    edges: DataFrame, src: str = "src", dst: str = "dst", cfg=None
+) -> DataFrame:
+    """Weakly-connected components over the undirected closure of
+    ``edges`` → (node, component), component = MIN node id in the
+    component (singletons label themselves).
+
+    The Cypher/GDS analog is `gds.wcc`; the reference's users get this
+    from Neo4j over the loaded graph (utils/neo4j_loader.py).  Reuses
+    the linking stage's hybrid CC engine (linking.py::
+    connected_components): a one-job driver union-find under
+    cfg.cc_driver_max_edges, the alternating large-star/small-star
+    O(log²n)-round loop above it — both min-id-exact, so the recursive
+    label-propagation SQL twin applies regardless of which path ran."""
+    from docs2kg_spark.config import PipelineConfig
+    from docs2kg_spark.operators.linking import connected_components
+
+    cfg = cfg or PipelineConfig()
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col(src).alias("node_id"))
+        .union(edges.select(F.col(dst).alias("node_id")))
+        .distinct()
+    )
+    cc = connected_components(nodes, e, cfg)
+    return cc.select(
+        F.col("node_id").alias("node"), F.col("canonical_id").alias("component")
+    )
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per node over the undirected simple
+    graph (self-loops and direction dropped):
+    lcc(v) = 2·T(v) / (d(v)·(d(v)−1)), 0.0 when d(v) < 2.
+    → (node, degree, triangles, lcc), lcc rounded to 6dp.
+
+    How tightly is each node's neighborhood interlinked — the per-node
+    transitivity read (gds.localClusteringCoefficient analog); on the
+    entity graph it separates hub entities that merely co-occur widely
+    from entities whose neighbors also relate to each other.
+
+    Scale shape: degree is ONE explode+agg pass over the deduped a<b
+    edge table; triangles reuse triangle_counts (oriented wedge joins —
+    pass orient="degree" upstream for hub-heavy graphs); the final
+    combine is a broadcast-sized left join keyed by node.  The ratio is
+    exact in IEEE doubles both engines (small-int operands), so ROUND
+    to 6dp is engine-identical."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    und = sym.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    tri = triangle_counts(edges)
+    d = F.col("degree").cast("double")
+    return (
+        deg.join(tri, on="node", how="left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("triangles"), F.lit(0)).cast("bigint").alias("triangles"),
+            F.round(
+                F.when(
+                    F.col("degree") >= 2,
+                    2.0 * F.coalesce(F.col("triangles"), F.lit(0)) / (d * (d - 1.0)),
+                ).otherwise(0.0),
+                6,
+            ).alias("lcc"),
+        )
+    )

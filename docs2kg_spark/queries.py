@@ -1227,6 +1227,88 @@ GROUP BY node
     )
 
 
+def q_graph_components(spark, sf_dir):
+    """Weakly-connected components — the gds.wcc analog — over the
+    customer↔order bipartite graph.  Chosen over the entity graph
+    because that one is a single giant component at every co-occurrence
+    threshold (a vacuous oracle); this graph has ~|customers-with-
+    orders| star components of varied size, so the min-label spread,
+    the component merge, and the multi-component output are all
+    exercised for real."""
+    from docs2kg_spark.operators.graphq import weakly_connected
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("dst"),
+    )
+    return weakly_connected(o)
+
+
+def _graph_components_sql() -> str:
+    """Recursive label propagation (the doc_dedup_map twin's pattern):
+    every node's label spreads along the symmetric closure; the
+    recursive UNION dedups (node, lab) pairs so rows are bounded by
+    Σ|component|² — small here because the components are per-customer
+    stars.  min(lab) = the min-id component label both Spark CC paths
+    (driver union-find / star loop) produce."""
+    return """
+WITH RECURSIVE gc_e AS (
+  SELECT DISTINCT 'C' || o_custkey AS src, 'O' || o_orderkey AS dst FROM orders
+),
+gc_und AS (
+  SELECT src AS a, dst AS b FROM gc_e WHERE src <> dst
+  UNION
+  SELECT dst, src FROM gc_e WHERE src <> dst
+),
+gc_nodes AS (SELECT src AS node FROM gc_e UNION SELECT dst FROM gc_e),
+gc_reach(node, lab) AS (
+  SELECT node, node FROM gc_nodes
+  UNION
+  SELECT u.b, r.lab FROM gc_reach r JOIN gc_und u ON u.a = r.node
+)
+SELECT node, min(lab) AS component FROM gc_reach GROUP BY node
+"""
+
+
+def q_graph_clustering(spark, sf_dir):
+    """Local clustering coefficient per entity-graph node — separates
+    hub entities that merely co-occur widely from entities whose
+    neighborhoods are themselves interlinked."""
+    from docs2kg_spark.operators.graphq import clustering_coefficient
+
+    t = q_kg_triples(spark, sf_dir)
+    return clustering_coefficient(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+
+def _graph_clustering_sql() -> str:
+    return (
+        _entity_graph_prefix()
+        + """,
+tg_u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM eg_e WHERE src <> dst),
+tg_t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM tg_u e1 JOIN tg_u e2 ON e1.b = e2.a
+  JOIN tg_u e3 ON e3.a = e1.a AND e3.b = e2.b),
+tcnt AS (
+  SELECT node, count(*) AS triangles
+  FROM (SELECT unnest([x, y, z]) AS node FROM tg_t) GROUP BY node),
+dg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM tg_u UNION ALL SELECT b FROM tg_u) GROUP BY node)
+SELECT dg.node,
+       CAST(dg.degree AS BIGINT) AS degree,
+       CAST(coalesce(t.triangles, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN dg.degree >= 2
+                  THEN 2.0 * coalesce(t.triangles, 0)
+                       / (CAST(dg.degree AS DOUBLE) * (CAST(dg.degree AS DOUBLE) - 1.0))
+                  ELSE 0.0 END, 6) AS lcc
+FROM dg LEFT JOIN tcnt t ON t.node = dg.node
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # repetition quality signals (operators/quality.py — Gopher-rule family)
 # ---------------------------------------------------------------------------
@@ -2390,6 +2472,9 @@ SPARK_QUERIES = {
     "kg_entity_timeline": q_kg_entity_timeline,
     "kg_predicate_stats": q_kg_predicate_stats,
     "doc_bigram_logprob": q_doc_bigram_logprob,
+    # graph reads: connectivity + transitivity
+    "graph_components": q_graph_components,
+    "graph_clustering": q_graph_clustering,
 }
 
 ORACLE_SQL = {
@@ -2487,4 +2572,6 @@ ORACLE_SQL = {
     "kg_entity_timeline": _kg_entity_timeline_sql(),
     "kg_predicate_stats": _kg_predicate_stats_sql(),
     "doc_bigram_logprob": _doc_bigram_logprob_sql(),
+    "graph_components": _graph_components_sql(),
+    "graph_clustering": _graph_clustering_sql(),
 }

@@ -107,3 +107,60 @@ def test_k_hop_undirected_bipartite(spark):
     seeds = spark.createDataFrame([("s1",)], "node string")
     got = {r["node"]: r["hops"] for r in k_hop(e, seeds, k=2).collect()}
     assert got == {"s1": 0, "p1": 1, "s2": 2}
+
+
+# ---------------------------------------------------------------------------
+# weakly-connected components + local clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+def test_weakly_connected_two_components_min_label(spark):
+    from docs2kg_spark.operators.graphq import weakly_connected
+
+    edges = spark.createDataFrame(
+        # component {a,b,c} (direction ignored) + component {x,y}
+        [("b", "a"), ("b", "c"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r.node: r.component for r in weakly_connected(edges).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_weakly_connected_driver_vs_distributed_parity(spark):
+    from docs2kg_spark.config import PipelineConfig
+    from docs2kg_spark.operators.graphq import weakly_connected
+
+    # chain + triangle + isolated pair, shuffled directions
+    rows = [("n3", "n1"), ("n1", "n2"), ("n5", "n4"), ("n4", "n6"), ("n6", "n5"),
+            ("p1", "p2")]
+    edges = spark.createDataFrame(rows, "src string, dst string").repartition(5)
+    a = sorted(map(tuple, weakly_connected(edges).collect()))
+    b = sorted(
+        map(
+            tuple,
+            weakly_connected(
+                edges, cfg=PipelineConfig(cc_driver_max_edges=0)
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert ("n4", "n4") in a and ("n6", "n4") in a
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    from docs2kg_spark.operators.graphq import clustering_coefficient
+
+    edges = spark.createDataFrame(
+        # triangle a-b-c plus pendant d hanging off c; parallel edge and
+        # self-loop must be ignored
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("b", "a"), ("d", "d")],
+        "src string, dst string",
+    )
+    got = {r.node: (r.degree, r.triangles, r.lcc) for r in
+           clustering_coefficient(edges).collect()}
+    assert got == {
+        "a": (2, 1, 1.0),
+        "b": (2, 1, 1.0),
+        "c": (3, 1, round(2 * 1 / (3 * 2), 6)),
+        "d": (1, 0, 0.0),
+    }

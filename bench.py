@@ -214,6 +214,9 @@ HEADLINE = [
     # round-3 additions: graph connectivity + transitivity
     "graph_components",
     "graph_clustering",
+    # round-3 additions: PMI edge weighting + negative sampling
+    "kg_comention_pmi",
+    "kg_negative_samples",
 ]
 
 

@@ -113,3 +113,128 @@ def cooccurrence_triples(
             F.col("w.conf").alias("confidence"),
         )
     )
+
+
+def comention_pmi(
+    mentions: DataFrame,
+    canonical_map: DataFrame,
+    min_co: int = 2,
+) -> DataFrame:
+    """Conversation-level co-mention PMI between CANONICAL entities →
+    (ent_a, ent_b, n_co, pmi), ent_a < ent_b, pairs co-mentioned in
+    fewer than `min_co` conversations dropped (rare-pair PMI is
+    unstable — the Church–Hanks caveat, same as collocations.py).
+
+    This is the statistical edge-weighting layer the co-occurrence
+    triples lack: RELATES_TO says two entities appeared together at
+    least once; PMI = ln(P(a,b) / (P(a)·P(b))) over conversation
+    incidence says whether they appear together MORE than their
+    individual frequencies predict — the standard signal for promoting
+    a co-occurrence edge to a real association (reference consumers do
+    this by eyeballing edge counts in Neo4j; Docs2KG
+    kg_construction/semantic_kg.py keeps only raw co-occurrence).
+
+    Scale shape: mention→canonical is a broadcast join against the
+    entity VOCABULARY (distinct surfaces — bounded, linking.py's
+    fast-path argument); the per-conversation distinct collapses the
+    fanout BEFORE the pair self-join, which is equi-keyed on conv_id
+    (pair blowup bounded by per-conversation entity counts, the
+    relations.py bound, with AQE skew-split as backstop); then one
+    hash agg and two vocabulary-sized joins.  The PMI double is
+    left-associative and structurally identical in the SQL twin
+    (n_co·N / c_a / c_b), rounded to 6dp."""
+    c = F.broadcast(canonical_map.select("text", "label", "canonical_id"))
+    ce = (
+        mentions.select("conv_id", "text", "label")
+        .join(c, on=["text", "label"])
+        .select("conv_id", F.col("canonical_id").alias("ent"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ec = ce.groupBy("ent").agg(F.count("*").alias("c"))
+    nt = ce.agg(F.countDistinct("conv_id").cast("double").alias("n"))
+    pairs = (
+        ce.alias("a")
+        .join(
+            ce.alias("b"),
+            (F.col("a.conv_id") == F.col("b.conv_id"))
+            & (F.col("a.ent") < F.col("b.ent")),
+        )
+        .groupBy(F.col("a.ent").alias("ent_a"), F.col("b.ent").alias("ent_b"))
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= min_co)
+    )
+    return (
+        pairs.join(ec.select(F.col("ent").alias("ent_a"), F.col("c").alias("ca")), on="ent_a")
+        .join(ec.select(F.col("ent").alias("ent_b"), F.col("c").alias("cb")), on="ent_b")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "ent_a",
+            "ent_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.round(
+                F.log(
+                    F.col("n_co").cast("double") * F.col("n") / F.col("ca") / F.col("cb")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def negative_triples(triples: DataFrame, salt: str = "neg-v1") -> DataFrame:
+    """TransE-style corrupted-object negative sampling → one
+    deterministic negative per DISTINCT (subj, pred, obj):
+    (subj, pred, obj, neg_obj), neg_obj drawn from the global object
+    vocabulary by content hash (Bordes et al. 2013's uniform-corruption
+    scheme, made reproducible).
+
+    The KG-embedding training-data generator: every positive triple
+    needs a negative whose object is swapped for a random-but-FIXED
+    other object, so reruns, resumes, and the DuckDB twin all draw the
+    identical sample.  Draw = md5(subj|pred|obj|salt) first 8 hex as an
+    integer, modulo the vocabulary; if the draw lands on the true
+    object the NEXT slot (wraparound) is taken, so neg_obj ≠ obj
+    whenever the vocabulary has ≥ 2 entries (degenerate 1-object
+    vocabularies return the object itself — nothing else exists).
+
+    Scale shape: the object vocabulary is numbered with ONE window over
+    a vocabulary-sized relation (bounded like every vocabulary table
+    here — never the corpus); both candidate slots join back by index
+    against that broadcast table; the big triples relation is touched
+    by one narrow projection.  No corpus-sized sort, no UDF."""
+    t = triples.select("subj", "pred", "obj").distinct()
+    from pyspark.sql import Window
+
+    objs = (
+        t.select(F.col("obj").alias("cand"))
+        .distinct()
+        .select("cand", F.row_number().over(Window.orderBy("cand")).alias("idx"))
+    )
+    n_obj = objs.agg(F.max("idx").cast("long").alias("n_obj"))
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj", F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    drawn = (
+        t.crossJoin(F.broadcast(n_obj))
+        .withColumn("idx", (h % F.col("n_obj") + 1).cast("int"))
+        .withColumn("idx2", (F.col("idx") % F.col("n_obj") + 1).cast("int"))
+    )
+    o1 = F.broadcast(objs.select(F.col("idx"), F.col("cand").alias("cand1")))
+    o2 = F.broadcast(
+        objs.select(F.col("idx").alias("idx2"), F.col("cand").alias("cand2"))
+    )
+    return (
+        drawn.join(o1, on="idx")
+        .join(o2, on="idx2")
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            F.when(F.col("cand1") != F.col("obj"), F.col("cand1"))
+            .otherwise(F.col("cand2"))
+            .alias("neg_obj"),
+        )
+    )

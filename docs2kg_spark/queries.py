@@ -2319,6 +2319,74 @@ FROM triples GROUP BY 1
 """
 
 
+def q_kg_comention_pmi(spark, sf_dir):
+    """Conversation-level PMI between canonical entities — the
+    statistical edge-weighting the raw co-occurrence triples lack."""
+    from docs2kg_spark.operators.relations import comention_pmi
+
+    return comention_pmi(
+        q_kg_mentions(spark, sf_dir), q_kg_canonical_map(spark, sf_dir)
+    )
+
+
+def _kg_comention_pmi_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+cp_ce AS (
+  SELECT DISTINCT m.conv_id, c.canonical_id AS ent
+  FROM mentions m JOIN cmap c ON c.text = m.text AND c.label = m.label
+),
+cp_ec AS (SELECT ent, count(*) AS c FROM cp_ce GROUP BY 1),
+cp_nt AS (SELECT CAST(count(DISTINCT conv_id) AS DOUBLE) AS n FROM cp_ce),
+cp_pp AS (
+  SELECT a.ent AS ent_a, b.ent AS ent_b, count(*) AS n_co
+  FROM cp_ce a JOIN cp_ce b ON a.conv_id = b.conv_id AND a.ent < b.ent
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT ent_a, ent_b, CAST(n_co AS BIGINT) AS n_co,
+       ROUND(ln(CAST(n_co AS DOUBLE) * n / ca.c / cb.c), 6) AS pmi
+FROM cp_pp JOIN cp_ec ca ON ca.ent = ent_a
+           JOIN cp_ec cb ON cb.ent = ent_b
+           CROSS JOIN cp_nt
+"""
+
+
+def q_kg_negative_samples(spark, sf_dir):
+    """Deterministic corrupted-object negatives for KG-embedding
+    training — one hash-drawn negative per distinct triple."""
+    from docs2kg_spark.operators.relations import negative_triples
+
+    return negative_triples(q_kg_triples(spark, sf_dir))
+
+
+def _kg_negative_samples_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+ng_t AS (SELECT DISTINCT subj, pred, obj FROM triples),
+ng_o AS (
+  SELECT cand, CAST(row_number() OVER (ORDER BY cand) AS INT) AS idx
+  FROM (SELECT DISTINCT obj AS cand FROM ng_t)
+),
+ng_n AS (SELECT CAST(max(idx) AS BIGINT) AS n_obj FROM ng_o),
+ng_d AS (
+  SELECT subj, pred, obj,
+         CAST(CAST(('0x' || substr(md5(subj || '|' || pred || '|' || obj || '|neg-v1'), 1, 8)) AS UBIGINT) AS BIGINT)
+           % n_obj + 1 AS idx
+  FROM ng_t CROSS JOIN ng_n
+)
+SELECT d.subj, d.pred, d.obj,
+       CASE WHEN o1.cand <> d.obj THEN o1.cand ELSE o2.cand END AS neg_obj
+FROM ng_d d
+CROSS JOIN ng_n
+JOIN ng_o o1 ON o1.idx = d.idx
+JOIN ng_o o2 ON o2.idx = d.idx % n_obj + 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # interpolated-bigram LM quality scoring (operators/tfidf.py)
 # ---------------------------------------------------------------------------
@@ -2475,6 +2543,9 @@ SPARK_QUERIES = {
     # graph reads: connectivity + transitivity
     "graph_components": q_graph_components,
     "graph_clustering": q_graph_clustering,
+    # KG statistics + embedding-training data
+    "kg_comention_pmi": q_kg_comention_pmi,
+    "kg_negative_samples": q_kg_negative_samples,
 }
 
 ORACLE_SQL = {
@@ -2574,4 +2645,6 @@ ORACLE_SQL = {
     "doc_bigram_logprob": _doc_bigram_logprob_sql(),
     "graph_components": _graph_components_sql(),
     "graph_clustering": _graph_clustering_sql(),
+    "kg_comention_pmi": _kg_comention_pmi_sql(),
+    "kg_negative_samples": _kg_negative_samples_sql(),
 }

@@ -98,3 +98,73 @@ def test_salted_self_join_parity(spark, transcripts_df):
         for r in cooccurrence_triples(m, spark, n_salts=4).collect()
     }
     assert salted == plain and len(plain) > 0
+
+
+# ---------------------------------------------------------------------------
+# co-mention PMI + negative sampling
+# ---------------------------------------------------------------------------
+
+
+def test_comention_pmi_hand_computed(spark):
+    import math
+
+    from docs2kg_spark.operators.relations import comention_pmi
+
+    # 4 conversations; entities via identity canonical map
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "a", "P"), ("c1", "b", "P"),
+            ("c2", "a", "P"), ("c2", "b", "P"),
+            ("c3", "a", "P"), ("c3", "x", "P"),
+            ("c4", "b", "P"),
+            ("c1", "a", "P"),  # duplicate mention in same conv: must not double-count
+        ],
+        "conv_id string, text string, label string",
+    )
+    cmap = spark.createDataFrame(
+        [(e, e, "P", e) for e in ("a", "b", "x")],
+        "node_id string, text string, label string, canonical_id string",
+    )
+    got = {(r.ent_a, r.ent_b): (r.n_co, r.pmi) for r in
+           comention_pmi(mentions, cmap, min_co=2).collect()}
+    # N=4 convs, c_a=3, c_b=3, c_ab=2; (a,x) and (b,x) fall under min_co
+    assert got == {("a", "b"): (2, round(math.log(2.0 * 4.0 / 3 / 3), 6))}
+
+
+def test_comention_pmi_respects_canonicalization(spark):
+    from docs2kg_spark.operators.relations import comention_pmi
+
+    # "alyce" folds into "alice": the pair is counted at the canonical id
+    mentions = spark.createDataFrame(
+        [("c1", "alice", "P"), ("c1", "bob", "P"),
+         ("c2", "alyce", "P"), ("c2", "bob", "P")],
+        "conv_id string, text string, label string",
+    )
+    cmap = spark.createDataFrame(
+        [("n1", "alice", "P", "n1"), ("n2", "alyce", "P", "n1"),
+         ("n3", "bob", "P", "n3")],
+        "node_id string, text string, label string, canonical_id string",
+    )
+    got = {(r.ent_a, r.ent_b): r.n_co for r in
+           comention_pmi(mentions, cmap, min_co=2).collect()}
+    assert got == {("n1", "n3"): 2}
+
+
+def test_negative_triples_deterministic_and_valid(spark):
+    from docs2kg_spark.operators.relations import negative_triples
+
+    rows = [(f"s{i}", "REL", f"o{i % 5}") for i in range(20)] + [
+        ("s1", "OTHER", "o9")
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = negative_triples(t).collect()
+    vocab = {r.obj for r in t.select("obj").distinct().collect()}
+    # one row per distinct positive, negative drawn from the vocabulary,
+    # never the true object (vocabulary has 6 > 1 entries)
+    assert len(out) == t.distinct().count()
+    for r in out:
+        assert r.neg_obj in vocab
+        assert r.neg_obj != r.obj
+    # identical under any partitioning (the whole point of the hash draw)
+    again = negative_triples(t.repartition(7)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

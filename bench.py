@@ -217,6 +217,8 @@ HEADLINE = [
     # round-3 additions: PMI edge weighting + negative sampling
     "kg_comention_pmi",
     "kg_negative_samples",
+    # round-3 additions: winnowing local-overlap dedup
+    "doc_winnow_pairs",
 ]
 
 

@@ -501,3 +501,117 @@ def dup_span_profile(
             F.coalesce(F.col("n_dup") / F.col("n_grams"), F.lit(0.0)), 6
         ).alias("dup_fraction"),
     )
+
+
+# position encoding for winnowing: fingerprint = hash * 2^20 + position,
+# so array_min picks (lowest hash, leftmost position) deterministically
+# in one comparison.  Caps documents at 2^20 tokens — beyond that the
+# position wraps into the hash bits; split such documents upstream.
+_WINNOW_POS_BITS = 1_048_576
+
+
+def winnow_fingerprints(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm) → (id, fp, pos): the selected
+    k-token-gram hashes and their 1-based gram positions.  Docs with
+    fewer than `k` tokens have no grams and are absent.
+
+    Winnowing's guarantee: any shared run of ≥ window+k-1 tokens
+    between two documents yields at least one SHARED selected
+    fingerprint, while only ~2/(window+1) of all grams are kept — the
+    position-robust middle ground between exact-hash dedup (whole-doc
+    brittle) and MinHash (set semantics, order-blind).  Deviation from
+    the paper: ties select the LEFTMOST minimal gram (the hash·2^20+pos
+    encoding makes min() total), not the rightmost — determinism is
+    what the oracle needs, and the density guarantee is unchanged.
+
+    Scale shape: everything up to the fingerprint set happens INSIDE
+    the row — gram hashing, window minima, and dedup are array
+    expressions over the token array (no explode until the final
+    per-fingerprint unnest, which emits ~2n/(window+1) rows, not n·k).
+    The md5-based gram hash is the engine-portable draw (same idiom as
+    sampling.py), so the DuckDB twin selects bit-identical
+    fingerprints."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), WS_RE), lambda x: x != ""
+    )
+    arrs = documents.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    grams = F.expr(
+        f"transform(sequence(1, size(toks) - {k - 1}), "
+        f"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i, {k}))), 1, 8), 16, 10) AS BIGINT))"
+    )
+    enc = F.expr(
+        f"transform(grams, (g, i) -> g * {_WINNOW_POS_BITS}L + i + 1)"
+    )
+    sel = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(size(enc) - {window - 1}, 1)), "
+        f"j -> array_min(slice(enc, j, {window}))))"
+    )
+    return (
+        arrs.withColumn("grams", grams)
+        .withColumn("enc", enc)
+        .select("id", F.explode(sel).alias("s"))
+        .select(
+            "id",
+            (F.col("s") / _WINNOW_POS_BITS).cast("bigint").alias("fp"),
+            (F.col("s") % _WINNOW_POS_BITS).cast("int").alias("pos"),
+        )
+    )
+
+
+def winnow_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints →
+    (doc_a, doc_b, n_shared), doc_a < doc_b, pairs sharing fewer than
+    `min_shared` distinct fingerprints dropped.
+
+    The local-plagiarism / boilerplate-overlap detector: two documents
+    surface here iff they share enough selected grams, i.e. enough
+    runs of ≥ window+k-1 identical consecutive tokens — order
+    SENSITIVE where n-gram Jaccard is order-blind.
+
+    Scale shape: the pair generator is an equi-join on the fingerprint
+    VALUE, the same blocked shape as every other dedup path here; the
+    `max_df` filter (one hash agg over the already-thin fingerprint
+    table) removes boilerplate fingerprints shared by more than max_df
+    docs BEFORE the join, bounding per-key fanout at max_df² — the
+    gram-cap playbook from ngram_jaccard_pairs, but exact and
+    engine-mirrorable (a fixed df threshold, not a per-block top-N)."""
+    fps = (
+        winnow_fingerprints(documents, id_col, text_col, k, window)
+        .select("id", "fp")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    df_ok = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("fp")
+    )
+    thin = fps.join(df_ok, on="fp")
+    return (
+        thin.alias("a")
+        .join(
+            thin.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

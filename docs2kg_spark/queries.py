@@ -2388,6 +2388,55 @@ JOIN ng_o o2 ON o2.idx = d.idx % n_obj + 1
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (operators/dedup.py — MOSS local-overlap dedup)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_winnow_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by shared winnowing fingerprints —
+    order-SENSITIVE local overlap (shared token runs), where n-gram
+    Jaccard is order-blind set overlap."""
+    from docs2kg_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
+
+
+def _doc_winnow_pairs_sql(k: int = 3, window: int = 4, min_shared: int = 2,
+                          max_df: int = 50) -> str:
+    from docs2kg_spark.operators.dedup import _WINNOW_POS_BITS
+
+    p = _WINNOW_POS_BITS
+    return rf"""
+WITH wn_arrs AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+wn_g AS (
+  SELECT id,
+    [CAST(CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))
+          AS UBIGINT) AS BIGINT) * {p} + i
+     for i in generate_series(1, len(toks) - {k - 1})] AS enc
+  FROM wn_arrs WHERE len(toks) >= {k}
+),
+wn_fp AS (
+  SELECT DISTINCT id, CAST(s // {p} AS BIGINT) AS fp
+  FROM (
+    SELECT id,
+           unnest(list_distinct([list_min(enc[j:j+{window - 1}])
+                                 for j in generate_series(1, greatest(len(enc) - {window - 1}, 1))])) AS s
+    FROM wn_g)
+),
+wn_ok AS (SELECT fp FROM wn_fp GROUP BY fp HAVING count(*) <= {max_df}),
+wn_thin AS (SELECT id, fp FROM wn_fp JOIN wn_ok USING (fp))
+SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM wn_thin a JOIN wn_thin b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+# ---------------------------------------------------------------------------
 # interpolated-bigram LM quality scoring (operators/tfidf.py)
 # ---------------------------------------------------------------------------
 
@@ -2546,6 +2595,8 @@ SPARK_QUERIES = {
     # KG statistics + embedding-training data
     "kg_comention_pmi": q_kg_comention_pmi,
     "kg_negative_samples": q_kg_negative_samples,
+    # winnowing (MOSS) local-overlap dedup
+    "doc_winnow_pairs": q_doc_winnow_pairs,
 }
 
 ORACLE_SQL = {
@@ -2647,4 +2698,5 @@ ORACLE_SQL = {
     "graph_clustering": _graph_clustering_sql(),
     "kg_comention_pmi": _kg_comention_pmi_sql(),
     "kg_negative_samples": _kg_negative_samples_sql(),
+    "doc_winnow_pairs": _doc_winnow_pairs_sql(),
 }

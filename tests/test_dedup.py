@@ -121,3 +121,77 @@ def test_embedding_near_dup_bucketed_is_subset_with_high_recall(spark):
         for r in embedding_near_dup_pairs(emb, threshold=0.999999).collect()
     }
     assert exact <= bucketed
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_shared_run_guarantee(spark):
+    """The SIGMOD'03 guarantee: a shared run of >= window+k-1 tokens
+    (here 4+3-1 = 6) yields at least one shared selected fingerprint."""
+    from docs2kg_spark.operators.dedup import winnow_pairs
+
+    run = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, f"completely unrelated prefix words here {run}"),
+         (2, f"{run} and then a totally different tail of text"),
+         (3, "nothing in common with either document at all whatsoever")],
+        "doc_id int, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in winnow_pairs(df, min_shared=1).collect()}
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_winnow_order_sensitive(spark):
+    """Same BAG of tokens, different order → no shared 3-gram runs, so
+    winnowing finds nothing (where set-semantics dedup would fire)."""
+    from docs2kg_spark.operators.dedup import winnow_pairs
+
+    df = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine ten"),
+         (2, "ten nine eight seven six five four three two one")],
+        "doc_id int, text string",
+    )
+    assert winnow_pairs(df, min_shared=1).count() == 0
+
+
+def test_winnow_density_and_positions(spark):
+    """Selected fingerprints are a small fraction of all grams (~2/(w+1))
+    and positions are valid 1-based gram indexes."""
+    from docs2kg_spark.operators.dedup import winnow_fingerprints
+
+    words = " ".join(f"w{i * 7 % 101}" for i in range(200))
+    df = spark.createDataFrame([(1, words)], "doc_id int, text string")
+    rows = winnow_fingerprints(df).collect()
+    n_grams = 200 - 2
+    assert 0 < len(rows) <= n_grams // 2  # far below all-grams
+    assert all(1 <= r.pos <= n_grams for r in rows)
+
+
+def test_winnow_max_df_drops_boilerplate(spark):
+    """A fingerprint present in more docs than max_df never generates
+    pairs (the boilerplate guard that bounds join fanout)."""
+    from docs2kg_spark.operators.dedup import winnow_pairs
+
+    boiler = "this footer appears on every single page of the site"
+    df = spark.createDataFrame(
+        [(i, f"unique{i} openers number{i * 3} here {boiler}") for i in range(6)],
+        "doc_id int, text string",
+    )
+    assert winnow_pairs(df, min_shared=1, max_df=3).count() == 0
+    assert winnow_pairs(df, min_shared=1, max_df=10).count() == 15  # all C(6,2)
+
+
+def test_winnow_repartition_stable(spark):
+    from docs2kg_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, f"token{i} alpha beta gamma delta t{i * 11 % 7} end") for i in range(40)],
+        "doc_id int, text string",
+    )
+    a = sorted(map(tuple, winnow_fingerprints(df).collect()))
+    b = sorted(map(tuple, winnow_fingerprints(df.repartition(13)).collect()))
+    assert a == b

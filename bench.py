@@ -219,6 +219,9 @@ HEADLINE = [
     "kg_negative_samples",
     # round-3 additions: winnowing local-overlap dedup
     "doc_winnow_pairs",
+    # round-3 additions: interval-overlap join + per-source cap
+    "mention_span_overlap",
+    "doc_source_cap",
 ]
 
 

@@ -75,3 +75,63 @@ def sessionize(
     return events.withColumn("_new_session", is_new).withColumn(
         "session_idx", F.sum("_new_session").over(wrun).cast("int") - 1
     ).drop("_new_session")
+
+
+def span_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "key",
+    start: str = "start",
+    end: str = "end",
+    bucket: int = 32,
+    l_prefix: str = "l_",
+    r_prefix: str = "r_",
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair on the same
+    ``key`` whose half-open spans [start, end) overlap
+    (l.start < r.end AND r.start < l.end).  Returns all left columns
+    prefixed `l_` and all right columns prefixed `r_` (key unprefixed).
+
+    The annotation-alignment primitive (gazetteer spans vs LLM spans,
+    OCR boxes vs layout regions) that Spark has no native operator for:
+    a raw inequality join is a per-key cross product.
+
+    Spark-first shape — bucketized interval blocking: each span is
+    replicated into the fixed-width buckets it touches
+    (floor(start/b) … floor((end-1)/b) — spans are short relative to
+    `bucket` in the annotation use-case, so replication is ~1), the
+    join becomes EQUI-keyed on (key, bucket) + the overlap predicate,
+    and each overlapping pair is emitted exactly once by keeping only
+    the bucket containing max(l.start, r.start) — the standard
+    dedup-free blocking trick, no distinct needed.  Skewed keys split
+    across buckets by construction; AQE handles the residue."""
+    def burst(df, prefix):
+        b = F.lit(bucket)
+        cols = [F.col(c).alias(c if c == key else prefix + c) for c in df.columns]
+        return df.filter(F.col(end) > F.col(start)).select(
+            *cols,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / b), F.floor((F.col(end) - 1) / b)
+                )
+            ).alias("_bkt"),
+        )
+
+    ls, le = F.col(l_prefix + start), F.col(l_prefix + end)
+    rs, re_ = F.col(r_prefix + start), F.col(r_prefix + end)
+    lb = burst(left, l_prefix)
+    rb = burst(right, r_prefix).withColumnRenamed(key, "_rkey")
+    out = (
+        lb.join(
+            rb,
+            (F.col(key) == F.col("_rkey"))
+            & (lb["_bkt"] == rb["_bkt"])
+            & (ls < re_)
+            & (rs < le)
+            & (lb["_bkt"] == F.floor(F.greatest(ls, rs) / F.lit(bucket))),
+        )
+    )
+    keep = [key] + [l_prefix + c for c in left.columns if c != key] + [
+        r_prefix + c for c in right.columns if c != key
+    ]
+    return out.select(*keep)

@@ -201,3 +201,39 @@ def split_sql(table: str, id_col: str, weights: dict[str, float] | None = None, 
         cases.append(f"WHEN {bucket} < '{_hex_threshold(cum)}' THEN '{name}'")
     case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
     return f"SELECT {id_col}, {case} AS split FROM {table}"
+
+
+def source_cap(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen deterministically by
+    content-hash rank — the per-domain cap of web-crawl pipelines
+    (CommonCrawl-style corpora limit docs per host so megasites can't
+    dominate the training mix).  Returns the input columns unchanged.
+
+    Rank = row_number ordered by (md5(id|salt) hex, id) within the
+    group: a content-keyed total order, so the kept set is a stable
+    pseudo-random sample — independent of partitioning, resume-safe,
+    and identical in the DuckDB twin (md5 is md5, hex strings compare
+    identically, id breaks the one-in-2^128 tie).
+
+    Scale shape: ONE group-keyed window shuffle.  row_number needs no
+    full-group sort buffer beyond the shuffle's sort (whole-stage
+    window with running counter); a pathologically hot group is still
+    one partition's sort — at true hot-key scale swap in the two-phase
+    per-partition top-cap (TakeOrdered per group-shard, re-rank the
+    ≤ cap·shards survivors), which this operator's oracle also covers
+    since the kept SET is rank-defined, not partitioning-defined."""
+    from pyspark.sql import Window
+
+    okey = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    w = Window.partitionBy(group_col).orderBy(okey, F.col(id_col))
+    return (
+        df.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= cap)
+        .drop("_rnk")
+    )

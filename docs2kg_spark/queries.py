@@ -2388,6 +2388,70 @@ JOIN ng_o o2 ON o2.idx = d.idx % n_obj + 1
 
 
 # ---------------------------------------------------------------------------
+# interval-overlap join (operators/asof.py — annotation alignment)
+# ---------------------------------------------------------------------------
+
+
+def q_mention_span_overlap(spark, sf_dir):
+    """Align gazetteer spans with (offset-drifted) LLM-standin spans in
+    the same segment by character-interval overlap — the annotation-
+    agreement read; exercises the bucketized interval-blocking join."""
+    from docs2kg_spark.operators.asof import span_overlap_join
+
+    m = q_kg_mentions(spark, sf_dir)
+    gaz = m.filter(F.col("method") == "gazetteer").select(
+        "seg_id", "start", "end", "text", "label"
+    )
+    llm = m.filter(F.col("method") == "llm_standin").select(
+        "seg_id", "start", "end", "text", "label"
+    )
+    return span_overlap_join(gaz, llm, key="seg_id", bucket=32)
+
+
+def _mention_span_overlap_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import _kg_prefix
+
+    return f"""
+{_kg_prefix(TRANSCRIPTS_CTE)}
+SELECT g.seg_id,
+       g.start AS l_start, g."end" AS l_end, g.text AS l_text, g.label AS l_label,
+       l.start AS r_start, l."end" AS r_end, l.text AS r_text, l.label AS r_label
+FROM mentions g
+JOIN mentions l
+  ON g.seg_id = l.seg_id
+ AND g.start < l."end" AND l.start < g."end"
+WHERE g.method = 'gazetteer' AND l.method = 'llm_standin'
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source cap (operators/sampling.py — the per-domain crawl cap)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_source_cap(spark, sf_dir):
+    """At most 10 docs per source, chosen by deterministic content-hash
+    rank — the per-domain cap that stops megasites dominating the mix."""
+    from docs2kg_spark.operators.sampling import source_cap
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return source_cap(d, "source", "doc_id", cap=10)
+
+
+SQL_DOC_SOURCE_CAP = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|cap-v1'), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked WHERE rnk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # winnowing fingerprints (operators/dedup.py — MOSS local-overlap dedup)
 # ---------------------------------------------------------------------------
 
@@ -2597,6 +2661,10 @@ SPARK_QUERIES = {
     "kg_negative_samples": q_kg_negative_samples,
     # winnowing (MOSS) local-overlap dedup
     "doc_winnow_pairs": q_doc_winnow_pairs,
+    # interval-overlap join (annotation alignment)
+    "mention_span_overlap": q_mention_span_overlap,
+    # per-source (per-domain) cap
+    "doc_source_cap": q_doc_source_cap,
 }
 
 ORACLE_SQL = {
@@ -2699,4 +2767,6 @@ ORACLE_SQL = {
     "kg_comention_pmi": _kg_comention_pmi_sql(),
     "kg_negative_samples": _kg_negative_samples_sql(),
     "doc_winnow_pairs": _doc_winnow_pairs_sql(),
+    "mention_span_overlap": _mention_span_overlap_sql(),
+    "doc_source_cap": SQL_DOC_SOURCE_CAP,
 }

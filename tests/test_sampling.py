@@ -70,3 +70,29 @@ def test_stratified_default_zero_drops_unlisted(spark):
         F.col("id").alias("doc_id"), F.lit("xx").alias("lang")
     )
     assert stratified_sample(df, "lang", {"en": 1.0}, id_col="doc_id").count() == 0
+
+
+def test_source_cap_exact_and_stable(spark):
+    from docs2kg_spark.operators.sampling import source_cap
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    kept = source_cap(df, "source", "doc_id", cap=7).collect()
+    by = {}
+    for r in kept:
+        by.setdefault(r.source, set()).add(r.doc_id)
+    assert {k: len(v) for k, v in by.items()} == {"s0": 7, "s1": 7, "s2": 7}
+    # content-keyed rank: identical set under any partitioning
+    again = source_cap(df.repartition(11), "source", "doc_id", cap=7).collect()
+    by2 = {}
+    for r in again:
+        by2.setdefault(r.source, set()).add(r.doc_id)
+    assert by == by2
+
+
+def test_source_cap_under_cap_groups_untouched(spark):
+    from docs2kg_spark.operators.sampling import source_cap
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                               "doc_id int, source string")
+    assert source_cap(df, "source", "doc_id", cap=5).count() == 3

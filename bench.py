@@ -222,6 +222,8 @@ HEADLINE = [
     # round-3 additions: interval-overlap join + per-source cap
     "mention_span_overlap",
     "doc_source_cap",
+    # round-3 additions: BPE scoring table
+    "bpe_pair_stats",
 ]
 
 

@@ -2452,6 +2452,41 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rnk <= 10
 
 
 # ---------------------------------------------------------------------------
+# BPE pair statistics (operators/bpe.py — tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+def q_bpe_pair_stats(spark, sf_dir):
+    """Top-50 adjacent character-pair counts over the word vocabulary —
+    the round-0 BPE scoring table (what the first merge is chosen from);
+    the full merge loop (bpe.py::bpe_learn) is pytest-verified against a
+    plain-Python reference."""
+    from docs2kg_spark.operators.bpe import bpe_pair_stats
+
+    return bpe_pair_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_BPE_PAIR_STATS = r"""
+WITH bp_toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+bp_wv AS (SELECT word, count(*) AS c FROM bp_toks GROUP BY 1),
+bp_pos AS (
+  SELECT word, c, unnest(generate_series(1, length(word) - 1)) AS i
+  FROM bp_wv WHERE length(word) >= 2
+)
+SELECT substr(word, i, 1) AS sym_a, substr(word, i + 1, 1) AS sym_b,
+       CAST(sum(c) AS BIGINT) AS pair_count
+FROM bp_pos
+GROUP BY 1, 2
+ORDER BY pair_count DESC, sym_a, sym_b
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------------------
 # winnowing fingerprints (operators/dedup.py — MOSS local-overlap dedup)
 # ---------------------------------------------------------------------------
 
@@ -2665,6 +2700,8 @@ SPARK_QUERIES = {
     "mention_span_overlap": q_mention_span_overlap,
     # per-source (per-domain) cap
     "doc_source_cap": q_doc_source_cap,
+    # BPE round-0 scoring table
+    "bpe_pair_stats": q_bpe_pair_stats,
 }
 
 ORACLE_SQL = {
@@ -2769,4 +2806,5 @@ ORACLE_SQL = {
     "doc_winnow_pairs": _doc_winnow_pairs_sql(),
     "mention_span_overlap": _mention_span_overlap_sql(),
     "doc_source_cap": SQL_DOC_SOURCE_CAP,
+    "bpe_pair_stats": SQL_BPE_PAIR_STATS,
 }

@@ -224,6 +224,9 @@ HEADLINE = [
     "doc_source_cap",
     # round-3 additions: BPE scoring table
     "bpe_pair_stats",
+    # round-3 additions: mergeable sketches
+    "cms_user_counts",
+    "hll_user_distinct",
 ]
 
 

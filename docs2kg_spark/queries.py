@@ -2452,6 +2452,98 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rnk <= 10
 
 
 # ---------------------------------------------------------------------------
+# mergeable sketches (operators/sketches.py — CMS + HLL, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min estimate vs true frequency per user — the sketch the
+    fleet merges cell-wise instead of shuffling raw keys; est ≥ true by
+    construction, and the value oracle checks the exact overestimates."""
+    from docs2kg_spark.operators.sketches import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events")
+    cms = cms_build(ev, "user_id")
+    est = cms_estimate(cms, ev.select("user_id"), "user_id")
+    true = ev.groupBy(F.col("user_id").cast("string").alias("user_id")).agg(
+        F.count("*").cast("bigint").alias("true_count")
+    )
+    return (
+        est.join(true, on="user_id")
+        .select(
+            F.col("user_id").cast("bigint").alias("user_id"), "est", "true_count"
+        )
+    )
+
+
+SQL_CMS_USER_COUNTS = """
+WITH cm_keys AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+cm_seeds AS (SELECT CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS seed),
+cm_cells AS (
+  SELECT seed,
+         CAST(CAST(('0x' || substr(md5(seed || '|' || k), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM cm_keys CROSS JOIN cm_seeds
+  GROUP BY 1, 2
+),
+cm_probes AS (
+  SELECT k, seed,
+         CAST(CAST(('0x' || substr(md5(seed || '|' || k), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS bucket
+  FROM (SELECT DISTINCT k FROM cm_keys) CROSS JOIN cm_seeds
+),
+cm_est AS (
+  SELECT k, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est
+  FROM cm_probes p LEFT JOIN cm_cells c USING (seed, bucket)
+  GROUP BY k
+)
+SELECT CAST(e.k AS BIGINT) AS user_id, e.est, t.true_count
+FROM cm_est e
+JOIN (SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS true_count
+      FROM events GROUP BY 1) t USING (k)
+"""
+
+
+def q_hll_user_distinct(spark, sf_dir):
+    """HyperLogLog distinct-user estimate with the exact answer riding
+    along — registers and the fixed-point harmonic sum are
+    engine-exact, so the estimate (and its error) is value-oracled."""
+    from docs2kg_spark.operators.sketches import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "events"), "user_id", include_true=True)
+
+
+SQL_HLL_USER_DISTINCT = """
+WITH hl_h AS (
+  SELECT CAST(CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+  FROM events
+),
+hl_b AS (SELECT h & 63 AS bucket, h >> 6 AS h2 FROM hl_h),
+hl_r AS (
+  SELECT bucket,
+         max(CASE WHEN h2 > 0 THEN 43 - length(bin(h2)) ELSE 43 END) AS r
+  FROM hl_b GROUP BY 1
+),
+hl_c AS (
+  SELECT CAST(count(*) AS BIGINT) AS v_nonempty,
+         SUM(CAST(1 AS BIGINT) << (50 - r)) AS hsum
+  FROM hl_r
+),
+hl_e AS (
+  SELECT v_nonempty,
+         ROUND(CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(1125899906842624 AS DOUBLE)
+               / (hsum + (64 - v_nonempty) * CAST(1125899906842624 AS BIGINT)), 6) AS raw_est
+  FROM hl_c
+)
+SELECT v_nonempty, raw_est,
+       CASE WHEN raw_est <= 160.0 AND v_nonempty < 64
+            THEN ROUND(64.0 * ln(64.0 / CAST(64 - v_nonempty AS DOUBLE)), 6)
+            ELSE raw_est END AS est,
+       (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS n_true
+FROM hl_e
+"""
+
+
+# ---------------------------------------------------------------------------
 # BPE pair statistics (operators/bpe.py — tokenizer training)
 # ---------------------------------------------------------------------------
 
@@ -2702,6 +2794,9 @@ SPARK_QUERIES = {
     "doc_source_cap": q_doc_source_cap,
     # BPE round-0 scoring table
     "bpe_pair_stats": q_bpe_pair_stats,
+    # mergeable sketches: CMS frequency + HLL cardinality
+    "cms_user_counts": q_cms_user_counts,
+    "hll_user_distinct": q_hll_user_distinct,
 }
 
 ORACLE_SQL = {
@@ -2807,4 +2902,6 @@ ORACLE_SQL = {
     "mention_span_overlap": _mention_span_overlap_sql(),
     "doc_source_cap": SQL_DOC_SOURCE_CAP,
     "bpe_pair_stats": SQL_BPE_PAIR_STATS,
+    "cms_user_counts": SQL_CMS_USER_COUNTS,
+    "hll_user_distinct": SQL_HLL_USER_DISTINCT,
 }

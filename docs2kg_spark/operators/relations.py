@@ -206,10 +206,14 @@ def negative_triples(triples: DataFrame, salt: str = "neg-v1") -> DataFrame:
     t = triples.select("subj", "pred", "obj").distinct()
     from pyspark.sql import Window
 
+    # lazy checkpoint: o1, o2 and the size agg all consume the SAME
+    # materialized numbering — without it the distinct+window replays
+    # three times (plan showed 3 Window nodes / 10 Exchanges; 1 / 6 after)
     objs = (
         t.select(F.col("obj").alias("cand"))
         .distinct()
         .select("cand", F.row_number().over(Window.orderBy("cand")).alias("idx"))
+        .localCheckpoint(eager=False)
     )
     n_obj = objs.agg(F.max("idx").cast("long").alias("n_obj"))
     h = F.conv(

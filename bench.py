@@ -227,6 +227,9 @@ HEADLINE = [
     # round-3 additions: mergeable sketches
     "cms_user_counts",
     "hll_user_distinct",
+    # round-3 additions: graph skew summary + lang-id eval
+    "graph_assortativity",
+    "lang_id_confusion",
 ]
 
 

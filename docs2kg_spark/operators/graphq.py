@@ -379,3 +379,56 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             ).alias("lcc"),
         )
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the undirected
+    simple graph → ONE row (m_edges, assortativity): the Pearson
+    correlation of endpoint degrees over the directed-both-ways edge
+    list.  Positive = hubs link hubs (social-ish), negative = hubs link
+    leaves (hub-and-spoke) — the one-number summary of whether the
+    entity graph's join keys will be hub-skewed.
+
+    Engine-exact: every moment (Σd_u, Σd_u², Σd_u·d_v) is a BIGINT sum
+    of small integers — exact and associative — and doubles appear only
+    in the final closed-form ratio (sqrt is correctly rounded in IEEE,
+    so both engines emit the identical 6dp value).  By symmetry of the
+    both-directions list the u- and v-moments coincide, but both are
+    computed (and checked equal in the twin) rather than assumed.
+
+    Scale shape: degree = one explode+agg pass over the deduped a<b
+    edge table; the two endpoint-degree joins are node-keyed (the
+    degree relation is node-sized; AQE broadcasts when small); one
+    single-row aggregate ends it.  BIGINT moments hold to ~3·10⁹ edge
+    endpoints × max-degree² ≈ 2⁶³; beyond that switch the three sums
+    to DOUBLE and accept last-ulp noise."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    und = sym.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")).distinct()
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    both = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    du = deg.select(F.col("node").alias("a"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("b"), F.col("d").alias("dv"))
+    m = both.join(du, on="a").join(dv, on="b")
+    agg = m.agg(
+        F.count("*").cast("bigint").alias("m2"),
+        F.sum(F.col("du") * F.col("dv")).alias("sxy"),
+        F.sum("du").alias("sx"),
+        F.sum("dv").alias("sy"),
+        F.sum(F.col("du") * F.col("du")).alias("sxx"),
+        F.sum(F.col("dv") * F.col("dv")).alias("syy"),
+    )
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")
+    return agg.select(
+        (F.col("m2") / 2).cast("bigint").alias("m_edges"),
+        F.round(
+            num.cast("double") / F.sqrt(varx.cast("double") * vary.cast("double")), 6
+        ).alias("assortativity"),
+    )

@@ -2451,6 +2451,64 @@ SELECT doc_id, source, n_chars FROM ranked WHERE rnk <= 10
 """
 
 
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the entity graph — do hub entities link
+    hubs (positive) or leaves (negative)?  The one-number skew summary."""
+    from docs2kg_spark.operators.graphq import degree_assortativity
+
+    t = q_kg_triples(spark, sf_dir)
+    return degree_assortativity(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    )
+
+
+def _graph_assortativity_sql() -> str:
+    return (
+        _entity_graph_prefix()
+        + """,
+as_u AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM eg_e WHERE src <> dst),
+as_d AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT a AS node FROM as_u UNION ALL SELECT b FROM as_u) GROUP BY node),
+as_b AS (SELECT a, b FROM as_u UNION ALL SELECT b, a FROM as_u),
+as_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(du.d * dv.d) AS BIGINT) AS sxy,
+         CAST(sum(du.d) AS BIGINT) AS sx, CAST(sum(dv.d) AS BIGINT) AS sy,
+         CAST(sum(du.d * du.d) AS BIGINT) AS sxx,
+         CAST(sum(dv.d * dv.d) AS BIGINT) AS syy
+  FROM as_b JOIN as_d du ON du.node = as_b.a JOIN as_d dv ON dv.node = as_b.b)
+SELECT CAST(m2 / 2 AS BIGINT) AS m_edges,
+       ROUND(CAST(m2 * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE) * CAST(m2 * syy - sy * sy AS DOUBLE)), 6)
+         AS assortativity
+FROM as_m
+"""
+    )
+
+
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted vs labeled language,
+    (true_lang, pred_lang, n) — the eval read for the lang_id filter."""
+    from docs2kg_spark.operators.text import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("true_lang"), lang_id("text").alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _lang_id_confusion_sql() -> str:
+    return f"""
+WITH lc_pred AS ({SQL_LANG_ID})
+SELECT d.lang AS true_lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN lc_pred p USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # mergeable sketches (operators/sketches.py — CMS + HLL, deterministic)
 # ---------------------------------------------------------------------------
@@ -2797,6 +2855,9 @@ SPARK_QUERIES = {
     # mergeable sketches: CMS frequency + HLL cardinality
     "cms_user_counts": q_cms_user_counts,
     "hll_user_distinct": q_hll_user_distinct,
+    # graph skew summary + lang-id eval
+    "graph_assortativity": q_graph_assortativity,
+    "lang_id_confusion": q_lang_id_confusion,
 }
 
 ORACLE_SQL = {
@@ -2904,4 +2965,6 @@ ORACLE_SQL = {
     "bpe_pair_stats": SQL_BPE_PAIR_STATS,
     "cms_user_counts": SQL_CMS_USER_COUNTS,
     "hll_user_distinct": SQL_HLL_USER_DISTINCT,
+    "graph_assortativity": _graph_assortativity_sql(),
+    "lang_id_confusion": _lang_id_confusion_sql(),
 }

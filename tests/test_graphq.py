@@ -164,3 +164,26 @@ def test_clustering_coefficient_triangle_plus_pendant(spark):
         "c": (3, 1, round(2 * 1 / (3 * 2), 6)),
         "d": (1, 0, 0.0),
     }
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from docs2kg_spark.operators.graphq import degree_assortativity
+
+    edges = spark.createDataFrame(
+        [("c", "l1"), ("c", "l2"), ("c", "l3")], "src string, dst string"
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert (r.m_edges, r.assortativity) == (3, -1.0)
+
+
+def test_assortativity_hand_computed_mixed_graph(spark):
+    from docs2kg_spark.operators.graphq import degree_assortativity
+
+    # triangle a-b-c with pendant d on c: r = -20/28 = -0.714286 (6dp)
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "src string, dst string",
+    )
+    r = degree_assortativity(edges).collect()[0]
+    assert r.m_edges == 4
+    assert r.assortativity == round(-20 / 28, 6)

@@ -230,6 +230,8 @@ HEADLINE = [
     # round-3 additions: graph skew summary + lang-id eval
     "graph_assortativity",
     "lang_id_confusion",
+    # round-3 additions: hybrid retrieval fusion
+    "rrf_fusion",
 ]
 
 

@@ -145,3 +145,114 @@ def bm25_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def jaccard_topk(
+    documents: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id_col: str = "query_id",
+    q_text_col: str = "text",
+    n: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-k corpus documents per query by n-token-gram Jaccard →
+    (query_id, doc_id, jac, rnk).  The set-overlap retrieval leg that
+    complements BM25's term-weighting leg (rrf_fuse combines them);
+    self-matches (query_id = doc_id) are excluded.
+
+    Scale shape: grams are built inside the row and DISTINCTed there
+    (list_distinct before any explode); the probe gram set is broadcast
+    into a gram equi-join; sizes are one hash agg; the ratio
+    ni/(nq+nd−ni) is small-int-exact in IEEE doubles, rounded to 6dp,
+    ranked with the doc-id tie-break both engines share."""
+    def grams(df, idc, txtc):
+        toks = F.filter(
+            F.split(F.trim(F.lower(F.col(txtc))), WS_RE), lambda x: x != ""
+        )
+        g = F.expr(
+            f"array_distinct(transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {n}))))"
+        )
+        return (
+            df.select(F.col(idc).alias("id"), toks.alias("toks"))
+            .filter(F.size("toks") >= n)
+            .select("id", F.explode(g).alias("g"))
+        )
+
+    dg = grams(documents, id_col, text_col).localCheckpoint(eager=False)
+    qg = grams(queries, q_id_col, q_text_col)
+    sizes = dg.groupBy("id").agg(F.count("*").alias("ng"))
+    qsizes = qg.groupBy("id").agg(F.count("*").alias("nq"))
+    inter = (
+        dg.join(F.broadcast(qg.select(F.col("id").alias("query_id"), "g")), on="g")
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("doc_id"))
+        .agg(F.count("*").alias("ni"))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        inter.join(F.broadcast(qsizes.withColumnRenamed("id", "query_id")), on="query_id")
+        .join(sizes.withColumnRenamed("id", "doc_id"), on="doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.col("ni").cast("double") / (F.col("nq") + F.col("ng") - F.col("ni")),
+                6,
+            ).alias("jac"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jac"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k_rrf: int = 60,
+    top_k: int = 10,
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    N rankings → (query_id, doc_id, rrf_micro, n_lists, rnk).
+
+    RRF(d) = Σ_lists 1/(k + rank_list(d)) — the standard zero-training
+    way to combine lexical and semantic retrieval legs.  Each
+    contribution is integer-scaled (round(10⁶/(k+rank)) as BIGINT)
+    BEFORE summing, so the fused score is an exact associative integer
+    sum — engine-identical under any partitioning, same playbook as the
+    logprob operators.  Final rank breaks ties by doc_id.
+
+    Scale shape: a unionByName of already-top-k (thin) rankings, one
+    hash agg, one query-keyed rank window over ≤ N·top_k rows per
+    query."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    contribs = [
+        r.select(
+            "query_id",
+            "doc_id",
+            F.round(F.lit(1_000_000.0) / (F.lit(k_rrf) + F.col(rank_col)))
+            .cast("long")
+            .alias("c"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), contribs)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("rrf_micro"),
+        F.count("*").cast("bigint").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= top_k)
+    )

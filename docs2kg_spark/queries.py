@@ -2510,6 +2510,87 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# hybrid retrieval fusion (operators/retrieval.py — RRF over two legs)
+# ---------------------------------------------------------------------------
+
+
+def _probe_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d, d.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the BM25 leg and the n-gram-Jaccard leg
+    for the same 3 probe queries — the zero-training hybrid-retrieval
+    combiner; integer-scaled contributions keep the fused score exact."""
+    from docs2kg_spark.operators.retrieval import bm25_topk, jaccard_topk, rrf_fuse
+
+    d, probes = _probe_docs(spark, sf_dir)
+    bm = bm25_topk(d, probes, top_k=10).select("query_id", "doc_id", "rnk")
+    jc = jaccard_topk(d, probes, top_k=10).select("query_id", "doc_id", "rnk")
+    return rrf_fuse([bm, jc], top_k=10)
+
+
+SQL_JACCARD_LEG = r"""
+jl_arrs AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+jl_g AS (
+  SELECT id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                   for i in generate_series(1, len(toks) - 2)])) AS g
+  FROM jl_arrs WHERE len(toks) >= 3
+),
+jl_sz AS (SELECT id, count(*) AS ng FROM jl_g GROUP BY 1),
+jl_inter AS (
+  SELECT q.id AS query_id, d.id AS doc_id, count(*) AS ni
+  FROM jl_g q JOIN jl_g d ON q.g = d.g AND d.id <> q.id
+  WHERE q.id < 3
+  GROUP BY 1, 2
+),
+jl_scored AS (
+  SELECT i.query_id, i.doc_id,
+         ROUND(CAST(ni AS DOUBLE) / (sq.ng + sd.ng - ni), 6) AS jac
+  FROM jl_inter i JOIN jl_sz sq ON sq.id = i.query_id JOIN jl_sz sd ON sd.id = i.doc_id
+),
+jl_ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY jac DESC, doc_id) AS rnk
+  FROM jl_scored
+)
+"""
+
+
+def _rrf_fusion_sql() -> str:
+    return f"""
+WITH bm AS ({SQL_BM25}),
+{SQL_JACCARD_LEG.strip().rstrip()},
+rrf_u AS (
+  SELECT query_id, doc_id,
+         CAST(ROUND(1000000.0 / (60 + rnk)) AS BIGINT) AS c
+  FROM bm
+  UNION ALL
+  SELECT query_id, doc_id, CAST(ROUND(1000000.0 / (60 + rnk)) AS BIGINT)
+  FROM jl_ranked WHERE rnk <= 10
+),
+rrf_f AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_micro,
+         CAST(count(*) AS BIGINT) AS n_lists
+  FROM rrf_u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_micro, n_lists, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_micro DESC, doc_id) AS rnk
+      FROM rrf_f)
+WHERE rnk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # mergeable sketches (operators/sketches.py — CMS + HLL, deterministic)
 # ---------------------------------------------------------------------------
 
@@ -2858,6 +2939,8 @@ SPARK_QUERIES = {
     # graph skew summary + lang-id eval
     "graph_assortativity": q_graph_assortativity,
     "lang_id_confusion": q_lang_id_confusion,
+    # hybrid retrieval fusion
+    "rrf_fusion": q_rrf_fusion,
 }
 
 ORACLE_SQL = {
@@ -2967,4 +3050,5 @@ ORACLE_SQL = {
     "hll_user_distinct": SQL_HLL_USER_DISTINCT,
     "graph_assortativity": _graph_assortativity_sql(),
     "lang_id_confusion": _lang_id_confusion_sql(),
+    "rrf_fusion": _rrf_fusion_sql(),
 }

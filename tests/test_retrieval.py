@@ -105,3 +105,50 @@ def test_ranking_shape(result):
 
 def test_zero_token_doc_absent(result):
     assert all(6 not in [d for d, _, _ in v] for v in result.values())
+
+
+# ---------------------------------------------------------------------------
+# Jaccard leg + reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_topk_hand_computed(spark):
+    from docs2kg_spark.operators.retrieval import jaccard_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),          # grams: abc bcd cde (3)
+            (2, "a b c d x"),          # grams: abc bcd cdx  → inter 2, union 4
+            (3, "z z z z z"),          # gram: "z z z" (distinct → 1), inter 0
+        ],
+        "doc_id int, text string",
+    )
+    q = spark.createDataFrame([(1, "a b c d e")], "query_id int, text string")
+    got = {(r.query_id, r.doc_id): (r.jac, r.rnk) for r in
+           jaccard_topk(docs, q).collect()}
+    assert got == {(1, 2): (round(2 / 4, 6), 1)}  # self and zero-overlap absent
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from docs2kg_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 10, 1), (1, 11, 2)], "query_id int, doc_id int, rnk int")
+    b = spark.createDataFrame([(1, 11, 1), (1, 12, 2)], "query_id int, doc_id int, rnk int")
+    got = {r.doc_id: (r.rrf_micro, r.n_lists, r.rnk) for r in
+           rrf_fuse([a, b]).collect()}
+    c1 = round(1_000_000.0 / 61)  # rank 1
+    c2 = round(1_000_000.0 / 62)  # rank 2
+    # doc 11 appears in both lists (ranks 2 and 1) → top fused
+    assert got[11] == (c1 + c2, 2, 1)
+    assert got[10] == (c1, 1, 2)   # ties with 12 on score? no: c1 > c2
+    assert got[12] == (c2, 1, 3)
+
+
+def test_rrf_fuse_tie_breaks_by_doc_id(spark):
+    from docs2kg_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 7, 1), (1, 3, 2)], "query_id int, doc_id int, rnk int")
+    b = spark.createDataFrame([(1, 3, 1), (1, 7, 2)], "query_id int, doc_id int, rnk int")
+    rows = sorted((r.rnk, r.doc_id) for r in rrf_fuse([a, b]).collect())
+    # identical fused scores → lower doc_id wins
+    assert rows == [(1, 3), (2, 7)]

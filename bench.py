@@ -232,6 +232,8 @@ HEADLINE = [
     "lang_id_confusion",
     # round-3 additions: hybrid retrieval fusion
     "rrf_fusion",
+    # round-3 additions: snapshot diff (CDC)
+    "doc_snapshot_diff",
 ]
 
 

@@ -2510,6 +2510,62 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# snapshot diff (operators/diff.py — the CDC / MERGE-planning read)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_snapshot_diff(spark, sf_dir):
+    """Diff the documents table against a deterministically perturbed
+    second snapshot (every 50th doc removed, every 7th text uppercased,
+    5 new ids appended) → (doc_id, change).  The CDC derivation an
+    incremental pipeline MERGEs from."""
+    from docs2kg_spark.operators.diff import table_diff
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    new = (
+        d.filter(F.col("doc_id") % 50 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 == 0, F.upper(F.col("text")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") < 5).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+            )
+        )
+    )
+    return table_diff(d, new, ["doc_id"])
+
+
+SQL_DOC_SNAPSHOT_DIFF = """
+WITH sd_old AS (SELECT doc_id, text, lang FROM documents),
+sd_new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text,
+         lang
+  FROM documents WHERE doc_id % 50 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id < 5
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS DISTINCT FROM n.text
+              OR o.lang IS DISTINCT FROM n.lang THEN 'changed'
+       END AS change
+FROM sd_old o FULL JOIN sd_new n ON o.doc_id = n.doc_id
+WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+           WHEN n.doc_id IS NULL THEN 'removed'
+           WHEN o.text IS DISTINCT FROM n.text
+             OR o.lang IS DISTINCT FROM n.lang THEN 'changed'
+      END IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # hybrid retrieval fusion (operators/retrieval.py — RRF over two legs)
 # ---------------------------------------------------------------------------
 
@@ -2941,6 +2997,8 @@ SPARK_QUERIES = {
     "lang_id_confusion": q_lang_id_confusion,
     # hybrid retrieval fusion
     "rrf_fusion": q_rrf_fusion,
+    # snapshot diff (CDC derivation)
+    "doc_snapshot_diff": q_doc_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -3051,4 +3109,5 @@ ORACLE_SQL = {
     "graph_assortativity": _graph_assortativity_sql(),
     "lang_id_confusion": _lang_id_confusion_sql(),
     "rrf_fusion": _rrf_fusion_sql(),
+    "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
 }

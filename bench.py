@@ -234,6 +234,8 @@ HEADLINE = [
     "rrf_fusion",
     # round-3 additions: snapshot diff (CDC)
     "doc_snapshot_diff",
+    # round-3 additions: k-core
+    "graph_kcore",
 ]
 
 

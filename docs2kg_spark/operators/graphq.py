@@ -432,3 +432,58 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             num.cast("double") / F.sqrt(varx.cast("double") * vary.cast("double")), 6
         ).alias("assortativity"),
     )
+
+
+def k_core(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
+    """The k-core of the undirected simple graph: iteratively peel
+    nodes of degree < k until fixpoint → (node, core_degree) for the
+    surviving subgraph (empty when no core exists).
+
+    The densest-region extractor (gds.kcore analog): on the entity
+    graph it isolates the tightly interlinked cluster a KG curator
+    inspects first; on near-dup graphs it separates template families
+    from incidental pairs.
+
+    Scale shape: each peel round is ONE degree hash-agg over the
+    current edge set plus a semi-join keeping edges whose BOTH
+    endpoints survive; the edge set only shrinks, and rounds are
+    bounded by max_iters (peeling converges in ≤ diameter-ish rounds —
+    12 covers real graphs; raise for adversarial chains).  Each round's
+    edge set rides a localCheckpoint so lineage stays flat; the
+    convergence check reads the checkpoint's count — no extra scan.
+    The SQL twin unrolls the same rounds; a parity test pins that one
+    extra round is a no-op at fixpoint (i.e. the unroll depth reached
+    it)."""
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).filter(
+        F.col("u") != F.col("v")
+    )
+    e = (
+        sym.select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "a"), on="a", how="left_semi")
+            .join(keep.withColumnRenamed("node", "b"), on="b", how="left_semi")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        e = e2
+        if n2 == n_edges:
+            break
+        n_edges = n2
+    return (
+        e.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("core_degree"))
+    )

@@ -2487,6 +2487,51 @@ FROM as_m
     )
 
 
+def q_graph_kcore(spark, sf_dir):
+    """3-core of the entity graph — the densest-region extractor; the
+    Spark side peels to fixpoint, the twin unrolls 8 rounds (a parity
+    test pins that the unroll depth reaches the fixpoint)."""
+    from docs2kg_spark.operators.graphq import k_core
+
+    t = q_kg_triples(spark, sf_dir)
+    return k_core(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")), k=3
+    )
+
+
+def _graph_kcore_sql(k: int = 3, rounds: int = 8) -> str:
+    # every kc_e{i} is referenced three times by round i+1 (two degree
+    # legs + the edge filter): AS MATERIALIZED stops DuckDB from
+    # inlining, which would otherwise replicate the whole upstream
+    # mention-extraction chain ~3^rounds times
+    ctes = [
+        "kc_e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+        "FROM eg_e WHERE src <> dst)"
+    ]
+    for i in range(1, rounds + 1):
+        p = f"kc_e{i - 1}"
+        ctes.append(
+            f"kc_d{i} AS (SELECT node, count(*) AS d FROM "
+            f"(SELECT a AS node FROM {p} UNION ALL SELECT b FROM {p}) GROUP BY 1)"
+        )
+        ctes.append(f"kc_k{i} AS MATERIALIZED (SELECT node FROM kc_d{i} WHERE d >= {k})")
+        ctes.append(
+            f"kc_e{i} AS MATERIALIZED (SELECT e.a, e.b FROM {p} e "
+            f"JOIN kc_k{i} ka ON ka.node = e.a JOIN kc_k{i} kb ON kb.node = e.b)"
+        )
+    last = f"kc_e{rounds}"
+    return (
+        _entity_graph_prefix()
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT node, CAST(count(*) AS BIGINT) AS core_degree
+FROM (SELECT a AS node FROM {last} UNION ALL SELECT b FROM {last})
+GROUP BY node
+"""
+    )
+
+
 def q_lang_id_confusion(spark, sf_dir):
     """Language-ID confusion matrix: predicted vs labeled language,
     (true_lang, pred_lang, n) — the eval read for the lang_id filter."""
@@ -2999,6 +3044,8 @@ SPARK_QUERIES = {
     "rrf_fusion": q_rrf_fusion,
     # snapshot diff (CDC derivation)
     "doc_snapshot_diff": q_doc_snapshot_diff,
+    # k-core (densest-region extractor)
+    "graph_kcore": q_graph_kcore,
 }
 
 ORACLE_SQL = {
@@ -3110,4 +3157,5 @@ ORACLE_SQL = {
     "lang_id_confusion": _lang_id_confusion_sql(),
     "rrf_fusion": _rrf_fusion_sql(),
     "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
+    "graph_kcore": _graph_kcore_sql(),
 }

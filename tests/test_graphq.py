@@ -187,3 +187,35 @@ def test_assortativity_hand_computed_mixed_graph(spark):
     r = degree_assortativity(edges).collect()[0]
     assert r.m_edges == 4
     assert r.assortativity == round(-20 / 28, 6)
+
+
+def test_kcore_clique_survives_chain_peels(spark):
+    from docs2kg_spark.operators.graphq import k_core
+
+    # K4 clique + a chain hanging off it
+    clique = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    chain = [("d", "x"), ("x", "y"), ("y", "z")]
+    edges = spark.createDataFrame(clique + chain, "src string, dst string")
+    core3 = {r.node: r.core_degree for r in k_core(edges, k=3).collect()}
+    assert core3 == {"a": 3, "b": 3, "c": 3, "d": 3}  # chain fully peeled
+    # k=2: the chain still peels (cascade from the degree-1 tail)
+    core2 = set(r.node for r in k_core(edges, k=2).collect())
+    assert core2 == {"a", "b", "c", "d"}
+
+
+def test_kcore_cascading_peel_empties_chain(spark):
+    from docs2kg_spark.operators.graphq import k_core
+
+    chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    assert k_core(edges, k=2).count() == 0  # ends peel, cascade consumes all
+
+
+def test_kcore_cycle_keeps_cycle_drops_pendant(spark):
+    from docs2kg_spark.operators.graphq import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "p")], "src string, dst string"
+    )
+    got = {r.node: r.core_degree for r in k_core(edges, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}

@@ -236,6 +236,8 @@ HEADLINE = [
     "doc_snapshot_diff",
     # round-3 additions: k-core
     "graph_kcore",
+    # round-3 additions: ANN approximation quality
+    "ann_lsh_recall",
 ]
 
 

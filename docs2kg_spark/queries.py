@@ -2554,6 +2554,46 @@ GROUP BY 1, 2
 """
 
 
+def q_ann_lsh_recall(spark, sf_dir):
+    """Recall@5 of LSH-bucketed ANN vs exact brute force, per query —
+    measure the approximation, don't guess (the ANN analog of the
+    HLL/CMS value-oracled error checks)."""
+    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(lsh, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 6).alias("recall"),
+        )
+    )
+
+
+def _ann_lsh_recall_sql() -> str:
+    return f"""
+WITH rc_bf AS ({SQL_ANN_TOPK}),
+rc_lsh AS ({_ann_lsh_sql()}),
+rc_hits AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM rc_bf b JOIN rc_lsh l
+    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(coalesce(n_hits, 0) / 5.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM rc_bf) q
+LEFT JOIN rc_hits h ON h.query_id = q.query_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # snapshot diff (operators/diff.py — the CDC / MERGE-planning read)
 # ---------------------------------------------------------------------------
@@ -3046,6 +3086,8 @@ SPARK_QUERIES = {
     "doc_snapshot_diff": q_doc_snapshot_diff,
     # k-core (densest-region extractor)
     "graph_kcore": q_graph_kcore,
+    # ANN approximation quality
+    "ann_lsh_recall": q_ann_lsh_recall,
 }
 
 ORACLE_SQL = {
@@ -3158,4 +3200,5 @@ ORACLE_SQL = {
     "rrf_fusion": _rrf_fusion_sql(),
     "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
     "graph_kcore": _graph_kcore_sql(),
+    "ann_lsh_recall": _ann_lsh_recall_sql(),
 }

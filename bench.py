@@ -238,6 +238,8 @@ HEADLINE = [
     "graph_kcore",
     # round-3 additions: ANN approximation quality
     "ann_lsh_recall",
+    # round-3 additions: leakage-free split
+    "doc_split_leakfree",
 ]
 
 

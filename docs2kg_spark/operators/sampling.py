@@ -188,8 +188,16 @@ def sqrt_temperature_mixture(
     )
 
 
-def split_sql(table: str, id_col: str, weights: dict[str, float] | None = None, salt: str = "split-v1") -> str:
-    """DuckDB twin of hash_split — the same md5 hex-bucket predicate."""
+def split_sql(
+    table: str,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    extra_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB twin of hash_split — the same md5 hex-bucket predicate.
+    ``extra_cols`` are carried through unchanged (e.g. doc_id when the
+    split is keyed on a cluster id)."""
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
     total = sum(weights.values())
     bucket = f"substr(md5(CAST({id_col} AS VARCHAR) || '|{salt}'), 1, 4)"
@@ -200,7 +208,8 @@ def split_sql(table: str, id_col: str, weights: dict[str, float] | None = None, 
         cum += weights[name] / total
         cases.append(f"WHEN {bucket} < '{_hex_threshold(cum)}' THEN '{name}'")
     case = "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
-    return f"SELECT {id_col}, {case} AS split FROM {table}"
+    cols = ", ".join([*extra_cols, id_col])
+    return f"SELECT {cols}, {case} AS split FROM {table}"
 
 
 def source_cap(

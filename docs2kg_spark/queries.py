@@ -1409,6 +1409,32 @@ def _doc_split_sql() -> str:
     return split_sql("documents", "doc_id")
 
 
+def q_doc_split_leakfree(spark, sf_dir):
+    """Dedup-aware train/val/test split: the hash bucket is keyed on
+    the near-dup CLUSTER id (doc_dedup_map's min-id survivor), so a
+    near-duplicate can never straddle train and test — the standard
+    leakage failure of naive per-doc splits.  → (doc_id, split)."""
+    from docs2kg_spark.operators.dedup import doc_dedup_map
+    from docs2kg_spark.operators.sampling import hash_split
+
+    cmap = doc_dedup_map(_t(spark, sf_dir, "documents"), spark)
+    return hash_split(cmap, "canonical_id").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "split"
+    )
+
+
+def _doc_split_leakfree_sql() -> str:
+    from docs2kg_spark.operators.sampling import split_sql
+    from docs2kg_spark.oracle.sql_twins import doc_dedup_map_sql
+
+    inner = split_sql("ddm", "canonical_id", extra_cols=("doc_id",))
+    return f"""
+WITH ddm AS ({doc_dedup_map_sql()})
+SELECT CAST(doc_id AS BIGINT) AS doc_id, split
+FROM ({inner})
+"""
+
+
 def q_doc_stratified(spark, sf_dir):
     from docs2kg_spark.operators.sampling import stratified_sample
 
@@ -3088,6 +3114,8 @@ SPARK_QUERIES = {
     "graph_kcore": q_graph_kcore,
     # ANN approximation quality
     "ann_lsh_recall": q_ann_lsh_recall,
+    # dedup-aware (leakage-free) split
+    "doc_split_leakfree": q_doc_split_leakfree,
 }
 
 ORACLE_SQL = {
@@ -3201,4 +3229,5 @@ ORACLE_SQL = {
     "doc_snapshot_diff": SQL_DOC_SNAPSHOT_DIFF,
     "graph_kcore": _graph_kcore_sql(),
     "ann_lsh_recall": _ann_lsh_recall_sql(),
+    "doc_split_leakfree": _doc_split_leakfree_sql(),
 }

@@ -96,3 +96,49 @@ def test_source_cap_under_cap_groups_untouched(spark):
     df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
                                "doc_id int, source string")
     assert source_cap(df, "source", "doc_id", cap=5).count() == 3
+
+
+def test_leakfree_split_never_straddles_clusters(spark):
+    """Split keyed on the dedup-cluster id: every near-dup cluster lands
+    wholly in one split; the naive per-doc split demonstrably straddles
+    on the same corpus (that's the leakage it exists to prevent)."""
+    from docs2kg_spark.operators.dedup import doc_dedup_map
+    from docs2kg_spark.operators.sampling import hash_split
+
+    # 30 clusters of 4 identical docs each + unique fillers; each
+    # cluster's vocabulary is disjoint (w{c}_{k}) so clusters are NOT
+    # near-dups of each other, only within themselves
+    rows = []
+    for c in range(30):
+        text = " ".join(f"w{c}x{k} tail{c}y{k}" for k in range(12))
+        for j in range(4):
+            rows.append((c * 10 + j, text))
+    rows += [
+        (9000 + i, " ".join(f"u{i}q{k} filler{i}z{k}" for k in range(12)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    cmap = doc_dedup_map(df, spark)
+    leakfree = hash_split(cmap, "canonical_id").select("doc_id", "split")
+    joined = cmap.join(leakfree, on="doc_id")
+    straddling = (
+        joined.groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert straddling == 0
+    # sanity: the clusters really are multi-doc (the test isn't vacuous)
+    multi = cmap.groupBy("canonical_id").count().filter(F.col("count") > 1).count()
+    assert multi >= 30
+    # and the naive per-doc split DOES straddle at least one cluster
+    naive = hash_split(df, "doc_id").select("doc_id", "split")
+    naive_straddle = (
+        cmap.join(naive, on="doc_id")
+        .groupBy("canonical_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert naive_straddle > 0

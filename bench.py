@@ -240,6 +240,9 @@ HEADLINE = [
     "ann_lsh_recall",
     # round-3 additions: leakage-free split
     "doc_split_leakfree",
+    # round-3 additions: TPC-H Q3 shape + percentile length trim
+    "shipping_backlog",
+    "doc_length_filter",
 ]
 
 

@@ -2620,6 +2620,72 @@ LEFT JOIN rc_hits h ON h.query_id = q.query_id
 """
 
 
+def q_shipping_backlog(spark, sf_dir):
+    """TPC-H Q3 shape on the available columns: revenue of URGENT
+    orders placed before 1995-03-15 whose lineitems ship after it,
+    top-10 by revenue — the classic join→agg→TakeOrdered path."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") < F.lit("1995-03-15"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_BACKLOG = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q_doc_length_filter(spark, sf_dir):
+    """Keep docs inside their source's [p10, p90] length band — the
+    percentile-threshold quality trim (outlier-length removal)."""
+    d = _t(spark, sf_dir, "documents")
+    ln = F.length("text")
+    th = d.groupBy("source").agg(
+        F.round(F.percentile(ln, F.lit(0.1)), 6).alias("lo"),
+        F.round(F.percentile(ln, F.lit(0.9)), 6).alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(th), on="source")
+        .filter((ln >= F.col("lo")) & (ln <= F.col("hi")))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+SQL_DOC_LENGTH_FILTER = """
+WITH lf_th AS (
+  SELECT source,
+         ROUND(quantile_cont(length(text), 0.1), 6) AS lo,
+         ROUND(quantile_cont(length(text), 0.9), 6) AS hi
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN lf_th t ON t.source = d.source
+WHERE length(d.text) >= t.lo AND length(d.text) <= t.hi
+"""
+
+
 # ---------------------------------------------------------------------------
 # snapshot diff (operators/diff.py — the CDC / MERGE-planning read)
 # ---------------------------------------------------------------------------
@@ -3116,6 +3182,9 @@ SPARK_QUERIES = {
     "ann_lsh_recall": q_ann_lsh_recall,
     # dedup-aware (leakage-free) split
     "doc_split_leakfree": q_doc_split_leakfree,
+    # TPC-H Q3 shape + percentile-band length trim
+    "shipping_backlog": q_shipping_backlog,
+    "doc_length_filter": q_doc_length_filter,
 }
 
 ORACLE_SQL = {
@@ -3230,4 +3299,6 @@ ORACLE_SQL = {
     "graph_kcore": _graph_kcore_sql(),
     "ann_lsh_recall": _ann_lsh_recall_sql(),
     "doc_split_leakfree": _doc_split_leakfree_sql(),
+    "shipping_backlog": SQL_SHIPPING_BACKLOG,
+    "doc_length_filter": SQL_DOC_LENGTH_FILTER,
 }

@@ -243,6 +243,8 @@ HEADLINE = [
     # round-3 additions: TPC-H Q3 shape + percentile length trim
     "shipping_backlog",
     "doc_length_filter",
+    # round-3 additions: hourly anomaly z-scores
+    "event_anomalies",
 ]
 
 

@@ -2620,6 +2620,61 @@ LEFT JOIN rc_hits h ON h.query_id = q.query_id
 """
 
 
+def q_event_anomalies(spark, sf_dir):
+    """Top-3 hourly volume anomalies per event type by |z-score| — the
+    ops-analytics outlier read.  The z moments are exact associative
+    BIGINT sums (z = (x·nh − Σx)/√(nh·Σx² − (Σx)²), population form),
+    so both engines rank the identical 6dp values; hour breaks ties."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").cast("string").alias("hour")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    mo = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("nh"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    z6 = F.round(
+        (F.col("n") * F.col("nh") - F.col("sx")).cast("double")
+        / F.sqrt((F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")),
+        6,
+    )
+    w = Window.partitionBy("event_type").orderBy(F.abs(F.col("z")).desc(), "hour")
+    return (
+        hourly.join(F.broadcast(mo), on="event_type")
+        .select("event_type", "hour", "n", z6.alias("z"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+SQL_EVENT_ANOMALIES = """
+WITH ea_h AS (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ea_m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+         CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n * n) AS BIGINT) AS sxx
+  FROM ea_h GROUP BY 1
+),
+ea_z AS (
+  SELECT h.event_type, h.hour, h.n,
+         ROUND(CAST(h.n * m.nh - m.sx AS DOUBLE)
+               / sqrt(CAST(m.nh * m.sxx - m.sx * m.sx AS DOUBLE)), 6) AS z
+  FROM ea_h h JOIN ea_m m ON m.event_type = h.event_type
+)
+SELECT event_type, hour, n, z, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY abs(z) DESC, hour) AS rnk
+      FROM ea_z)
+WHERE rnk <= 3
+"""
+
+
 def q_shipping_backlog(spark, sf_dir):
     """TPC-H Q3 shape on the available columns: revenue of URGENT
     orders placed before 1995-03-15 whose lineitems ship after it,
@@ -3185,6 +3240,8 @@ SPARK_QUERIES = {
     # TPC-H Q3 shape + percentile-band length trim
     "shipping_backlog": q_shipping_backlog,
     "doc_length_filter": q_doc_length_filter,
+    # hourly volume anomalies (exact-moment z-scores)
+    "event_anomalies": q_event_anomalies,
 }
 
 ORACLE_SQL = {
@@ -3301,4 +3358,5 @@ ORACLE_SQL = {
     "doc_split_leakfree": _doc_split_leakfree_sql(),
     "shipping_backlog": SQL_SHIPPING_BACKLOG,
     "doc_length_filter": SQL_DOC_LENGTH_FILTER,
+    "event_anomalies": SQL_EVENT_ANOMALIES,
 }

@@ -544,6 +544,27 @@ def winnow_fingerprints(
     arrs = documents.select(F.col(id_col).alias("id"), toks.alias("toks")).filter(
         F.size("toks") >= k
     )
+    # Enforce the documented position-capacity precondition (ADVICE r3):
+    # positions occupy the low log2(_WINNOW_POS_BITS) bits, so a doc
+    # with >= 2^20 grams would silently corrupt fp/pos.  raise_error is
+    # wired into the toks column itself (not a prunable side column) so
+    # Catalyst cannot optimize the check away.
+    arrs = arrs.withColumn(
+        "toks",
+        F.when(
+            F.size("toks") < _WINNOW_POS_BITS + (k - 1), F.col("toks")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "winnow_fingerprints: document exceeds the 2^20-gram "
+                        "position capacity (split it upstream): id="
+                    ),
+                    F.col("id").cast("string"),
+                )
+            )
+        ),
+    )
     grams = F.expr(
         f"transform(sequence(1, size(toks) - {k - 1}), "
         f"i -> CAST(conv(substr(md5(concat_ws(' ', slice(toks, i, {k}))), 1, 8), 16, 10) AS BIGINT))"

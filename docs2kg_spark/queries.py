@@ -941,8 +941,13 @@ FROM documents
 def q_kg_segments(spark, sf_dir):
     from docs2kg_spark.operators.segments import segment_transcripts
 
-    t = derive_transcripts(spark, sf_dir)
-    return segment_transcripts(t).select("conv_id", "seg_id", "seg_idx", "turn_idx", "label", "text")
+    segs = _kg_memo(
+        spark,
+        sf_dir,
+        "segments",
+        lambda: segment_transcripts(derive_transcripts(spark, sf_dir)),
+    )
+    return segs.select("conv_id", "seg_id", "seg_idx", "turn_idx", "label", "text")
 
 
 SQL_KG_SEGMENTS = f"""
@@ -1001,14 +1006,38 @@ SELECT DISTINCT 'doc_' || conv_id, 'tool_' || tool, 'HAS_TOOL' FROM transcripts 
 
 # --- UDF-based stages: rows-only (no SQL twin possible) --------------------
 
+# Session-scoped memo for the shared KG chain (VERDICT r3 item 4): the
+# composed KG reads (entity timeline, co-mention PMI, negative samples,
+# predicate stats, every graph_* query) each re-derived segmentation →
+# mention extraction → triples/canonical-map from the raw tables, so a
+# 101-query gate session paid the same subtree many times.  In
+# production these reads consume MATERIALIZED tables; the memo gives
+# the gate/bench the same shape.  Keyed on (applicationId, sf_dir) so a
+# new SparkSession — or a different scale factor — never sees a stale
+# DataFrame; values ride lazy localCheckpoints, so the first consumer
+# pays the compute and later queries reuse the materialized blocks.
+_KG_MEMO: dict = {}
+
+
+def _kg_memo(spark, sf_dir, name, build):
+    key = (spark.sparkContext.applicationId, str(sf_dir), name)
+    if key not in _KG_MEMO:
+        _KG_MEMO[key] = build().localCheckpoint(eager=False)
+    return _KG_MEMO[key]
+
 
 def _kg_stack(spark, sf_dir):
     from docs2kg_spark.operators.mentions import extract_mentions
     from docs2kg_spark.operators.segments import segment_transcripts
 
-    t = derive_transcripts(spark, sf_dir)
-    segs = segment_transcripts(t)
-    return segs, extract_mentions(segs, spark)
+    segs = _kg_memo(
+        spark,
+        sf_dir,
+        "segments",
+        lambda: segment_transcripts(derive_transcripts(spark, sf_dir)),
+    )
+    m = _kg_memo(spark, sf_dir, "mentions", lambda: extract_mentions(segs, spark))
+    return segs, m
 
 
 def q_kg_mentions(spark, sf_dir):
@@ -1020,37 +1049,39 @@ def q_kg_triples(spark, sf_dir):
     from docs2kg_spark.operators.relations import cooccurrence_triples
 
     _, m = _kg_stack(spark, sf_dir)
-    return cooccurrence_triples(m, spark)
+    return _kg_memo(
+        spark, sf_dir, "triples", lambda: cooccurrence_triples(m, spark)
+    )
 
 
 def q_kg_canonical_map(spark, sf_dir):
     from docs2kg_spark.operators.linking import build_canonical_map
 
     _, m = _kg_stack(spark, sf_dir)
-    cmap, _ = build_canonical_map(m, spark)
-    return cmap
+    return _kg_memo(
+        spark,
+        sf_dir,
+        "canonical_map",
+        lambda: build_canonical_map(m, spark)[0],
+    )
 
 
 def q_kg_nodes(spark, sf_dir):
     from docs2kg_spark.operators.graph import materialize_kg
-    from docs2kg_spark.operators.linking import build_canonical_map
-    from docs2kg_spark.operators.relations import cooccurrence_triples
 
     segs, m = _kg_stack(spark, sf_dir)
-    t = cooccurrence_triples(m, spark)
-    cmap, _ = build_canonical_map(m, spark)
+    t = q_kg_triples(spark, sf_dir)
+    cmap = q_kg_canonical_map(spark, sf_dir)
     nodes, _ = materialize_kg(segs, m, t, cmap)
     return nodes.select("node_id", "canonical_id", "type")
 
 
 def q_kg_edges(spark, sf_dir):
     from docs2kg_spark.operators.graph import materialize_kg
-    from docs2kg_spark.operators.linking import build_canonical_map
-    from docs2kg_spark.operators.relations import cooccurrence_triples
 
     segs, m = _kg_stack(spark, sf_dir)
-    t = cooccurrence_triples(m, spark)
-    cmap, _ = build_canonical_map(m, spark)
+    t = q_kg_triples(spark, sf_dir)
+    cmap = q_kg_canonical_map(spark, sf_dir)
     _, edges = materialize_kg(segs, m, t, cmap)
     return edges.select("src", "dst", "type")
 

@@ -136,6 +136,55 @@ def test_shipping_backlog_cents_exact(spark):
         assert abs(r["revenue"] - cents / 100) < 1e-9
 
 
+def test_negative_triples_two_phase_numbering(spark):
+    """The two-phase bucketed vocabulary numbering must draw the exact
+    same negatives as the old global-ORDER-BY window (the twin's
+    semantics): verify against a brute-force recomputation of
+    row_number-by-sorted-cand on a multi-bucket vocabulary, and check
+    neg_obj != obj."""
+    import hashlib
+
+    from docs2kg_spark.operators.relations import negative_triples
+
+    objs = ["alpha", "apple", "beta", "bravo", "zeta", "1num", "Zed", ""]
+    rows = [(f"s{i}", "likes", o) for i, o in enumerate(objs)]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r["subj"], r["obj"]): r["neg_obj"] for r in negative_triples(t).collect()}
+    vocab = sorted(objs)  # idx = 1-based rank in sorted order
+    n = len(vocab)
+    for s, _, o in rows:
+        h = int(hashlib.md5(f"{s}|likes|{o}|neg-v1".encode()).hexdigest()[:8], 16)
+        idx = h % n + 1
+        cand1 = vocab[idx - 1]
+        want = cand1 if cand1 != o else vocab[idx % n]
+        assert got[(s, o)] == want, (s, o)
+        assert got[(s, o)] != o
+
+
+def test_vocab_numbering_plan_and_rank(spark):
+    """number_by_sorted_rank: (a) the row_number window is PARTITIONED
+    (by the bucket column) — no single-reducer vocabulary sort; the
+    only un-partitioned window consumes the per-bucket count aggregate;
+    (b) idx equals the global 1-based lexicographic rank."""
+    import re
+
+    from docs2kg_spark.operators.relations import number_by_sorted_rank
+
+    vals = ["", "a", "aa", "ab", "b", "ba", "zz", "Z", "1", "!"]
+    df = spark.createDataFrame([(v,) for v in vals], "cand string")
+    numbered = number_by_sorted_rank(df, "cand")
+    got = {r["cand"]: r["idx"] for r in numbered.collect()}
+    want = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == want
+    plan = numbered._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*?)\)", plan)
+    assert specs, "expected a row_number window in the plan"
+    for spec in specs:
+        assert spec.lstrip().startswith("_b"), (
+            "row_number window is not bucket-partitioned: " + spec
+        )
+
+
 def test_entity_timeline_column_order(spark, transcripts_df):
     """The r3 defect: canonical_text must be the SECOND column, matching
     the twin's projection order (driver compare is order-sensitive)."""

@@ -29,6 +29,15 @@ over a deterministically synthesized transcript table sized to the SF.
                   1/2/4/8/16/32 concurrent pinned streaming workers and
                   write BENCH/membw.json — the direct evidence for the
                   shared-bus ceiling the busmatched span corrects for.
+--scaling-cluster : the multi-JVM variant of --scaling (VERDICT r3 item
+                  5): a real standalone cluster on this box — master +
+                  taskset-pinned 2-core Worker JVMs, executors launched
+                  by the workers, shuffle blocks fetched over TCP
+                  between executor JVMs (the code path local[N] never
+                  exercises: local mode reads every shuffle block from
+                  its own process).  Levels are 1 worker (2 cores) vs
+                  4 workers (8 cores) — N vs 4N EXECUTORS, the literal
+                  north_rule shape.  Writes BENCH/span_cluster_2_8.{md,json}.
 """
 
 from __future__ import annotations
@@ -65,6 +74,35 @@ def _make_spark(cpus: str):
     # shuffle stage at exactly 1 task/core.  AQE's parallelismFirst
     # coalescing keeps the floor at defaultParallelism either way.
     shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or max(4 * int(cpus), 8)
+    master_url = os.environ.get("SPARK_GRAFT_MASTER")
+    if master_url:
+        # standalone-cluster driver (--scaling-cluster): `cpus` is the
+        # TOTAL executor-core budget; the master parcels it into 2-core
+        # executors on the registered workers.  PYTHONPATH rides to the
+        # executors so Arrow UDF workers can import this package.
+        mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY", "6g")
+        return get_spark(
+            app_name="docs2kg_bench_cluster",
+            master=master_url,
+            shuffle_partitions=shuf,
+            extra_conf={
+                "spark.executor.cores": os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"),
+                "spark.executor.memory": mem,
+                "spark.cores.max": cpus,
+                "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+                "spark.pyspark.python": sys.executable,
+                # locality wait is dead weight here: every "remote" fetch
+                # is loopback TCP on one box, so waiting up to 3s per task
+                # for a PROCESS_LOCAL slot (checkpoint/cached blocks pin
+                # preferred executors) only serializes the small cluster.
+                # Fleets with fast networks commonly run 0 too.
+                "spark.locality.wait": "0s",
+                # same VM hygiene as the driver heap (session.py): fixed
+                # pre-touched executor heaps so G1 never uncommits pages
+                # (this VM's unmap path triggers TLB-shootdown storms)
+                "spark.executor.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
+            },
+        )
     return get_spark(app_name="docs2kg_bench", master=f"local[{cpus}]", shuffle_partitions=shuf)
 
 
@@ -253,6 +291,8 @@ def main() -> None:
         return scaling_main()
     if "--scaling-busmatched" in sys.argv:
         return busmatched_main()
+    if "--scaling-cluster" in sys.argv:
+        return cluster_main()
     if "--membw" in sys.argv:
         return membw_main()
 
@@ -545,6 +585,240 @@ def scaling_main() -> None:
     }
     with open(f"BENCH/span_{lo}_{hi}.json", "w") as f:
         json.dump(summary, f)
+    print(json.dumps(summary))
+
+
+def _pyspark_home() -> str:
+    import pyspark
+
+    return os.path.dirname(os.path.abspath(pyspark.__file__))
+
+
+def _daemon_env() -> dict:
+    """Env for standalone master/worker JVMs launched from a pip pyspark.
+
+    SPARK_SCALA_VERSION must be pinned: the launcher's getScalaVersion()
+    probes source-tree build dirs (launcher/target/scala-*) that a pip
+    install lacks and executor launch dies with 'Cannot find any build
+    directories' otherwise (verified on this box).  SPARK_LOCAL_DIRS on
+    the WORKER is what executors actually use for shuffle files in
+    standalone mode (it overrides the driver's spark.local.dir) — point
+    it at tmpfs so the shared virtio boot disk stays out of the
+    measurement, same hygiene as session.py's local[N] path."""
+    env = dict(
+        os.environ,
+        SPARK_HOME=_pyspark_home(),
+        SPARK_SCALA_VERSION="2.13",
+        PYSPARK_PYTHON=sys.executable,
+        # executor Python UDF workers inherit the WORKER JVM's env, not
+        # the driver's — the glibc-malloc tuning session.py applies for
+        # local mode must be planted here for the cluster path
+        MALLOC_MMAP_THRESHOLD_="268435456",
+        MALLOC_TRIM_THRESHOLD_="268435456",
+    )
+    if os.path.isdir("/dev/shm"):
+        env["SPARK_LOCAL_DIRS"] = "/dev/shm/spark_local"
+    return env
+
+
+def cluster_main() -> None:
+    """north_rule scaling evidence on a REAL multi-JVM standalone cluster
+    (VERDICT r3 item 5): master + K taskset-pinned 2-core Worker JVMs on
+    this box; each worker launches a separate executor JVM; reduce tasks
+    fetch shuffle blocks from other executors' block servers over TCP —
+    the serialized shuffle-read path that local[N] (one JVM, all blocks
+    process-local) never exercises.  Levels: 1 worker (N=2 cores) vs 4
+    workers (4N=8 cores) — N vs 4N EXECUTORS at executor granularity.
+    efficiency = tput(4 workers) / (4 · tput(1 worker)).
+
+    The driver + master are pinned to a DISJOINT high core set at both
+    levels (a fleet's driver is a separate node; letting it steal worker
+    cores would bias the low level, which has more driver-time per
+    worker-core).  Same warmup / tmpfs / idle-gating / interleaving /
+    best-of-N methodology as --scaling."""
+    cores_per = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
+    lo_w, hi_w = 1, 4
+    n_rounds = int(os.environ.get("SPARK_GRAFT_CLUSTER_ROUNDS", "3"))
+    convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "1280000")
+    run_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "1800"))
+    port = int(os.environ.get("SPARK_GRAFT_MASTER_PORT", "7901"))
+    driver_cores = os.environ.get("SPARK_GRAFT_DRIVER_CORES", "28-31")
+    jars = os.path.join(_pyspark_home(), "jars", "*")
+    env = _daemon_env()
+
+    def start_master(logdir: str) -> subprocess.Popen:
+        cmd = [
+            "taskset", "-c", driver_cores, "java", "-cp", jars, "-Xmx1g",
+            "org.apache.spark.deploy.master.Master",
+            "--host", "127.0.0.1", "--port", str(port), "--webui-port", "0",
+        ]
+        with open(f"{logdir}/master.log", "w") as f:
+            p = subprocess.Popen(cmd, env=env, stdout=f, stderr=subprocess.STDOUT)
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            try:
+                with open(f"{logdir}/master.log") as f:
+                    if "I have been elected leader" in f.read():
+                        return p
+            except OSError:
+                pass
+            time.sleep(1)
+        raise SystemExit("cluster: master failed to start")
+
+    def start_workers(k: int, logdir: str, workdir: str) -> list[subprocess.Popen]:
+        procs = []
+        for i in range(k):
+            lo_core = i * cores_per
+            cmd = [
+                "taskset", "-c", f"{lo_core}-{lo_core + cores_per - 1}",
+                "java", "-cp", jars, "-Xmx1g",
+                "org.apache.spark.deploy.worker.Worker",
+                "--cores", str(cores_per),
+                "--memory", os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY", "6g"),
+                "--work-dir", f"{workdir}/w{i}", "--webui-port", "0",
+                f"spark://127.0.0.1:{port}",
+            ]
+            with open(f"{logdir}/worker{i}.log", "w") as f:
+                procs.append(subprocess.Popen(cmd, env=env, stdout=f, stderr=subprocess.STDOUT))
+        deadline = time.monotonic() + 90
+        while time.monotonic() < deadline:
+            n_reg = 0
+            for i in range(k):
+                try:
+                    with open(f"{logdir}/worker{i}.log") as f:
+                        n_reg += "Successfully registered" in f.read()
+                except OSError:
+                    pass
+            if n_reg == k:
+                return procs
+            time.sleep(1)
+        raise SystemExit(f"cluster: only {n_reg}/{k} workers registered")
+
+    def stop(procs: list[subprocess.Popen]) -> None:
+        for p in procs:
+            p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                p.kill()
+        # executors/python workers are children of the worker JVMs; any
+        # stragglers from a killed run must not leak into the next level
+        subprocess.run(["pkill", "-9", "-f", "CoarseGrainedExecutorBackend"], check=False)
+        subprocess.run(["pkill", "-9", "-f", "pyspark.daemon"], check=False)
+
+    def one_run(k_workers: int, rnd: int) -> dict | None:
+        total_cores = k_workers * cores_per
+        tmp = tempfile.mkdtemp(prefix=f"sa_cluster_{k_workers}w_")
+        load = _wait_idle()
+        daemons = [start_master(tmp)]
+        try:
+            daemons += start_workers(k_workers, tmp, tmp)
+            run_env = dict(
+                os.environ,
+                SPARK_GRAFT_MASTER=f"spark://127.0.0.1:{port}",
+                SPARK_GRAFT_CPUS=str(total_cores),
+                SPARK_GRAFT_SF_DIR=SF_DIR,
+                SPARK_GRAFT_BENCH_CONVS=convs,
+            )
+            out = subprocess.run(
+                ["taskset", "-c", driver_cores, sys.executable, __file__, "--pipeline-only"],
+                env=run_env, capture_output=True, text=True, timeout=run_timeout,
+            )
+            lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+            if out.returncode != 0 or not lines:
+                print(
+                    f"cluster run {k_workers}w round {rnd} failed: rc={out.returncode} "
+                    + out.stderr.strip().splitlines()[-1][:200] if out.stderr.strip() else "",
+                    file=sys.stderr,
+                )
+                return None
+            r = json.loads(lines[-1])
+            r["load_at_start"] = load
+            return r
+        except subprocess.TimeoutExpired:
+            print(f"cluster run {k_workers}w round {rnd} timed out", file=sys.stderr)
+            return None
+        finally:
+            stop(daemons)
+            import shutil as _sh
+
+            _sh.rmtree(tmp, ignore_errors=True)
+
+    runs_lo: list[dict] = []
+    runs_hi: list[dict] = []
+    for rnd in range(n_rounds):
+        for k, acc in ((lo_w, runs_lo), (hi_w, runs_hi)):
+            r = one_run(k, rnd)
+            if r is not None:
+                acc.append(r)
+    if not runs_lo or not runs_hi:
+        raise SystemExit("cluster: no successful runs at one level")
+
+    b_lo = min(runs_lo, key=lambda r: r["secs"])
+    b_hi = min(runs_hi, key=lambda r: r["secs"])
+    m_lo = sorted(runs_lo, key=lambda r: r["secs"])[len(runs_lo) // 2]
+    m_hi = sorted(runs_hi, key=lambda r: r["secs"])[len(runs_hi) // 2]
+    eff = round(b_hi["triples_per_sec"] / (4 * b_lo["triples_per_sec"]), 3)
+    eff_med = round(m_hi["triples_per_sec"] / (4 * m_lo["triples_per_sec"]), 3)
+    lo_c, hi_c = lo_w * cores_per, hi_w * cores_per
+
+    os.makedirs("BENCH", exist_ok=True)
+    summary = {
+        "mode": "cluster",
+        "lo": lo_c,
+        "hi": hi_c,
+        "workers": {"lo": lo_w, "hi": hi_w},
+        "cores_per_worker": cores_per,
+        "efficiency": eff,
+        "efficiency_median": eff_med,
+        "secs_best": {str(lo_c): b_lo["secs"], str(hi_c): b_hi["secs"]},
+        "tps_best": {
+            str(lo_c): b_lo["triples_per_sec"],
+            str(hi_c): b_hi["triples_per_sec"],
+        },
+        "runs_secs": {
+            str(lo_c): [r["secs"] for r in runs_lo],
+            str(hi_c): [r["secs"] for r in runs_hi],
+        },
+        "load_at_start": {
+            str(lo_c): [r.get("load_at_start") for r in runs_lo],
+            str(hi_c): [r.get("load_at_start") for r in runs_hi],
+        },
+        "n_turns": b_hi["n_turns"],
+        "n_convs": b_hi["n_convs"],
+    }
+    with open(f"BENCH/span_cluster_{lo_c}_{hi_c}.json", "w") as f:
+        json.dump(summary, f)
+    with open(f"BENCH/span_cluster_{lo_c}_{hi_c}.md", "w") as f:
+        f.write(
+            f"# Multi-JVM standalone-cluster scaling span: {lo_w} vs {hi_w} workers "
+            f"({cores_per} cores each)\n\n"
+            "north_rule criterion measured at EXECUTOR granularity: a real\n"
+            "standalone cluster on this box — master + taskset-pinned 2-core\n"
+            "Worker JVMs, each launching a separate executor JVM.  Reduce\n"
+            "tasks fetch shuffle blocks from other executors' block servers\n"
+            "over TCP (serialized reads) — the code path local[N] never\n"
+            "exercises, since local mode sees every shuffle block as\n"
+            "process-local.  The driver and master are pinned to a disjoint\n"
+            f"high core set ({driver_cores}) at both levels, as on a fleet\n"
+            "where the driver is its own node.  Same warmup / tmpfs /\n"
+            "idle-gating / interleaved best-of-N methodology as the local[N]\n"
+            "spans (BENCH/span_2_8.md).\n\n"
+            f"- input per run: {b_hi['n_turns']} turns, {b_hi['n_convs']} convs (seed=7)\n"
+            f"- rounds: {n_rounds}, interleaved, idle-gated; loadavg at starts: "
+            f"{json.dumps(summary['load_at_start'])}\n\n"
+            "| level | wall (s, best) | triples/sec (best) | wall (s, median) | all runs (s) |\n"
+            "|---|---|---|---|---|\n"
+            f"| 1 worker × {cores_per} cores | {b_lo['secs']} | {b_lo['triples_per_sec']} | "
+            f"{m_lo['secs']} | {[r['secs'] for r in runs_lo]} |\n"
+            f"| 4 workers × {cores_per} cores | {b_hi['secs']} | {b_hi['triples_per_sec']} | "
+            f"{m_hi['secs']} | {[r['secs'] for r in runs_hi]} |\n\n"
+            f"**Executor-granularity scaling efficiency ({lo_w}→{hi_w} workers, 4× cores): "
+            f"{eff} best-of-{n_rounds}, {eff_med} median** (target ≥ 0.8 per north_rule).\n\n"
+            f"- per-stage seconds, 1 worker (best run): {json.dumps(b_lo.get('stage_secs', {}))}\n"
+            f"- per-stage seconds, 4 workers (best run): {json.dumps(b_hi.get('stage_secs', {}))}\n"
+        )
     print(json.dumps(summary))
 
 

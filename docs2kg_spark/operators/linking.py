@@ -154,7 +154,27 @@ def band_table(nodes: DataFrame, cfg: PipelineConfig) -> DataFrame:
 def candidate_pairs(nodes: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     """nodes(node_id, text, label) → (pairs(a, b, text_a, text_b),
     block_stats).  block_stats reports capped blocks so drops are logged,
-    not silent."""
+    not silent.
+
+    Candidate recall bound (the linking analog of
+    dedup.minhash_near_dup_pairs' documented ~5% prefilter loss): LSH
+    banding is the only lossy step on this path — pairs that become
+    candidates are verified with EXACT Jaccard, so precision is 1.0 by
+    construction, but a true pair that lands in no shared band is never
+    seen.  At the default 16 bands × 2 rows (32 perms), the S-curve
+    P(candidate | J) = 1 − (1 − J²)^16 gives:
+
+        J = 0.45 (threshold) → 0.973
+        J = 0.55            → 0.993
+        J = 0.70            → 0.99998
+
+    i.e. conservatively ≥ 0.97 of true pairs AT the decision threshold
+    reach verification, rising fast above it (tests/test_linking_recall.py
+    pins measured recall on a seeded borderline-J fixture ≥ this curve).
+    Block capping (max_block_size) can drop further pairs but only in
+    degenerate blocks, and block_stats counts every cap.  To trade
+    compute for recall, raise lsh_bands (more bands × fewer rows shifts
+    the S-curve left)."""
     bands = band_table(nodes, cfg)
 
     # materialize the band table ONCE: block_stats (collected by the

@@ -69,6 +69,75 @@ _INDEX_CACHE: dict = {}
 # pre-lowered + type-filtered LLM-path entries, per (gazetteer, types)
 _LLM_CACHE: dict = {}
 
+# Above this many gazetteer entries the vocab-size-DEPENDENT structures
+# flip to vocab-size-INDEPENDENT ones (VERDICT r3 item 8 — throughput
+# must not collapse at a realistic 100k-surface gazetteer):
+# - the candidate alternation regex (O(|vocab|) compile, and Python re
+#   tries alternatives sequentially per position) is skipped;
+# - the tokenization-free fast matcher (first-token alternation regex,
+#   same problem) yields to the legacy token-scan path, whose dict
+#   probe is O(tokens) regardless of vocabulary size;
+# - the LLM-path per-surface substring presence scan (O(|vocab|·|text|)
+#   per segment — the real killer) becomes ONE Aho-Corasick pass over
+#   the text (O(|text|) amortized), built once per worker and cached.
+# Output is bit-identical across the routes (parity fuzz-tested); the
+# threshold only moves work between algorithms with the same semantics.
+_LARGE_VOCAB = 2048
+
+
+class _ACAutomaton:
+    """Aho-Corasick multi-pattern substring search (classic goto/fail
+    construction — Aho & Corasick, CACM 1975).  Used only to compute,
+    per text, WHICH surfaces occur as substrings (the LLM-path presence
+    prefilter); offsets stay with the per-chunk find, which is bounded
+    by actual occurrences once the prefilter is exact."""
+
+    __slots__ = ("goto", "fail", "out")
+
+    def __init__(self, patterns):
+        from collections import deque
+
+        goto: list[dict] = [{}]
+        out: list[tuple] = [()]
+        for pat in patterns:
+            node = 0
+            for ch in pat:
+                nxt = goto[node].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append(())
+                    nxt = len(goto) - 1
+                    goto[node][ch] = nxt
+                node = nxt
+            out[node] = out[node] + (pat,)
+        fail = [0] * len(goto)
+        q = deque(goto[0].values())
+        while q:
+            u = q.popleft()
+            for ch, v in goto[u].items():
+                q.append(v)
+                f = fail[u]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                w = goto[f].get(ch, 0)
+                fail[v] = w if w != v else 0
+                if out[fail[v]]:
+                    out[v] = out[v] + out[fail[v]]
+        self.goto, self.fail, self.out = goto, fail, out
+
+    def found(self, text: str) -> set:
+        """set of patterns occurring in text (each reported once)."""
+        goto, fail, out = self.goto, self.fail, self.out
+        node = 0
+        res: set = set()
+        for ch in text:
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0)
+            if out[node]:
+                res.update(out[node])
+        return res
+
 
 def _build_index(gazetteer):
     """first token → [(pattern token tuple, entity_lower, entity_type)]"""
@@ -192,11 +261,19 @@ def _get_index(gazetteer):
     key = hash(gazetteer)
     cached = _INDEX_CACHE.get(key)
     if cached is None:
-        cached = (
-            _build_index(gazetteer),
-            _build_candidate_rx(gazetteer),
-            _build_fast_matcher(gazetteer),
-        )
+        if len(gazetteer) >= _LARGE_VOCAB:
+            # large-vocab route: no candidate alternation regex (None →
+            # the short-circuit is skipped), no first-token alternation
+            # (fast_ok False → legacy token-scan path, O(tokens) dict
+            # probes) — both structures are O(|vocab|) per *position*
+            # under Python re and collapse at 100k surfaces.
+            cached = (_build_index(gazetteer), None, (False, None, {}))
+        else:
+            cached = (
+                _build_index(gazetteer),
+                _build_candidate_rx(gazetteer),
+                _build_fast_matcher(gazetteer),
+            )
         _INDEX_CACHE[key] = cached
     return cached
 
@@ -212,22 +289,36 @@ def _get_llm_entries(gazetteer, entity_types):
     cached = _LLM_CACHE.get(key)
     if cached is None:
         etypes = set(entity_types)
-        cached = tuple(
+        entries = tuple(
             (e.lower(), t, "." in e) for e, t in gazetteer if t in etypes
         )
+        # large-vocab route: ONE Aho-Corasick pass over the text replaces
+        # the per-surface C substring scans (identical result set — AC
+        # reports exactly the surfaces that are substrings); dotted
+        # surfaces keep bypassing the prefilter either way (they can
+        # span the appended chunk ".").  Built once per worker, cached.
+        ac = (
+            _ACAutomaton(sorted({e for e, _, dot in entries if not dot}))
+            if len(entries) >= _LARGE_VOCAB
+            else None
+        )
+        cached = (entries, ac)
         _LLM_CACHE[key] = cached
     return cached
 
 
-def _extract_one(text, llm_entries, index_and_rx, min_judge_len):
+def _extract_one(text, llm_pack, index_and_rx, min_judge_len):
     """Both extraction methods + dedup for one segment text.  Semantics
     mirror oracle/reference.py (which mirrors the reference, SURVEY §1.4)."""
     if not text:
         return []
+    llm_entries, llm_ac = llm_pack
     index, candidate_rx, (fast_ok, first_rx, probe) = index_and_rx
     lowered = text.lower()
     # short-circuit: no surface can match at all → skip tokenization
-    if candidate_rx.search(lowered) is None:
+    # (small-vocab route only; the large-vocab route has no alternation
+    # regex — its presence test is the Aho-Corasick pass below)
+    if candidate_rx is not None and candidate_rx.search(lowered) is None:
         return []
     results = []
 
@@ -287,12 +378,18 @@ def _extract_one(text, llm_entries, index_and_rx, min_judge_len):
     # Per-TEXT presence prefilter before the per-chunk scans: a chunk is
     # a stripped substring of the text plus an appended "." — a surface
     # without "." can occur in a chunk only if it occurs in the lowered
-    # text, so one C-level substring scan per surface bounds the chunk
-    # loop to surfaces actually present (dotted surfaces could span the
-    # appended "." and bypass the filter).  At a real 100k-surface
-    # gazetteer both this scan and the per-chunk find become one
-    # Aho-Corasick pass; at fixture size the C substring scan wins.
-    present = [st for st in llm_entries if st[2] or st[0] in lowered]
+    # text, so the presence prefilter bounds the chunk loop to surfaces
+    # actually present (dotted surfaces could span the appended "." and
+    # bypass the filter).  Small vocab: one C-level substring scan per
+    # surface.  Large vocab (llm_ac set): ONE Aho-Corasick pass over the
+    # text — O(|text|), vocabulary-size-independent — yielding the exact
+    # same present-set; entry order is preserved either way because
+    # first-wins dedup depends on emission order.
+    if llm_ac is not None:
+        in_text = llm_ac.found(lowered)
+        present = [st for st in llm_entries if st[2] or st[0] in in_text]
+    else:
+        present = [st for st in llm_entries if st[2] or st[0] in lowered]
     if present:
         pos = 0
         for c in text.split("."):

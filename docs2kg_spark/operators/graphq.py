@@ -143,6 +143,53 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, iters: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration personalized PageRank: teleport mass restarts
+    ONLY at the seed set (Jeh & Widom, WWW'03 / the GraphX convention
+    restricted to S):  pr⁰(v) = [v∈S];
+    prⁱ(v) = (1−d)·[v∈S] + d · Σ_{u→v} prⁱ⁻¹(u)/outdeg(u).
+    → (node, pr).  seeds: one `node` column — seed sets are small by
+    definition, so the membership join is broadcast.
+
+    Scale shape mirrors pagerank (the cited Cypher-analog read): edge
+    shares pre-divided once and localCheckpointed, one equi-join + one
+    sum agg per iteration, node-sized frames only."""
+    e = edges.select("src", "dst")
+    seed_marked = seeds.select(F.col("node"), F.lit(1.0).alias("is_seed")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .join(F.broadcast(seed_marked), on="node", how="left")
+        .select("node", F.coalesce("is_seed", F.lit(0.0)).alias("base"))
+        .localCheckpoint()
+    )
+    outd = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+    shares = e.join(outd, e["src"] == outd["node"]).select("src", "dst", "deg").localCheckpoint()
+    ranks = nodes.select("node", F.col("base").alias("pr"))
+    for _ in range(iters):
+        contrib = (
+            shares.join(ranks, shares["src"] == ranks["node"])
+            .select(F.col("dst"), (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("base")
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def triangle_counts(edges: DataFrame, orient: str = "id") -> DataFrame:
     """Per-node triangle participation over the undirected simple graph
     of ``edges`` (direction and parallel edges ignored, self-loops

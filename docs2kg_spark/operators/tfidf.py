@@ -157,6 +157,48 @@ def vocabulary_topn(
     )
 
 
+def hapax_by_lang(
+    documents: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-language type/token corpus-health statistics →
+    (lang, n_tokens, n_types, n_hapax, hapax_permille_types).
+
+    Hapax legomena (types occurring exactly once in a language's
+    corpus) are the classic OCR-garbage / boilerplate-noise signal for
+    training-data triage: a healthy natural-language slice sits around
+    40-60% hapax share of types (Zipf), while scraped noise pushes it
+    toward 1000‰.  The share is reported as an exact integer permille
+    (floor division) per the repo's integer-exactness convention.
+
+    Scale shape: two hash aggregates — (lang, tok) with map-side
+    combine collapses the exploded token stream to the per-language
+    vocabulary, then a |langs|-row rollup.  No window, no join, no
+    driver data."""
+    counts = (
+        documents.select(
+            F.col(lang_col).alias("lang"),
+            F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS_RE)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("lang")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("n_hapax"),
+        )
+        .withColumn(
+            "hapax_permille_types",
+            F.expr("CAST((1000 * n_hapax) DIV n_types AS BIGINT)"),
+        )
+    )
+
+
 def dsir_weights(
     documents: DataFrame,
     target: Column,

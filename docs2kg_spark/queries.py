@@ -3174,6 +3174,153 @@ GROUP BY 1
 """
 
 
+def q_hapax_by_lang(spark, sf_dir):
+    """Per-language hapax-legomena corpus-health profile (exact integer
+    permille — the OCR-garbage / boilerplate triage signal)."""
+    from docs2kg_spark.operators.tfidf import hapax_by_lang
+
+    return hapax_by_lang(_t(spark, sf_dir, "documents"))
+
+
+SQL_HAPAX_BY_LANG = r"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents
+), c AS (
+  SELECT lang, tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST((1000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS hapax_permille_types
+FROM c GROUP BY lang
+"""
+
+
+def q_doc_dup_rate_by_source(spark, sf_dir):
+    """Per-source near-duplication rate: join the transitive near-dup
+    survivor map back to each document's source and count non-survivors
+    — the standard triage for which crawl/feed is flooding the corpus
+    with copies (its permille is exact integer arithmetic).
+
+    Scale shape: the dedup map is doc-keyed, so the join is a plain
+    equi-join on the already-shuffled key; the rollup is |sources|
+    rows."""
+    from docs2kg_spark.operators.dedup import doc_dedup_map
+
+    d = _t(spark, sf_dir, "documents")
+    cmap = doc_dedup_map(d, spark)
+    j = d.select(F.col("doc_id").cast("string").alias("doc_id"), "source").join(
+        cmap, on="doc_id"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("canonical_id") != F.col("doc_id"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+        .withColumn("dup_permille", F.expr("CAST((1000 * n_dups) DIV n_docs AS BIGINT)"))
+    )
+
+
+def _doc_dup_rate_by_source_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import doc_dedup_map_sql
+
+    return f"""
+WITH ddm AS ({doc_dedup_map_sql()})
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ddm.canonical_id <> ddm.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+       CAST((1000 * SUM(CASE WHEN ddm.canonical_id <> ddm.doc_id THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT)
+         AS dup_permille
+FROM documents d JOIN ddm ON CAST(d.doc_id AS VARCHAR) = ddm.doc_id
+GROUP BY d.source
+"""
+
+
+def q_user_retention(spark, sf_dir):
+    """Classic day-N retention cohort matrix over the events stream:
+    cohort = each user's first active calendar day; one row per
+    (cohort_day, day_offset ≤ 7) with the exact count of users active
+    on that offset day.  Exact integers throughout.
+
+    Scale shape: distinct (user, day) collapses the event stream first
+    (map-side combine), the min-day cohort agg and the offset rollup
+    both shuffle on user/cohort keys only — no window, no wide rows."""
+    e = _t(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    acts = e.distinct()
+    firsts = acts.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        acts.join(firsts, on="user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day").cast("int"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+
+
+SQL_USER_RETENTION = """
+WITH acts AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+firsts AS (SELECT user_id, MIN(d) AS cohort_day FROM acts GROUP BY 1)
+SELECT cohort_day,
+       CAST(datediff('day', cohort_day, d) AS INTEGER) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM acts JOIN firsts USING (user_id)
+WHERE datediff('day', cohort_day, d) <= 7
+GROUP BY 1, 2
+"""
+
+
+def q_graph_ppr(spark, sf_dir):
+    """Personalized PageRank from the 3 lexicographically-smallest
+    entity nodes (a deterministic seed set) over the undirected entity
+    co-occurrence graph — the 'related to these entities' Cypher-analog
+    read."""
+    from docs2kg_spark.operators.graphq import personalized_pagerank, undirect
+
+    t = q_kg_triples(spark, sf_dir)
+    e = undirect(t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    nodes = e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    seeds = nodes.orderBy("node").limit(3)
+    return personalized_pagerank(e, seeds, iters=5, damping=0.85).select(
+        "node", F.round("pr", 6).alias("pr")
+    )
+
+
+def _graph_ppr_sql(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled personalized PageRank twin (same recurrence as
+    operators/graphq.py::personalized_pagerank; literals via repr so
+    both engines parse identical doubles, ROUND(.,6) output like the
+    plain-pagerank twin)."""
+    ctes = [
+        "und AS (SELECT src, dst FROM eg_e UNION SELECT dst, src FROM eg_e)",
+        "nodes AS (SELECT DISTINCT src AS node FROM und)",
+        "seeds AS (SELECT node FROM nodes ORDER BY node LIMIT 3)",
+        "base AS (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS base FROM nodes n LEFT JOIN seeds s ON s.node = n.node)",
+        "outd AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY src)",
+        "ppr0 AS (SELECT node, base AS pr FROM base)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""ppr{i} AS (
+  SELECT b.node, {1.0 - d!r}::DOUBLE * b.base + {d!r}::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS pr
+  FROM base b LEFT JOIN (
+    SELECT und.dst AS node, sum(p.pr / o.deg) AS s
+    FROM und JOIN ppr{i - 1} p ON p.node = und.src JOIN outd o ON o.node = und.src
+    GROUP BY und.dst) c ON c.node = b.node)"""
+        )
+    return (
+        _entity_graph_prefix()
+        + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(pr, 6) AS pr FROM ppr{iters}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3313,6 +3460,12 @@ SPARK_QUERIES = {
     "doc_length_filter": q_doc_length_filter,
     # hourly volume anomalies (exact-moment z-scores)
     "event_anomalies": q_event_anomalies,
+    # round-4 additions: corpus health, per-source dup triage,
+    # retention cohorts, seeded graph relevance
+    "hapax_by_lang": q_hapax_by_lang,
+    "doc_dup_rate_by_source": q_doc_dup_rate_by_source,
+    "user_retention": q_user_retention,
+    "graph_ppr": q_graph_ppr,
 }
 
 ORACLE_SQL = {
@@ -3430,4 +3583,8 @@ ORACLE_SQL = {
     "shipping_backlog": SQL_SHIPPING_BACKLOG,
     "doc_length_filter": SQL_DOC_LENGTH_FILTER,
     "event_anomalies": SQL_EVENT_ANOMALIES,
+    "hapax_by_lang": SQL_HAPAX_BY_LANG,
+    "doc_dup_rate_by_source": _doc_dup_rate_by_source_sql(),
+    "user_retention": SQL_USER_RETENTION,
+    "graph_ppr": _graph_ppr_sql(),
 }

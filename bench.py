@@ -283,6 +283,12 @@ HEADLINE = [
     "doc_length_filter",
     # round-3 additions: hourly anomaly z-scores
     "event_anomalies",
+    # round-4 additions: corpus health, per-source dup triage,
+    # retention cohorts, seeded graph relevance
+    "hapax_by_lang",
+    "doc_dup_rate_by_source",
+    "user_retention",
+    "graph_ppr",
 ]
 
 

@@ -78,18 +78,15 @@ def _make_spark(cpus: str):
     if master_url:
         # standalone-cluster driver (--scaling-cluster): `cpus` is the
         # TOTAL executor-core budget; the master parcels it into 2-core
-        # executors on the registered workers.  PYTHONPATH rides to the
-        # executors so Arrow UDF workers can import this package.
+        # executors on the registered workers.  The package reaches the
+        # executors' Arrow UDF workers via spark-submit --py-files (the
+        # launcher cluster_main uses); the PYTHONPATH fallback below only
+        # covers a bare `python bench.py --pipeline-only` invocation.
         mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEMORY", "6g")
-        return get_spark(
-            app_name="docs2kg_bench_cluster",
-            master=master_url,
-            shuffle_partitions=shuf,
-            extra_conf={
+        extra = {
                 "spark.executor.cores": os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"),
                 "spark.executor.memory": mem,
                 "spark.cores.max": cpus,
-                "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
                 "spark.pyspark.python": sys.executable,
                 # locality wait is dead weight here: every "remote" fetch
                 # is loopback TCP on one box, so waiting up to 3s per task
@@ -101,7 +98,18 @@ def _make_spark(cpus: str):
                 # pre-touched executor heaps so G1 never uncommits pages
                 # (this VM's unmap path triggers TLB-shootdown storms)
                 "spark.executor.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
-            },
+        }
+        if "PYSPARK_GATEWAY_PORT" not in os.environ:
+            # not under spark-submit: fall back to shipping the package by
+            # absolute path (single-box only; a real fleet uses --py-files)
+            extra["spark.executorEnv.PYTHONPATH"] = os.path.dirname(
+                os.path.abspath(__file__)
+            )
+        return get_spark(
+            app_name="docs2kg_bench_cluster",
+            master=master_url,
+            shuffle_partitions=shuf,
+            extra_conf=extra,
         )
     return get_spark(app_name="docs2kg_bench", master=f"local[{cpus}]", shuffle_partitions=shuf)
 
@@ -652,6 +660,22 @@ def cluster_main() -> None:
     jars = os.path.join(_pyspark_home(), "jars", "*")
     env = _daemon_env()
 
+    # the driver is launched via spark-submit --py-files (the north_rule's
+    # literal invocation): the package rides to executors as a zip on
+    # spark.submit.pyFiles — the real fleet shipping mechanism — not via a
+    # shared-filesystem PYTHONPATH (which only works because this sandbox
+    # is one box)
+    import shutil as _shutil
+
+    pkg_dir = tempfile.mkdtemp(prefix="sa_pkg_")
+    pkg_zip = _shutil.make_archive(
+        os.path.join(pkg_dir, "docs2kg_spark"), "zip",
+        root_dir=os.path.dirname(os.path.abspath(__file__)),
+        base_dir="docs2kg_spark",
+    )
+    spark_submit = os.path.join(_pyspark_home(), "bin", "spark-submit")
+    driver_mem = os.environ.get("SPARK_DRIVER_MEMORY", "8g")
+
     def start_master(logdir: str) -> subprocess.Popen:
         cmd = [
             "taskset", "-c", driver_cores, "java", "-cp", jars, "-Xmx1g",
@@ -721,14 +745,21 @@ def cluster_main() -> None:
         try:
             daemons += start_workers(k_workers, tmp, tmp)
             run_env = dict(
-                os.environ,
+                env,
                 SPARK_GRAFT_MASTER=f"spark://127.0.0.1:{port}",
                 SPARK_GRAFT_CPUS=str(total_cores),
                 SPARK_GRAFT_SF_DIR=SF_DIR,
                 SPARK_GRAFT_BENCH_CONVS=convs,
             )
             out = subprocess.run(
-                ["taskset", "-c", driver_cores, sys.executable, __file__, "--pipeline-only"],
+                [
+                    "taskset", "-c", driver_cores, spark_submit,
+                    "--master", f"spark://127.0.0.1:{port}",
+                    "--py-files", pkg_zip,
+                    "--driver-memory", driver_mem,
+                    "--driver-java-options", f"-Xms{driver_mem} -XX:+AlwaysPreTouch",
+                    __file__, "--pipeline-only",
+                ],
                 env=run_env, capture_output=True, text=True, timeout=run_timeout,
             )
             lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
@@ -829,6 +860,8 @@ def cluster_main() -> None:
 
 
 def _wait_idle(threshold: float = 1.5, bound_s: int = 600) -> float:
+    threshold = float(os.environ.get("SPARK_GRAFT_IDLE_THRESHOLD", threshold))
+    bound_s = int(os.environ.get("SPARK_GRAFT_IDLE_BOUND", bound_s))
     deadline = time.monotonic() + bound_s
     while True:
         with open("/proc/loadavg") as f:

@@ -555,3 +555,72 @@ def k_core(edges: DataFrame, k: int, max_iters: int = KCORE_MAX_ITERS) -> DataFr
         .groupBy("node")
         .agg(F.count("*").cast("bigint").alias("core_degree"))
     )
+
+
+def harmonic_centrality(edges: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Bounded-hop harmonic centrality over an undirected edge list:
+    for every node, the count of nodes at shortest-path distance
+    exactly 1, 2 and 3, and the harmonic score Σ 1/d — returned
+    EXACTLY as ``harmonic6 = 6·n1 + 3·n2 + 2·n3`` (the ×6
+    integer-scaled sum, LCM of {1,2,3}, so the score is a BIGINT and
+    both engines agree bit-for-bit; callers divide by 6.0 for the
+    float score).  The Cypher analog is the `MATCH (n)-[*..3]-(m)`
+    closeness read over the loaded KG (utils/neo4j_loader.py:438-443
+    is the reference's readback surface).
+
+    Scale shape: the all-pairs bounded closure is built breadth-first
+    — distance-d pairs come from one equi-join of the distance-(d-1)
+    layer against the adjacency list, followed by a distinct and a
+    left-anti against the previous layers (each layer is
+    localCheckpoint'ed: flat lineage, reused by the next hop AND the
+    anti-joins without recompute).  Per-node counts are one hash agg
+    per layer over id-only pairs.  This is the same frontier algebra
+    as k_hop but seeded with ALL nodes, so the d≤3 closure can be
+    quadratic on dense graphs — the documented bound (a hub of degree
+    h contributes h² distance-2 pairs); at corpus scale you run it on
+    the pruned entity graph, not the raw co-occurrence graph."""
+    und = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # fully-renamed adjacency copy: layer 1 IS `und`, so the expansion
+    # join is a self-join — qualified refs would be ambiguous
+    adj = und.select(F.col("src").alias("_mid"), F.col("dst").alias("_nxt"))
+    layers = [und]  # distance-1 pairs
+    prev = und
+    for _ in range(2, max_hops + 1):
+        cand = (
+            prev.join(adj, prev["dst"] == adj["_mid"])
+            .select("src", F.col("_nxt").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        for seen in layers:
+            cand = cand.join(seen, ["src", "dst"], "left_anti")
+        prev = cand.localCheckpoint()
+        layers.append(prev)
+    counts = None
+    for d, layer in enumerate(layers, start=1):
+        c = layer.groupBy("src").agg(F.count("*").cast("bigint").alias(f"n{d}"))
+        counts = c if counts is None else counts.join(c, "src", "full_outer")
+    out = counts
+    for d in range(1, max_hops + 1):
+        out = out.withColumn(f"n{d}", F.coalesce(F.col(f"n{d}"), F.lit(0)).cast("bigint"))
+    # integer-scale by lcm(1..max_hops) so Σ n_d/d is exact (6 for the
+    # default 3 hops → column harmonic6); derived from max_hops so the
+    # scale factor and the column name can never drift from the depth
+    from math import lcm
+
+    scale = lcm(*range(1, max_hops + 1))
+    score = None
+    for d in range(1, max_hops + 1):
+        term = F.col(f"n{d}") * F.lit(scale // d)
+        score = term if score is None else score + term
+    return out.select(
+        F.col("src").alias("node"),
+        *[F.col(f"n{d}") for d in range(1, max_hops + 1)],
+        score.cast("bigint").alias(f"harmonic{scale}"),
+    )

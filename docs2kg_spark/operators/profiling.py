@@ -131,3 +131,45 @@ def entity_timeline(
         "first_turn",
         "last_turn",
     )
+
+
+def kwic_contexts(
+    mentions: DataFrame, segments: DataFrame, window: int = 24
+) -> DataFrame:
+    """Keyword-in-context (KWIC) concordance for extracted mentions:
+    each mention joined back to its segment and flanked with up to
+    ``window`` characters of left/right context — the standard
+    annotation-audit read (the reference's users eyeball exactly this
+    when validating `semantic_kg` extractions against source text).
+    → (conv_id, seg_id, start, surface, label, left_ctx, right_ctx).
+
+    Offsets are Python-convention (0-based start, exclusive end) into
+    the LOWERED segment text — the string the extraction UDF tokenized
+    (operators/mentions.py) — so contexts are sliced from
+    ``lower(text)``, never the raw text, keeping every byte aligned
+    with the stored offsets by construction.
+
+    Scale shape: one equi-join on the already-partitioned seg_id key
+    (mentions were produced partitioned by segment, so under bucketed
+    stage tables this is Exchange-free), then row-local 1-based
+    ``substring`` arithmetic — zero additional shuffle, no window
+    functions, and the segment text column is projected once and
+    dropped before the result leaves the join stage."""
+    seg_text = segments.select("seg_id", F.lower(F.col("text")).alias("_lt"))
+    w = int(window)
+    return (
+        mentions.join(seg_text, "seg_id")
+        .select(
+            "conv_id",
+            "seg_id",
+            "start",
+            F.col("text").alias("surface"),
+            "label",
+            F.substring(
+                F.col("_lt"),
+                F.greatest(F.lit(1), F.col("start") - F.lit(w - 1)),
+                F.least(F.col("start"), F.lit(w)),
+            ).alias("left_ctx"),
+            F.substring(F.col("_lt"), F.col("end") + 1, F.lit(w)).alias("right_ctx"),
+        )
+    )

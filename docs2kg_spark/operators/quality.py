@@ -98,3 +98,72 @@ def repetition_signals(
             "bullet_line_frac"
         ),
     )
+
+
+# composite-filter rule bits (Gopher §A.2 / C4-style, integer-exact)
+R_SHORT, R_WORDLEN, R_TOPWORD, R_DUPGRAM, R_LOWSTOP = 1, 2, 4, 8, 16
+
+# the 10-word function-word list shared with the lang/quality signals
+FILTER_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def gopher_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Composite document-quality filter (the Gopher rules §A.2 /
+    C4-style pipeline gate): every rule is evaluated as an EXACT
+    integer cross-multiplication — no float ratio ever compares
+    against a float threshold, so engines can never disagree at a
+    boundary — and failures accumulate into a ``reasons`` bitmap so
+    downstream triage can see WHY a document fell out, not just that
+    it did.
+
+    Rules (bit set = rule FIRED = reject reason):
+      1  R_SHORT    n_words < 20
+      2  R_WORDLEN  mean word length outside [3, 12]  (3n > Σlen ∨ Σlen > 12n)
+      4  R_TOPWORD  top word multiplicity > 20%       (5·topc > n)
+      8  R_DUPGRAM  duplicate-2gram fraction > 15%    (20·(ng−dg) > 3·ng)
+      16 R_LOWSTOP  stopword fraction < 2%            (50·nstop < n)
+
+    → (doc_id, n_words, reasons, kept) with kept = 1 iff reasons = 0.
+
+    Scale shape: every signal is a row-local array fold over the
+    whitespace words (the repetition_signals machinery — sort + one
+    aggregate, no explode), so the filter is a pure projection: zero
+    shuffle, pushes through partition pruning, and composes with any
+    downstream sampler as a cheap predicate."""
+    text = F.col(text_col)
+    words = _words(text)
+    n = F.size(words)
+    topc = _top_run(F.sort_array(words))
+    grams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    ng = F.size(grams)
+    dg = F.size(F.array_distinct(grams))
+    sum_len = F.aggregate(words, F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+    nstop = F.size(F.filter(words, lambda w: w.isin(*FILTER_STOPWORDS)))
+
+    nl = n.cast("bigint")
+    fired = [
+        (R_SHORT, n < 20),
+        (R_WORDLEN, (n > 0) & ((F.lit(3) * nl > sum_len) | (sum_len > F.lit(12) * nl))),
+        (R_TOPWORD, (n > 0) & (topc.cast("bigint") * 5 > nl)),
+        (R_DUPGRAM, (ng > 0) & ((ng - dg).cast("bigint") * 20 > ng.cast("bigint") * 3)),
+        (R_LOWSTOP, (n > 0) & (nstop.cast("bigint") * 50 < nl)),
+    ]
+    reasons = None
+    for bit, cond in fired:
+        term = F.when(cond, F.lit(bit)).otherwise(F.lit(0))
+        reasons = term if reasons is None else reasons + term
+    return docs.select(
+        F.col(id_col),
+        nl.alias("n_words"),
+        reasons.cast("int").alias("reasons"),
+        F.when(reasons == 0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("kept"),
+    )

@@ -3321,6 +3321,328 @@ def _graph_ppr_sql(iters: int = 5, d: float = 0.85) -> str:
     )
 
 
+def q_order_counts_dist(spark, sf_dir):
+    """TPC-H Q13 shape: orders-per-customer histogram INCLUDING the
+    zero-order tail (the null-preserving left join every funnel report
+    needs).
+
+    Scale shape: orders collapse to (custkey, cnt) FIRST — one hash agg
+    with map-side combine — so the big fact table never rides the join;
+    the left join is then customer-keyed on two already-reduced sides,
+    and the final histogram agg is |distinct counts| rows."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    oc = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per = c.join(oc, c["c_custkey"] == oc["o_custkey"], "left").select(
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("bigint").alias("c_count")
+    )
+    return per.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )
+
+
+SQL_ORDER_COUNTS_DIST = """
+WITH oc AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1),
+per AS (
+  SELECT CAST(COALESCE(oc.cnt, 0) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM per GROUP BY c_count
+"""
+
+
+def q_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: per-segment count/balance of customers with an
+    above-average positive balance and NO orders since 2000-01-01 (the
+    lapsed-high-value cohort) — a global scalar subquery feeding a
+    filter plus an anti-join against a date-pruned fact scan (the
+    cutoff predicate pushes into the parquet reader).
+
+    The above-average test is EXACT: balances are integer cents and the
+    comparison is cross-multiplied (cents·n > Σcents), so no engine's
+    float-avg accumulation order can flip a membership near the
+    boundary (the repo's integer-scaling convention).
+
+    Scale shape: the threshold is a broadcast 1-row aggregate
+    (crossJoin against one row, the profiling/skew pattern); the
+    anti-join is custkey-keyed against the pre-distincted order keys;
+    one |segments|-row final agg."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum("cents").alias("s"), F.count("*").alias("n")
+    )
+    okeys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") * F.col("n") > F.col("s"))
+        .join(okeys, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum("cents").cast("bigint").alias("bal_cents"),
+        )
+    )
+
+
+SQL_IDLE_RICH = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+thr AS (SELECT SUM(cents) AS s, COUNT(*) AS n FROM c WHERE c_acctbal > 0.0)
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(cents) AS BIGINT) AS bal_cents
+FROM c, thr
+WHERE c.cents * thr.n > thr.s
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+def q_min_price_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for every part, the cheapest observed supplier
+    (min lineitem price; ties broken by smallest suppkey) decorated
+    through the supplier → nation → region dimension chain.
+
+    The argmin is ONE hash aggregate on an integer-packed key
+    (cents·10⁹ + suppkey — price ≤ $10M and suppkey < 10⁹ keep the
+    pack inside BIGINT), the repo's exact-argmin convention: no window,
+    no self-join-back, and both engines decode identical integers.
+
+    Scale shape: lineitem reduces to |parts| rows before any join; the
+    dimension joins are equi-joins on the reduced table with tiny
+    nation/region broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)")
+            * F.lit(1000000000)
+            + F.col("l_suppkey")
+        ).alias("k"),
+    )
+    best = li.groupBy("l_partkey").agg(F.min("k").alias("k"))
+    dec = best.select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.expr("CAST(k DIV 1000000000 AS BIGINT)").alias("min_price_cents"),
+        F.expr("CAST(k % 1000000000 AS BIGINT)").alias("s_suppkey"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    nr = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    return (
+        dec.join(p, "p_partkey")
+        .join(s, "s_suppkey")
+        .join(nr, s["s_nationkey"] == nr["n_nationkey"])
+        .select("p_partkey", "p_name", "s_name", "n_name", "r_name", "min_price_cents")
+    )
+
+
+SQL_MIN_PRICE_SUPPLIER = """
+WITH b AS (
+  SELECT l_partkey,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT) * 1000000000 + l_suppkey) AS k
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, r.r_name,
+       CAST(b.k // 1000000000 AS BIGINT) AS min_price_cents
+FROM b
+JOIN part p ON p.p_partkey = b.l_partkey
+JOIN supplier s ON s.s_suppkey = b.k % 1000000000
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+"""
+
+
+def q_kwic_contexts(spark, sf_dir):
+    """Keyword-in-context concordance for the extracted mentions (the
+    annotation-audit read) — operators/profiling.py::kwic_contexts
+    composed on the memoized segments+mentions chain."""
+    from docs2kg_spark.operators.profiling import kwic_contexts
+
+    segs, m = _kg_stack(spark, sf_dir)
+    return kwic_contexts(m, segs, window=24)
+
+
+def _kwic_contexts_sql(window: int = 24) -> str:
+    from docs2kg_spark.oracle.sql_twins import _kg_prefix
+
+    w = int(window)
+    return f"""
+{_kg_prefix(TRANSCRIPTS_CTE)}
+SELECT m.conv_id, m.seg_id, m.start, m.text AS surface, m.label,
+       substr(s.lt, greatest(1, m.start - {w - 1}), least(m.start, {w})) AS left_ctx,
+       substr(s.lt, m."end" + 1, {w}) AS right_ctx
+FROM mentions m JOIN segs s ON s.seg_id = m.seg_id
+"""
+
+
+def q_graph_harmonic(spark, sf_dir):
+    """Bounded 3-hop harmonic centrality over the undirected entity
+    co-occurrence graph (exact ×6 integer-scaled score)."""
+    from docs2kg_spark.operators.graphq import harmonic_centrality
+
+    t = q_kg_triples(spark, sf_dir)
+    return harmonic_centrality(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")), max_hops=3
+    )
+
+
+def _graph_harmonic_sql() -> str:
+    """Layered-BFS twin of operators/graphq.py::harmonic_centrality at
+    max_hops=3: distance-d pairs = (distance-(d-1) ⋈ adjacency) minus
+    self minus nearer layers (EXCEPT = the left-antis), then one count
+    per layer and the exact 6/3/2 weighting."""
+    return (
+        _entity_graph_prefix()
+        + """,
+hc_und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM eg_e UNION ALL SELECT dst, src FROM eg_e
+  ) WHERE src <> dst
+),
+hc_d2 AS (
+  SELECT a.src, b.dst FROM hc_und a JOIN hc_und b ON a.dst = b.src
+  WHERE a.src <> b.dst
+  EXCEPT SELECT src, dst FROM hc_und
+),
+hc_d3 AS (
+  SELECT a.src, b.dst FROM hc_d2 a JOIN hc_und b ON a.dst = b.src
+  WHERE a.src <> b.dst
+  EXCEPT SELECT src, dst FROM hc_und
+  EXCEPT SELECT src, dst FROM hc_d2
+),
+hc_n1 AS (SELECT src, COUNT(*) AS n1 FROM hc_und GROUP BY src),
+hc_n2 AS (SELECT src, COUNT(*) AS n2 FROM hc_d2 GROUP BY src),
+hc_n3 AS (SELECT src, COUNT(*) AS n3 FROM hc_d3 GROUP BY src)
+SELECT n.src AS node,
+       CAST(COALESCE(n.n1, 0) AS BIGINT) AS n1,
+       CAST(COALESCE(hc_n2.n2, 0) AS BIGINT) AS n2,
+       CAST(COALESCE(hc_n3.n3, 0) AS BIGINT) AS n3,
+       CAST(6 * COALESCE(n.n1, 0) + 3 * COALESCE(hc_n2.n2, 0)
+            + 2 * COALESCE(hc_n3.n3, 0) AS BIGINT) AS harmonic6
+FROM hc_n1 n
+LEFT JOIN hc_n2 ON hc_n2.src = n.src
+LEFT JOIN hc_n3 ON hc_n3.src = n.src
+"""
+    )
+
+
+def q_doc_dup_source_matrix(spark, sf_dir):
+    """Cross-source near-duplication matrix: every MinHash near-dup
+    pair mapped to its (source, source) cell — WHICH feeds copy WHICH
+    (unordered: the pair's two sources are normalized with
+    least/greatest, so the matrix is upper-triangular and
+    deterministic).  The per-source dup RATE (doc_dup_rate_by_source)
+    says how much; this says from where.
+
+    Scale shape: the pair table is id-only (two strings); the two
+    source lookups are doc-keyed equi-joins against an id→source
+    projection, then one |sources|² hash agg."""
+    from docs2kg_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d).select("a", "b")
+    src = d.select(
+        F.col("doc_id").cast("string").alias("id"), F.col("source").alias("_src")
+    )
+    j = (
+        pairs.join(src.withColumnRenamed("id", "a").withColumnRenamed("_src", "sa"), "a")
+        .join(src.withColumnRenamed("id", "b").withColumnRenamed("_src", "sb"), "b")
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .groupBy("source_lo", "source_hi")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+def _doc_dup_source_matrix_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import minhash_pairs_parts
+
+    ctes, pairs_select = minhash_pairs_parts()
+    return f"""
+WITH {ctes},
+dsm_pairs AS ({pairs_select})
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM dsm_pairs p
+JOIN documents da ON CAST(da.doc_id AS VARCHAR) = p.a
+JOIN documents db ON CAST(db.doc_id AS VARCHAR) = p.b
+GROUP BY 1, 2
+"""
+
+
+def q_corpus_filter(spark, sf_dir):
+    """Composite Gopher/C4-style quality gate with a per-document
+    reject-reason bitmap — operators/quality.py::gopher_filter (every
+    rule an exact integer cross-multiplication)."""
+    from docs2kg_spark.operators.quality import gopher_filter
+
+    return gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+SQL_CORPUS_FILTER = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+'), x -> x <> '') AS words
+  FROM documents
+),
+base AS (SELECT doc_id, words, len(words) AS n FROM w),
+uw AS (SELECT doc_id, unnest(words) AS word FROM base),
+wc AS (SELECT doc_id, word, count(*) AS c FROM uw GROUP BY doc_id, word),
+topw AS (
+  SELECT doc_id, max(c) AS topc, sum(c * length(word)) AS sl,
+         sum(CASE WHEN word IN ('the','a','an','and','or','of','to','in','is','it')
+                  THEN c ELSE 0 END) AS nstop
+  FROM wc GROUP BY doc_id
+),
+iw AS (SELECT doc_id, generate_subscripts(words, 1) AS i, unnest(words) AS wd FROM base),
+g AS (SELECT a.doc_id, a.wd || ' ' || b.wd AS gram
+      FROM iw a JOIN iw b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+gs AS (SELECT doc_id, count(*) AS ng, count(DISTINCT gram) AS dg FROM g GROUP BY doc_id),
+f AS (
+  SELECT b.doc_id, b.n,
+         CASE WHEN b.n < 20 THEN 1 ELSE 0 END
+       + CASE WHEN b.n > 0 AND (3 * b.n > t.sl OR t.sl > 12 * b.n) THEN 2 ELSE 0 END
+       + CASE WHEN b.n > 0 AND 5 * t.topc > b.n THEN 4 ELSE 0 END
+       + CASE WHEN coalesce(gs.ng, 0) > 0 AND 20 * (gs.ng - gs.dg) > 3 * gs.ng THEN 8 ELSE 0 END
+       + CASE WHEN b.n > 0 AND 50 * coalesce(t.nstop, 0) < b.n THEN 16 ELSE 0 END AS reasons
+  FROM base b LEFT JOIN topw t ON t.doc_id = b.doc_id LEFT JOIN gs ON gs.doc_id = b.doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words, CAST(reasons AS INT) AS reasons,
+       CAST(CASE WHEN reasons = 0 THEN 1 ELSE 0 END AS INT) AS kept
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3466,6 +3788,15 @@ SPARK_QUERIES = {
     "doc_dup_rate_by_source": q_doc_dup_rate_by_source,
     "user_retention": q_user_retention,
     "graph_ppr": q_graph_ppr,
+    # round-4 batch 2: Q13/Q22/Q2 relational shapes, mention
+    # concordance, bounded harmonic centrality, cross-source dup matrix
+    "order_counts_dist": q_order_counts_dist,
+    "idle_rich_customers": q_idle_rich_customers,
+    "min_price_supplier": q_min_price_supplier,
+    "kwic_contexts": q_kwic_contexts,
+    "graph_harmonic": q_graph_harmonic,
+    "doc_dup_source_matrix": q_doc_dup_source_matrix,
+    "corpus_filter": q_corpus_filter,
 }
 
 ORACLE_SQL = {
@@ -3587,4 +3918,11 @@ ORACLE_SQL = {
     "doc_dup_rate_by_source": _doc_dup_rate_by_source_sql(),
     "user_retention": SQL_USER_RETENTION,
     "graph_ppr": _graph_ppr_sql(),
+    "order_counts_dist": SQL_ORDER_COUNTS_DIST,
+    "idle_rich_customers": SQL_IDLE_RICH,
+    "min_price_supplier": SQL_MIN_PRICE_SUPPLIER,
+    "kwic_contexts": _kwic_contexts_sql(),
+    "graph_harmonic": _graph_harmonic_sql(),
+    "doc_dup_source_matrix": _doc_dup_source_matrix_sql(),
+    "corpus_filter": SQL_CORPUS_FILTER,
 }

@@ -3643,6 +3643,271 @@ FROM f
 """
 
 
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: monthly share of revenue from PROMO-type parts
+    — the seasonal promotion-effect read.
+
+    Revenue is integer cents (the repo's exactness convention); the
+    share is ONE division of two exact BIGINTs, rounded 6dp, so there
+    is no accumulation-order float drift on either side.
+
+    Scale shape: lineitem is projected to (partkey, month, cents)
+    before the join; part is projected to (p_partkey, is_promo) — a
+    2-column dimension that Spark can broadcast when it fits and
+    shuffle-join when it doesn't (the fact side never widens); one
+    |months|-row hash agg ends the plan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("ym"),
+        F.expr(
+            "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").cast("int").alias("is_promo")
+    )
+    return (
+        li.join(p, "p_partkey")
+        .groupBy("ym")
+        .agg(
+            F.sum(F.col("cents") * F.col("is_promo")).cast("bigint").alias("promo_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "ym",
+            "promo_cents",
+            "total_cents",
+            F.round(
+                F.col("promo_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("promo_share"),
+        )
+    )
+
+
+SQL_PROMO_REVENUE = """
+WITH li AS (
+  SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS ym,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+j AS (
+  SELECT ym,
+         SUM(cents * CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END) AS promo_cents,
+         SUM(cents) AS total_cents
+  FROM li JOIN part p ON p.p_partkey = li.l_partkey
+  GROUP BY ym
+)
+SELECT ym, CAST(promo_cents AS BIGINT) AS promo_cents,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       ROUND(CAST(promo_cents AS DOUBLE) / total_cents, 6) AS promo_share
+FROM j
+"""
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue locked in unusually small orders — for
+    one brand's parts, lineitems whose quantity is under 20% of that
+    part's average order quantity.
+
+    The 20%-of-average test is EXACT: quantities are integral by
+    construction (CAST to BIGINT), and qty < 0.2·(sum/n) is evaluated
+    as 5·qty·n < sum — cross-multiplied integers, no float avg.
+
+    Scale shape: the per-part (sum, n) aggregate reduces lineitem to
+    |parts-of-brand| rows BEFORE joining back (a broadcastable
+    aggregate at any realistic brand selectivity); the brand predicate
+    prunes the part scan and semi-joins the fact scan."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .join(F.broadcast(p), "p_partkey")
+    )
+    avg = li.groupBy("p_partkey").agg(
+        F.sum("qty").alias("sum_q"), F.count("*").alias("n_q")
+    )
+    return (
+        li.join(F.broadcast(avg), "p_partkey")
+        .filter(F.col("qty") * 5 * F.col("n_q") < F.col("sum_q"))
+        .agg(
+            F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("total_cents"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey AS p_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')
+),
+a AS (SELECT p_partkey, SUM(qty) AS sum_q, COUNT(*) AS n_q FROM li GROUP BY p_partkey)
+SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM li JOIN a USING (p_partkey)
+WHERE qty * 5 * n_q < sum_q
+"""
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: customers whose single orders aggregate an
+    unusually large quantity (> 250 units) — the bulk-buyer audit.
+
+    Scale shape: lineitem reduces to |orders| rows (one hash agg) and
+    the HAVING predicate cuts that to the rare tail BEFORE any join;
+    the surviving keys then equi-join orders and customer (both joins
+    are on the already-tiny filtered side, broadcastable)."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        "o_custkey",
+        "o_orderdate",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("total_cents"),
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, "l_orderkey")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("l_orderkey").cast("bigint").alias("o_orderkey"),
+            "o_orderdate",
+            "total_cents",
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+SQL_LARGE_VOLUME = """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       CAST(big.sum_qty AS BIGINT) AS sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_profit_by_nation_year(spark, sf_dir):
+    """TPC-H Q9 shape: revenue from 'widget' parts by supplier nation
+    and ship year — the star-join profit rollup (fact ⋈ part ⋈
+    supplier ⋈ nation with a LIKE-filtered dimension).
+
+    Scale shape: the p_name LIKE filter prunes part to a fraction
+    before it touches the fact table (semi-join / DPP at scale); the
+    supplier→nation chain is a tiny broadcast; revenue stays integer
+    cents; one |nations|×|years| hash agg ends the plan."""
+    pw = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        F.col("l_suppkey").alias("s_suppkey"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.expr(
+            "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+        ).alias("cents"),
+    )
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(pw), "p_partkey")
+        .join(sn, "s_suppkey")
+        .groupBy("n_name", "yr")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+
+
+SQL_PROFIT_NATION_YEAR = """
+SELECT n.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS yr,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name, yr
+"""
+
+
+def q_filter_funnel_by_source(spark, sf_dir):
+    """Per-source quality-filter funnel: for every corpus source, how
+    many documents each Gopher/C4 rule rejected and how many survived
+    — the triage view a data-curation team reads before deciding which
+    crawl to re-clean (reason semantics = gopher_filter's bitmap).
+
+    Scale shape: the reject bitmap is a zero-shuffle projection
+    (operators/quality.py::gopher_filter) joined back to the id→source
+    projection on doc_id, then ONE |sources|-row hash agg; each reason
+    count is a bit-test conditional sum inside that same agg."""
+    from docs2kg_spark.operators.quality import gopher_filter
+
+    d = _t(spark, sf_dir, "documents")
+    f = gopher_filter(d).select("doc_id", "reasons", "kept")
+    src = d.select("doc_id", "source")
+    bit = lambda b: F.sum(
+        ((F.col("reasons").bitwiseAND(F.lit(b))) / b).cast("bigint")
+    ).cast("bigint")
+    return (
+        f.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            bit(1).alias("r_short"),
+            bit(2).alias("r_wordlen"),
+            bit(4).alias("r_topword"),
+            bit(8).alias("r_dupgram"),
+            bit(16).alias("r_lowstop"),
+        )
+    )
+
+
+def _filter_funnel_by_source_sql() -> str:
+    # the corpus_filter twin verbatim, nested as a CTE subquery so the
+    # funnel provably aggregates the SAME bitmap the filter query emits
+    return f"""
+WITH cf AS ({SQL_CORPUS_FILTER}),
+fj AS (SELECT d.source, cf.reasons, cf.kept FROM cf JOIN documents d USING (doc_id))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM((reasons & 1) // 1) AS BIGINT) AS r_short,
+       CAST(SUM((reasons & 2) // 2) AS BIGINT) AS r_wordlen,
+       CAST(SUM((reasons & 4) // 4) AS BIGINT) AS r_topword,
+       CAST(SUM((reasons & 8) // 8) AS BIGINT) AS r_dupgram,
+       CAST(SUM((reasons & 16) // 16) AS BIGINT) AS r_lowstop
+FROM fj GROUP BY source
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3797,6 +4062,13 @@ SPARK_QUERIES = {
     "graph_harmonic": q_graph_harmonic,
     "doc_dup_source_matrix": q_doc_dup_source_matrix,
     "corpus_filter": q_corpus_filter,
+    # round-4 batch 3: Q14/Q17/Q18/Q9 relational shapes + per-source
+    # quality-filter funnel
+    "promo_revenue": q_promo_revenue,
+    "small_qty_revenue": q_small_qty_revenue,
+    "large_volume_customers": q_large_volume_customers,
+    "profit_by_nation_year": q_profit_by_nation_year,
+    "filter_funnel_by_source": q_filter_funnel_by_source,
 }
 
 ORACLE_SQL = {
@@ -3925,4 +4197,9 @@ ORACLE_SQL = {
     "graph_harmonic": _graph_harmonic_sql(),
     "doc_dup_source_matrix": _doc_dup_source_matrix_sql(),
     "corpus_filter": SQL_CORPUS_FILTER,
+    "promo_revenue": SQL_PROMO_REVENUE,
+    "small_qty_revenue": SQL_SMALL_QTY_REVENUE,
+    "large_volume_customers": SQL_LARGE_VOLUME,
+    "profit_by_nation_year": SQL_PROFIT_NATION_YEAR,
+    "filter_funnel_by_source": _filter_funnel_by_source_sql(),
 }

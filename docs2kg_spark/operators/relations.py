@@ -271,3 +271,79 @@ def negative_triples(triples: DataFrame, salt: str = "neg-v1") -> DataFrame:
             .alias("neg_obj"),
         )
     )
+
+
+def windowed_comention(
+    mentions: DataFrame, segments: DataFrame, window: int = 2
+) -> DataFrame:
+    """Turn-windowed entity co-mention counts → (ent_a, ent_b, n_co),
+    ent_a < ent_b: how often two entities are mentioned within
+    ``window`` turns of each other in the same conversation.
+
+    Conversation-level co-occurrence (comention_pmi) says two entities
+    share a conversation SOMEWHERE; this localizes the association to a
+    dialogue neighborhood — the signal for edges that reflect an actual
+    exchange rather than a long transcript's topical drift (the
+    discourse-window co-occurrence standard in distributional
+    semantics; reference provenance: Docs2KG's co-occurrence edges are
+    whole-unit, kg_construction/semantic_kg.py — no locality notion).
+
+    An occurrence is a DISTINCT (conv, turn, entity) incidence (an
+    entity mentioned 5× inside one turn counts once there); one event
+    per ordered occurrence pair with 0 ≤ Δturn ≤ window, same-turn
+    pairs kept once via entity order, self-pairs dropped.  All counts
+    are integers — exact by construction.
+
+    Scale shape: the Δturn ≤ window predicate is a RANGE condition, so
+    the join is bucketized the asof.py way — occurrences carry bucket
+    = seg_idx DIV (window+1); the probe side duplicates into (bucket,
+    bucket+1) and the join is a pure EQUI-join on (conv, bucket) with
+    the Δ filter row-local after it.  Per-key fanout is bounded by
+    occurrences-per-(conv, 2·window-ish turns), never a conv-wide cross
+    product; one (ent_a, ent_b) hash agg finishes."""
+    occ = (
+        mentions.join(
+            segments.select("conv_id", "seg_id", "seg_idx"),
+            ["conv_id", "seg_id"],
+        )
+        .select(
+            "conv_id",
+            "seg_idx",
+            F.concat_ws(":", "label", "text").alias("ent"),
+        )
+        .distinct()
+    )
+    bw = window + 1
+    left = occ.select(
+        "conv_id",
+        F.col("seg_idx").alias("si"),
+        F.col("ent").alias("ea"),
+        (F.col("seg_idx") / bw).cast("bigint").alias("bkt"),
+    )
+    right = occ.select(
+        "conv_id",
+        F.col("seg_idx").alias("sj"),
+        F.col("ent").alias("eb"),
+        F.explode(
+            F.array(
+                (F.col("seg_idx") / bw).cast("bigint"),
+                (F.col("seg_idx") / bw).cast("bigint") - 1,
+            )
+        ).alias("bkt"),
+    )
+    d = F.col("sj") - F.col("si")
+    return (
+        left.join(right, ["conv_id", "bkt"])
+        .filter(
+            (d >= 0)
+            & (d <= window)
+            & (F.col("ea") != F.col("eb"))
+            & ((d > 0) | (F.col("ea") < F.col("eb")))
+        )
+        .select(
+            F.least("ea", "eb").alias("ent_a"),
+            F.greatest("ea", "eb").alias("ent_b"),
+        )
+        .groupBy("ent_a", "ent_b")
+        .agg(F.count("*").cast("bigint").alias("n_co"))
+    )

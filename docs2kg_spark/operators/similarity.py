@@ -405,3 +405,46 @@ def semdedup(
         F.col("canonical_id").cast("bigint").alias("canonical_id"),
         (F.col("vec_id") == F.col("canonical_id")).alias("kept"),
     )
+
+
+def quantize_embeddings_int8(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit → (vec_id, scale,
+    q_min, q_max, q_abs_sum, n_sat): the storage-compression read run
+    before shipping an embedding table to an ANN serving tier (absmax
+    scaling, the standard int8 PTQ scheme — Dettmers et al. 2022 use
+    the same per-row absmax for the LLM.int8 matmul path).
+
+    q_i = trunc(v_i · 127 / absmax) ∈ [-127, 127].  Truncation (not
+    round-half-*) is deliberate: both engines truncate doubles
+    identically, while round's half-tie convention differs across
+    engines (the repo-wide exactness convention).  The emitted stats
+    are all integers except `scale` (absmax/127, one division, rounded
+    6dp); n_sat counts saturated lanes (|q| = 127) — the outlier-lane
+    signal that decides per-vector vs per-block scaling.
+
+    Zero-vectors are emitted with scale 0 and all-zero stats rather
+    than dividing by zero (ANSI mode would throw).
+
+    Scale shape: a pure row-local projection — array folds only, no
+    explode, no shuffle; composes with any downstream writer as a
+    zero-cost map stage."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, F.abs))
+    q = F.transform(v, lambda x: (x * 127 / absmax).cast("bigint"))
+    zero = absmax == 0.0
+    return vectors.select(
+        F.col(id_col),
+        F.round(F.when(zero, F.lit(0.0)).otherwise(absmax / 127), 6).alias("scale"),
+        F.when(zero, F.lit(0)).otherwise(F.array_min(q)).cast("bigint").alias("q_min"),
+        F.when(zero, F.lit(0)).otherwise(F.array_max(q)).cast("bigint").alias("q_max"),
+        F.when(zero, F.lit(0))
+        .otherwise(F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + F.abs(x)))
+        .cast("bigint")
+        .alias("q_abs_sum"),
+        F.when(zero, F.lit(0))
+        .otherwise(F.size(F.filter(q, lambda x: F.abs(x) == 127)))
+        .cast("int")
+        .alias("n_sat"),
+    )

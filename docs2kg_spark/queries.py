@@ -3908,6 +3908,119 @@ FROM fj GROUP BY source
 """
 
 
+def q_graph_linkpred(spark, sf_dir):
+    """Common-neighbor link prediction (resource-allocation index) over
+    the entity co-occurrence graph — the KG-completion candidate queue
+    (operators/graphq.py::link_prediction; RA terms are 1e6 DIV deg so
+    the score is an exact BIGINT)."""
+    from docs2kg_spark.operators.graphq import link_prediction
+
+    t = q_kg_triples(spark, sf_dir)
+    return link_prediction(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")), min_common=2
+    )
+
+
+def _graph_linkpred_sql() -> str:
+    """Wedge-join twin of link_prediction: distinct symmetric adjacency,
+    per-z degree carried through the wedge, existing edges anti-joined
+    out, RA summed in integer arithmetic (1e6 // deg per term)."""
+    return (
+        _entity_graph_prefix()
+        + """,
+lp_und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM eg_e UNION ALL SELECT dst, src FROM eg_e
+  ) WHERE src <> dst
+),
+lp_deg AS (SELECT src AS z, COUNT(*) AS degz FROM lp_und GROUP BY src),
+lp_w AS (SELECT src AS z, dst AS n FROM lp_und),
+lp_sc AS (
+  SELECT a.n AS a, b.n AS b, COUNT(*) AS common,
+         SUM(1000000 // d.degz) AS ra1e6
+  FROM lp_w a JOIN lp_w b ON a.z = b.z AND a.n < b.n
+  JOIN lp_deg d ON d.z = a.z
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
+SELECT a, b, CAST(common AS BIGINT) AS common, CAST(ra1e6 AS BIGINT) AS ra1e6
+FROM lp_sc s
+WHERE NOT EXISTS (SELECT 1 FROM lp_und e WHERE e.src = s.a AND e.dst = s.b)
+"""
+    )
+
+
+def q_kg_cooc_window(spark, sf_dir):
+    """Turn-windowed (±2) entity co-mention counts — the
+    discourse-local association signal conversation-level PMI lacks
+    (operators/relations.py::windowed_comention, bucketized equi-join
+    over the range predicate)."""
+    from docs2kg_spark.operators.relations import windowed_comention
+
+    segs, m = _kg_stack(spark, sf_dir)
+    return windowed_comention(m, segs, window=2)
+
+
+def _kg_cooc_window_sql(window: int = 2) -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    # kg_canonical_ctes carries segs + mentions; the twin states the
+    # SEMANTICS (plain range join) that the Spark side's bucketized
+    # equi-join implements
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+cw_occ AS (
+  SELECT DISTINCT m.conv_id, s.seg_idx, m.label || ':' || m.text AS ent
+  FROM mentions m JOIN segs s ON s.conv_id = m.conv_id AND s.seg_id = m.seg_id
+),
+cw_pairs AS (
+  SELECT least(a.ent, b.ent) AS ent_a, greatest(a.ent, b.ent) AS ent_b
+  FROM cw_occ a JOIN cw_occ b
+    ON a.conv_id = b.conv_id
+   AND b.seg_idx - a.seg_idx BETWEEN 0 AND {window}
+   AND a.ent <> b.ent
+   AND (b.seg_idx > a.seg_idx OR a.ent < b.ent)
+)
+SELECT ent_a, ent_b, CAST(COUNT(*) AS BIGINT) AS n_co
+FROM cw_pairs GROUP BY ent_a, ent_b
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 quantization audit (absmax scheme) — integer
+    lane stats + saturation counts
+    (operators/similarity.py::quantize_embeddings_int8, zero-shuffle
+    row-local projection)."""
+    from docs2kg_spark.operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH eqv AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+eqm AS (
+  SELECT vec_id, ve, list_max(list_transform(ve, x -> abs(x))) AS absmax FROM eqv
+),
+eqq AS (
+  SELECT vec_id, absmax,
+         list_transform(ve, x -> CAST(trunc(x * 127 / absmax) AS BIGINT)) AS qv
+  FROM eqm WHERE absmax > 0
+)
+SELECT vec_id, ROUND(absmax / 127, 6) AS scale,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_abs_sum,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_sat
+FROM eqq
+UNION ALL
+SELECT vec_id, 0.0 AS scale, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+       CAST(0 AS BIGINT), CAST(0 AS INT)
+FROM eqm WHERE absmax = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4069,6 +4182,11 @@ SPARK_QUERIES = {
     "large_volume_customers": q_large_volume_customers,
     "profit_by_nation_year": q_profit_by_nation_year,
     "filter_funnel_by_source": q_filter_funnel_by_source,
+    # round-4 batch 4: KG completion, discourse-window co-mention,
+    # int8 quantization audit
+    "graph_linkpred": q_graph_linkpred,
+    "kg_cooc_window": q_kg_cooc_window,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLE_SQL = {
@@ -4202,4 +4320,7 @@ ORACLE_SQL = {
     "large_volume_customers": SQL_LARGE_VOLUME,
     "profit_by_nation_year": SQL_PROFIT_NATION_YEAR,
     "filter_funnel_by_source": _filter_funnel_by_source_sql(),
+    "graph_linkpred": _graph_linkpred_sql(),
+    "kg_cooc_window": _kg_cooc_window_sql(),
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
 }

@@ -62,6 +62,39 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # MinHash-LSH near-dup (document granularity; reuses linking UDFs)
 # --------------------------------------------------------------------------
 
+def _band_candidate_pairs(sig: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """(id, sig) → distinct banded candidate pairs (a, b) with a < b —
+    the LSH blocking step, factored out so the near-dup query and the
+    estimator audit provably see the IDENTICAL candidate set.  The band
+    self-join carries only (id, band_key); band_key xxhash64-compresses
+    the per-band signature row tuple (the DuckDB twin compares the raw
+    tuples — key equality coincides up to 2^-64 collisions)."""
+    rows_per_band = cfg.minhash_perms // cfg.lsh_bands
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            "|",
+                            F.lit(i),
+                            *[F.col("sig")[i * rows_per_band + r].cast("string") for r in range(rows_per_band)],
+                        )
+                    )
+                    for i in range(cfg.lsh_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on=(F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .distinct()
+    )
+
+
 def minhash_near_dup_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -87,7 +120,6 @@ def minhash_near_dup_pairs(
     threshold (P(candidate|J=0.7)≈0.89, P(J=0.3)≈0.06); the entity
     linker keeps its own looser 16×2 banding for its 0.45 threshold."""
     cfg = cfg or PipelineConfig(shingle_k=5, jaccard_threshold=0.7, lsh_bands=8)
-    rows_per_band = cfg.minhash_perms // cfg.lsh_bands
     mh = make_minhash_udf(cfg)
     src = ensure_min_parallelism(
         documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
@@ -101,29 +133,7 @@ def minhash_near_dup_pairs(
     # (it would leak storage memory across calls in a long-lived session)
     # and can silently re-run the UDF under LRU pressure.
     sig = src.withColumn("sig", mh("text")).localCheckpoint()
-    bands = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            "|",
-                            F.lit(i),
-                            *[F.col("sig")[i * rows_per_band + r].cast("string") for r in range(rows_per_band)],
-                        )
-                    )
-                    for i in range(cfg.lsh_bands)
-                ]
-            )
-        ).alias("band_key"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
-        a.join(b, on=(F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
-        .distinct()
-    )
+    pairs = _band_candidate_pairs(sig, cfg)
     # signature-estimated Jaccard prefilter (JVM-side, zip_with equality
     # fraction): banding is deliberately high-recall, so candidates can
     # outnumber true pairs ~400:1 (measured 98 765 → 256 at sf0.1) and
@@ -635,4 +645,80 @@ def winnow_pairs(
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def minhash_estimator_audit(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Estimator-vs-truth audit for the MinHash dedup path → one row
+    per BANDED candidate pair (a, b, n_agree, n_inter, n_union): the
+    32-perm signature agreement count next to the EXACT char-shingle
+    intersection/union sizes.  n_agree/32 is the estimate the prefilter
+    thresholds on; n_inter/n_union is the truth the verifier computes —
+    this query puts both on one row so the estimator's bias/variance
+    (and hence the safety margin of the t − z·σ prefilter cutoff) is
+    itself an oracled, regression-guarded quantity, the dedup analog of
+    ann_lsh_recall's approximation audit.
+
+    Every emitted column is an INTEGER — the ratios are left to the
+    reader so no float ever crosses the engine boundary.
+
+    Scale shape: candidates come from the same _band_candidate_pairs
+    blocking as the production query (never all-pairs); signatures are
+    localCheckpoint'ed once; the exact counts run over the candidate
+    stream only, via one Arrow pass over the re-attached texts."""
+    cfg = cfg or PipelineConfig(shingle_k=5, jaccard_threshold=0.7, lsh_bands=8)
+    k = cfg.shingle_k
+    mh = make_minhash_udf(cfg)
+    src = ensure_min_parallelism(
+        documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
+    sig = src.withColumn("sig", mh("text")).localCheckpoint()
+    pairs = _band_candidate_pairs(sig, cfg)
+
+    sa = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))
+    agree = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+            ).cast("int").alias("n_agree"),
+        )
+    )
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def iu(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        def sh(s: str) -> set:
+            s = (s or "").lower()
+            if len(s) <= k:
+                return {s}
+            return {s[i : i + k] for i in range(len(s) - k + 1)}
+
+        out = []
+        for x, y in zip(xs, ys):
+            a, b = sh(x), sh(y)
+            out.append([len(a & b), len(a | b)])
+        return pd.Series(out)
+
+    ta = src.select(F.col("id").alias("a"), F.col("text").alias("text_a"))
+    tb = src.select(F.col("id").alias("b"), F.col("text").alias("text_b"))
+    return (
+        agree.join(ta, "a")
+        .join(tb, "b")
+        .withColumn("_iu", iu("text_a", "text_b"))
+        .select(
+            "a",
+            "b",
+            "n_agree",
+            F.col("_iu")[0].cast("bigint").alias("n_inter"),
+            F.col("_iu")[1].cast("bigint").alias("n_union"),
+        )
     )

@@ -30,6 +30,7 @@ from docs2kg_spark.oracle.sql_twins import (
     kg_mentions_sql,
     kg_nodes_sql,
     kg_triples_sql,
+    minhash_estimator_audit_sql,
     minhash_near_dup_sql,
 )
 
@@ -1091,6 +1092,18 @@ def q_doc_near_dup_minhash(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(d).select("a", "b", F.round("sim", 6).alias("sim"))
+
+
+def q_minhash_estimator_audit(spark, sf_dir):
+    """Estimator-vs-truth audit of the MinHash dedup path: one row per
+    banded candidate pair with the 32-perm agreement count (what the
+    est-J prefilter thresholds on) beside the exact shingle
+    intersection/union (what the verifier computes) — the estimator's
+    bias/variance is itself an oracled quantity.  All-integer output."""
+    from docs2kg_spark.operators.dedup import minhash_estimator_audit
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_estimator_audit(d)
 
 
 def q_doc_near_dup_simhash(spark, sf_dir):
@@ -4187,6 +4200,8 @@ SPARK_QUERIES = {
     "graph_linkpred": q_graph_linkpred,
     "kg_cooc_window": q_kg_cooc_window,
     "embedding_quantize": q_embedding_quantize,
+    # round-4 batch 5: approximation self-audit for the MinHash path
+    "minhash_estimator_audit": q_minhash_estimator_audit,
 }
 
 ORACLE_SQL = {
@@ -4323,4 +4338,5 @@ ORACLE_SQL = {
     "graph_linkpred": _graph_linkpred_sql(),
     "kg_cooc_window": _kg_cooc_window_sql(),
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "minhash_estimator_audit": minhash_estimator_audit_sql(),
 }

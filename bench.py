@@ -297,6 +297,34 @@ HEADLINE = [
     "doc_dup_rate_by_source",
     "user_retention",
     "graph_ppr",
+    # round-4 batch 2: relational shapes + concordance + harmonic
+    # centrality + dup-source matrix + composite quality filter
+    "order_counts_dist",
+    "idle_rich_customers",
+    "min_price_supplier",
+    "kwic_contexts",
+    "graph_harmonic",
+    "doc_dup_source_matrix",
+    "corpus_filter",
+    # round-4 batch 3: Q14/Q17/Q18/Q9 + per-source filter funnel
+    "promo_revenue",
+    "small_qty_revenue",
+    "large_volume_customers",
+    "profit_by_nation_year",
+    "filter_funnel_by_source",
+    # round-4 batch 4: KG completion, discourse co-mention, int8 audit
+    "graph_linkpred",
+    "kg_cooc_window",
+    "embedding_quantize",
+    # round-4 batch 5: MinHash estimator self-audit
+    "minhash_estimator_audit",
+    # round-4 batch 6: Q6/Q10/Q7/Q8/Q15/Q4 relational shapes
+    "forecast_revenue",
+    "returned_items",
+    "nation_trade_volume",
+    "market_share",
+    "top_supplier",
+    "late_orders_by_priority",
 ]
 
 

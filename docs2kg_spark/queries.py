@@ -4034,6 +4034,375 @@ FROM eqm WHERE absmax = 0
 """
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: revenue increase if mid-band discounts had been
+    waived for small-quantity 1996 shipments — the pure filter+agg
+    whose entire predicate must reach the parquet scan.
+
+    Discounts are integer percents by construction (0.00..0.10 step
+    .01), so `ROUND(l_discount*100)` is exact and the band test is an
+    integer BETWEEN — no float-boundary drift between engines; revenue
+    is the usual integer-cents sum.
+
+    Scale shape: zero joins, zero wide columns; shipdate/discount/
+    quantity predicates all push to the scan (min-max pruning on a
+    date-partitioned layout skips whole files), and the agg is one
+    partial+final reduce to a single row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & F.round(F.col("l_discount") * 100).cast("int").between(3, 8)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast(
+                        "bigint"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+    )
+
+
+SQL_FORECAST_REVENUE = """
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(ROUND(l_discount * 100) AS INT) BETWEEN 3 AND 8
+  AND l_quantity < 24
+"""
+
+
+def q_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: top-10 customers by revenue lost to returns
+    (l_returnflag = 'R') against orders placed in one quarter — the
+    churn-triage read.
+
+    Determinism: revenue is integer cents; the top-10 cut orders by
+    (revenue DESC, custkey ASC), so ties can never flip membership
+    between engines or partitionings.
+
+    Scale shape: the returnflag predicate pushes to the fact scan; the
+    quarter predicate prunes orders BEFORE the fact join; the agg
+    reduces to |customers-with-returns| rows before touching the
+    customer/nation dimensions (tiny broadcasts); the final top-k is a
+    TakeOrdered (per-partition heap + driver merge of 10-row heads),
+    never a global sort or single-partition Window."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    rev = (
+        li.join(o, "l_orderkey")
+        .groupBy("o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name", "n_name")
+    )
+    return (
+        rev.orderBy(F.desc("revenue_cents"), F.asc("o_custkey"))
+        .limit(10)
+        .join(c, "o_custkey")
+        .select(
+            F.col("o_custkey").cast("bigint").alias("c_custkey"),
+            "c_name",
+            "n_name",
+            "revenue_cents",
+        )
+    )
+
+
+SQL_RETURNED_ITEMS = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY o.o_custkey
+),
+topk AS (
+  SELECT o_custkey, revenue_cents FROM rev
+  ORDER BY revenue_cents DESC, o_custkey ASC LIMIT 10
+)
+SELECT CAST(t.o_custkey AS BIGINT) AS c_custkey, c.c_name, n.n_name,
+       CAST(t.revenue_cents AS BIGINT) AS revenue_cents
+FROM topk t
+JOIN customer c ON c.c_custkey = t.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+
+def q_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipped revenue between two trading nations
+    (NATION_1 ↔ NATION_2, both directions) by ship year — the
+    bidirectional fact ⋈ two-dimension-chain rollup.
+
+    Scale shape: both nation chains (supplier→nation, customer→nation
+    via orders) are broadcast dimensions; the asymmetric-pair
+    predicate is applied on the broadcast side BEFORE the fact join at
+    scale (Catalyst pushes it through); the fact carries only
+    (orderkey, suppkey, year, cents); one 2×|years|-row hash agg ends
+    the plan."""
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    cn = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("o_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        li.join(sn, "l_suppkey")
+        .join(o.join(cn, "o_custkey"), "l_orderkey")
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+
+
+SQL_NATION_TRADE = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS yr,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY supp_nation, cust_nation, yr
+"""
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: NATION_3's share of ECONOMY-part revenue sold to
+    ASIA-region customers, by order year — the national-market-share
+    trend.
+
+    Both the nation's slice and the total are exact BIGINT cents from
+    the SAME aggregate pass (a conditional sum, not a second scan);
+    the share is ONE division rounded 6dp.
+
+    Scale shape: part (type filter) and the two nation chains are
+    broadcast prunes; the fact carries (partkey, suppkey, orderkey,
+    cents); one |years|-row agg ends the plan."""
+    pe = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    sn = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(_t(spark, sf_dir, "nation"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").alias("l_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    asia_cust = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(_t(spark, sf_dir, "nation"), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(_t(spark, sf_dir, "region"), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .join(asia_cust, "o_custkey")
+        .select(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    return (
+        li.join(F.broadcast(pe), "l_partkey")
+        .join(sn, "l_suppkey")
+        .join(o, "l_orderkey")
+        .groupBy("yr")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("nation_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "yr",
+            "nation_cents",
+            "total_cents",
+            F.round(
+                F.col("nation_cents").cast("double") / F.col("total_cents"), 6
+            ).alias("mkt_share"),
+        )
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH vol AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS yr,
+         SUM(CASE WHEN sn.n_name = 'NATION_3'
+             THEN CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+             ELSE 0 END) AS nation_cents,
+         SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS total_cents
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'ASIA'
+  GROUP BY yr
+)
+SELECT yr, CAST(nation_cents AS BIGINT) AS nation_cents,
+       CAST(total_cents AS BIGINT) AS total_cents,
+       ROUND(CAST(nation_cents AS DOUBLE) / total_cents, 6) AS mkt_share
+FROM vol
+"""
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: the supplier(s) with maximum shipped revenue in
+    one quarter — the view-then-max pattern, returned as ALL argmax
+    rows (exact BIGINT cents ⇒ max equality is unambiguous; ties all
+    surface, as in the reference query).
+
+    Scale shape: the quarter predicate pushes to the fact scan;
+    revenue reduces to |suppliers| rows in one agg; the max is a
+    1-row broadcast aggregate joined back (never a global sort); the
+    supplier dimension joins the surviving argmax rows only."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+    )
+    mx = F.broadcast(rev.agg(F.max("revenue_cents").alias("mx")))
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.join(mx, rev["revenue_cents"] == mx["mx"])
+        .join(s, "s_suppkey")
+        .select(
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            "revenue_cents",
+        )
+    )
+
+
+SQL_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT CAST(r.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(r.revenue_cents AS BIGINT) AS revenue_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.revenue_cents = (SELECT MAX(revenue_cents) FROM rev)
+"""
+
+
+def q_late_orders_by_priority(spark, sf_dir):
+    """TPC-H Q4 shape (adapted: this corpus has no commitdate, so
+    "late" = any lineitem shipped > 100 days after the order date):
+    per-priority count of orders with at least one late shipment —
+    the EXISTS-semi-join order-quality audit.
+
+    Scale shape: the candidate (orderkey, shipdate-bound) test runs as
+    a LEFT SEMI join — the fact side never duplicates orders (no
+    post-join distinct), and only (l_orderkey, l_shipdate) leaves the
+    fact scan; the final agg is |priorities| rows."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        on=(o["l_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 100 DAYS")),
+        how="left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_late_orders"))
+    )
+
+
+SQL_LATE_ORDERS = """
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY
+)
+GROUP BY o.o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4202,6 +4571,13 @@ SPARK_QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     # round-4 batch 5: approximation self-audit for the MinHash path
     "minhash_estimator_audit": q_minhash_estimator_audit,
+    # round-4 batch 6: Q6/Q10/Q7/Q8/Q15/Q4 relational shapes
+    "forecast_revenue": q_forecast_revenue,
+    "returned_items": q_returned_items,
+    "nation_trade_volume": q_nation_trade_volume,
+    "market_share": q_market_share,
+    "top_supplier": q_top_supplier,
+    "late_orders_by_priority": q_late_orders_by_priority,
 }
 
 ORACLE_SQL = {
@@ -4339,4 +4715,10 @@ ORACLE_SQL = {
     "kg_cooc_window": _kg_cooc_window_sql(),
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "minhash_estimator_audit": minhash_estimator_audit_sql(),
+    "forecast_revenue": SQL_FORECAST_REVENUE,
+    "returned_items": SQL_RETURNED_ITEMS,
+    "nation_trade_volume": SQL_NATION_TRADE,
+    "market_share": SQL_MARKET_SHARE,
+    "top_supplier": SQL_TOP_SUPPLIER,
+    "late_orders_by_priority": SQL_LATE_ORDERS,
 }

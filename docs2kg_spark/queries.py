@@ -4318,9 +4318,12 @@ def q_top_supplier(spark, sf_dir):
     surface, as in the reference query).
 
     Scale shape: the quarter predicate pushes to the fact scan;
-    revenue reduces to |suppliers| rows in one agg; the max is a
-    1-row broadcast aggregate joined back (never a global sort); the
-    supplier dimension joins the surviving argmax rows only."""
+    revenue reduces to |suppliers| rows in one agg which is
+    lazy-localCheckpointed so the argmax side and the max side consume
+    ONE materialization (without it the plan scans lineitem twice —
+    explain-verified); the max is a 1-row broadcast aggregate joined
+    back (never a global sort); the supplier dimension joins the
+    surviving argmax rows only."""
     rev = (
         _t(spark, sf_dir, "lineitem")
         .filter(
@@ -4336,7 +4339,7 @@ def q_top_supplier(spark, sf_dir):
             .cast("bigint")
             .alias("revenue_cents")
         )
-    )
+    ).localCheckpoint(eager=False)
     mx = F.broadcast(rev.agg(F.max("revenue_cents").alias("mx")))
     s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
     return (

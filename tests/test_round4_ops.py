@@ -184,3 +184,51 @@ def test_filter_mean_word_len(spark):
     text = " ".join(["a b c d e"] * 5)
     got = _filter_rows(spark, [text])[0]
     assert got["reasons"] & R_WORDLEN
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator audit
+# ---------------------------------------------------------------------------
+
+
+def test_estimator_audit_exact_counts_and_candidate_parity(spark):
+    """On a crafted corpus: (1) the audit's candidate set equals the
+    production near-dup query's candidate superset (same banding), and
+    (2) n_inter/n_union are the EXACT char-5-shingle counts, verified
+    against Python sets; identical docs must show n_agree == 32."""
+    from docs2kg_spark.operators.dedup import (
+        minhash_estimator_audit,
+        minhash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical → J=1, must be a candidate with n_agree=32
+            (3, base.replace("lazy", "sleepy")),  # near-dup
+            (4, "completely unrelated text about spark physical plans " * 8),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r["a"], r["b"]): r for r in minhash_estimator_audit(docs).collect()}
+    assert (1, 2) in rows
+    r12 = rows[(1, 2)]
+    assert r12["n_agree"] == 32 and r12["n_inter"] == r12["n_union"]
+
+    def sh(s):
+        s = s.lower()
+        return {s[i : i + 5] for i in range(len(s) - 4)} if len(s) > 5 else {s}
+
+    texts = {1: base, 2: base, 3: base.replace("lazy", "sleepy")}
+    for (a, b), r in rows.items():
+        if a in texts and b in texts:
+            sa, sb = sh(texts[a]), sh(texts[b])
+            assert r["n_inter"] == len(sa & sb), (a, b)
+            assert r["n_union"] == len(sa | sb), (a, b)
+            # the 32-perm estimate tracks truth within binomial noise
+            assert abs(r["n_agree"] / 32 - r["n_inter"] / r["n_union"]) < 0.35
+
+    # every pair the production query keeps is a banded candidate here
+    kept = {(r["a"], r["b"]) for r in minhash_near_dup_pairs(docs).collect()}
+    assert kept <= set(rows)

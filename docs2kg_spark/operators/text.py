@@ -10,6 +10,7 @@ twin in __spark_entry__.oracle_sql().
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -129,4 +130,64 @@ def analyze(documents: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint(text_col).alias("fingerprint"),
         bpe_token_count(text_col).alias("n_bpe_tokens"),
         *[col.alias(name) for name, col in q.items() if name != "n_chars"],
+    )
+
+
+def char_entropy(documents: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    gibberish / encoding-noise / low-diversity signal a quality
+    pipeline thresholds on (very low ⇒ repeated filler, very high ⇒
+    binary junk or base64 blobs).
+
+    Engine parity (the doc_logprob playbook, tfidf.py): each per-char
+    log2-probability is rounded to 6dp and scaled to an INTEGER inside
+    the UDF (round-half-up, matching DuckDB/Spark ROUND on positives),
+    the per-doc sum is an exact BIGINT, and the final 6dp rounding is
+    integer micro-unit division ((2s+n) div 2n) JVM-side — so neither
+    float accumulation order nor a half-boundary division can diverge.
+
+    100 TB shape: one Arrow pass, ZERO shuffle — the char histogram is
+    row-local (a groupBy(doc, char) formulation would shuffle the whole
+    corpus byte stream); only (id, 3 ints) leave the UDF.  Empty/null
+    texts are excluded (no distribution to measure).
+    """
+    import math
+    from collections import Counter
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def ent(xs: pd.Series) -> pd.Series:
+        out = []
+        for s in xs:
+            s = (s or "").lower()
+            n = len(s)
+            if n == 0:
+                out.append([0, 0, 0])
+                continue
+            acc = 0
+            cnt = Counter(s)
+            for nc in cnt.values():
+                t = -math.log2(nc / n)  # >= 0
+                # 6dp round-half-up, scaled to int — the exact twin of
+                # CAST(ROUND(-log2(..) * 1e6) AS BIGINT)
+                acc += nc * int(math.floor(t * 1e6 + 0.5))
+            out.append([n, len(cnt), acc])
+        return pd.Series(out)
+
+    src = documents.filter(F.length(F.coalesce(F.col(text_col), F.lit(""))) >= 1)
+    e = src.select(F.col(id_col).alias("doc_id"), ent(F.col(text_col)).alias("_e"))
+    # final 6dp rounding done in exact integer micro-units: round-half-up
+    # of (sum / n_chars) via (2s + n) div (2n) — no float half-boundary can
+    # flip between engines; the one double op left (micro/1e6) is identical
+    # IEEE arithmetic on identical integers.
+    return e.select(
+        "doc_id",
+        F.col("_e")[0].cast("bigint").alias("n_chars"),
+        F.col("_e")[1].cast("bigint").alias("n_alphabet"),
+        (
+            F.expr("(2 * _e[2] + _e[0]) div (2 * _e[0])").cast("double") / 1e6
+        ).alias("entropy"),
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from docs2kg_spark.config import DEFAULT_GAZETTEER
+from docs2kg_spark.functions.ids import WS_RE
 from docs2kg_spark.oracle.sql_twins import (
     kg_canonical_map_sql,
     kg_edges_sql,
@@ -4406,6 +4407,157 @@ GROUP BY o.o_orderpriority
 """
 
 
+def q_char_entropy(spark, sf_dir):
+    """Per-doc character-level Shannon entropy (+ alphabet size) — the
+    gibberish/encoding-noise quality signal.  One Arrow pass, zero
+    shuffle; per-term 6dp-rounded integer scaling keeps both engines'
+    sums bit-identical (operators/text.py::char_entropy)."""
+    from docs2kg_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"))
+
+
+SQL_CHAR_ENTROPY = r"""
+WITH ed AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+  WHERE length(coalesce(text, '')) >= 1
+),
+ech AS (
+  SELECT doc_id, substr(lt, i, 1) AS c, length(lt) AS n
+  FROM (SELECT doc_id, lt, unnest(generate_series(1, length(lt))) AS i FROM ed)
+),
+ecnt AS (SELECT doc_id, c, n, COUNT(*) AS nc FROM ech GROUP BY 1, 2, 3),
+eterm AS (
+  SELECT doc_id, n,
+         nc * CAST(ROUND(-log2(nc / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS s_i
+  FROM ecnt
+)
+SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_alphabet,
+       CAST((2 * SUM(s_i) + MAX(n)) // (2 * MAX(n)) AS DOUBLE) / 1000000.0 AS entropy
+FROM eterm GROUP BY doc_id
+"""
+
+
+def q_ttr_by_source(spark, sf_dir):
+    """Per-source type-token ratio (lexical diversity) — the corpus
+    health read that flags template-stamped or boilerplate-heavy
+    sources (low TTR) before they dilute a training mix.
+
+    Scale shape: the token stream reduces to (source, tok) counts with
+    map-side combine BEFORE the |sources|-row rollup (never a
+    countDistinct over raw tokens); doc counts ride a separate thin
+    agg on the already-narrow documents scan; ONE rounded division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), WS_RE)).alias("tok")
+    ).filter(F.col("tok") != "")
+    per_source = (
+        toks.groupBy("source", "tok")
+        .agg(F.count("*").alias("tf"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+        )
+    )
+    nd = (
+        d.filter(F.col("text").rlike(r"[^ \t\n\r\f\x0B]"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    return nd.join(per_source, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens"), 6).alias("ttr"),
+    )
+
+
+SQL_TTR_BY_SOURCE = r"""
+WITH ttoks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents
+),
+ttf AS (SELECT source, tok, COUNT(*) AS tf FROM ttoks WHERE tok <> '' GROUP BY 1, 2),
+tps AS (SELECT source, COUNT(*) AS n_types, SUM(tf) AS n_tokens FROM ttf GROUP BY 1),
+tnd AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents
+  WHERE regexp_matches(text, '[^ \t\n\r\f\x0B]') GROUP BY 1
+)
+SELECT t.source, CAST(n.n_docs AS BIGINT) AS n_docs,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.n_types AS BIGINT) AS n_types,
+       ROUND(CAST(t.n_types AS DOUBLE) / t.n_tokens, 6) AS ttr
+FROM tps t JOIN tnd n USING (source)
+"""
+
+
+def q_turn_novelty(spark, sf_dir):
+    """Per-turn lexical novelty over the derived transcripts: for each
+    (conv, turn), how many of its distinct tokens appear for the FIRST
+    time in the conversation at that turn — the discourse-progression
+    signal (a flat-zero tail ⇒ the conversation is circling; SFT
+    curation drops such spans).
+
+    Scale shape: distinct (conv, turn, tok) → (conv, tok) first-turn
+    agg → join back: both the agg and the join key on (conv, tok), so
+    the second Exchange is ENSURE_REQUIREMENTS-eliminated; the final
+    (conv, turn) rollup is turn-bounded.  Exact integers + one rounded
+    division."""
+    t = derive_transcripts(spark, sf_dir)
+    toks = (
+        t.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.split(F.lower("text"), WS_RE)).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    firsts = toks.groupBy("conv_id", "tok").agg(F.min("turn_idx").alias("ft"))
+    return (
+        toks.join(firsts, ["conv_id", "tok"])
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum((F.col("ft") == F.col("turn_idx")).cast("int"))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            "n_types",
+            "n_new",
+            F.round(F.col("n_new").cast("double") / F.col("n_types"), 6).alias(
+                "novelty"
+            ),
+        )
+    )
+
+
+def _turn_novelty_sql() -> str:
+    return rf"""
+WITH {TRANSCRIPTS_CTE.strip().rstrip()},
+nvt AS (
+  SELECT DISTINCT conv_id, turn_idx, tok FROM (
+    SELECT conv_id, turn_idx,
+           unnest(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+')) AS tok
+    FROM transcripts
+  ) WHERE tok <> ''
+),
+nvf AS (SELECT conv_id, tok, MIN(turn_idx) AS ft FROM nvt GROUP BY 1, 2)
+SELECT t.conv_id, t.turn_idx, CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CASE WHEN f.ft = t.turn_idx THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       ROUND(CAST(SUM(CASE WHEN f.ft = t.turn_idx THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM nvt t JOIN nvf f ON f.conv_id = t.conv_id AND f.tok = t.tok
+GROUP BY t.conv_id, t.turn_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4581,6 +4733,10 @@ SPARK_QUERIES = {
     "market_share": q_market_share,
     "top_supplier": q_top_supplier,
     "late_orders_by_priority": q_late_orders_by_priority,
+    # round-4 batch 7: corpus-quality signals + discourse progression
+    "char_entropy": q_char_entropy,
+    "ttr_by_source": q_ttr_by_source,
+    "turn_novelty": q_turn_novelty,
 }
 
 ORACLE_SQL = {
@@ -4724,4 +4880,7 @@ ORACLE_SQL = {
     "market_share": SQL_MARKET_SHARE,
     "top_supplier": SQL_TOP_SUPPLIER,
     "late_orders_by_priority": SQL_LATE_ORDERS,
+    "char_entropy": SQL_CHAR_ENTROPY,
+    "ttr_by_source": SQL_TTR_BY_SOURCE,
+    "turn_novelty": _turn_novelty_sql(),
 }

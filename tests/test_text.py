@@ -52,3 +52,41 @@ def test_analyze_runs_on_testdata(spark):
     ).collect()[0]
     assert 0.0 <= row[0] <= row[1] <= 1.0
     assert row[2] > 0
+
+
+def test_char_entropy_known_values(spark):
+    from docs2kg_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "AbAb"), (4, ""), (5, None), (6, "abcd")],
+        "doc_id int, text string",
+    )
+    rows = {r.doc_id: r for r in char_entropy(docs).collect()}
+    # empty / null docs are excluded — no distribution to measure
+    assert set(rows) == {1, 2, 3, 6}
+    # uniform single char → 0 bits
+    assert rows[1].entropy == 0.0 and rows[1].n_alphabet == 1
+    # two equiprobable symbols → exactly 1 bit; case-folded so AbAb == abab
+    assert rows[2].entropy == 1.0 and rows[3].entropy == 1.0
+    # four equiprobable symbols → exactly 2 bits
+    assert rows[6].entropy == 2.0 and rows[6].n_alphabet == 4
+    assert rows[6].n_chars == 4
+
+
+def test_char_entropy_matches_float_formula(spark):
+    """The integer-scaled pipeline stays within 1e-5 of the plain float
+    Shannon entropy on real testdata (6dp per-term quantization only)."""
+    import math
+    from collections import Counter
+
+    from docs2kg_spark.operators.text import char_entropy
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    got = {r.doc_id: r.entropy for r in char_entropy(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        s = (row.text or "").lower()
+        if not s:
+            continue
+        n = len(s)
+        want = -sum(c / n * math.log2(c / n) for c in Counter(s).values())
+        assert abs(got[row.doc_id] - want) < 1e-5, row.doc_id

@@ -325,6 +325,19 @@ HEADLINE = [
     "market_share",
     "top_supplier",
     "late_orders_by_priority",
+    # round-4 batch 7: corpus-quality signals + discourse progression
+    "char_entropy",
+    "ttr_by_source",
+    "turn_novelty",
+    # round-4 batch 8: Q11/Q16/Q19/Q20/Q21 shapes + KG profiles
+    "part_value_share",
+    "supplier_part_variety",
+    "disjunctive_revenue",
+    "excess_shippers",
+    "blocking_suppliers",
+    "kg_degree_histogram",
+    "kg_conv_density",
+    "kg_entity_aliases",
 ]
 
 

@@ -1084,8 +1084,15 @@ def q_kg_edges(spark, sf_dir):
     segs, m = _kg_stack(spark, sf_dir)
     t = q_kg_triples(spark, sf_dir)
     cmap = q_kg_canonical_map(spark, sf_dir)
-    _, edges = materialize_kg(segs, m, t, cmap)
-    return edges.select("src", "dst", "type")
+
+    def build():
+        _, edges = materialize_kg(segs, m, t, cmap)
+        return edges.select("src", "dst", "type")
+
+    # memoized like the rest of the chain: a consumer that references
+    # the edge table twice (e.g. the degree histogram's src/dst union)
+    # must not replay the layout-window subtree per reference
+    return _kg_memo(spark, sf_dir, "edges", build)
 
 
 def q_doc_near_dup_minhash(spark, sf_dir):
@@ -4515,7 +4522,7 @@ def q_turn_novelty(spark, sf_dir):
         )
         .filter(F.col("tok") != "")
         .distinct()
-    )
+    ).localCheckpoint(eager=False)  # first-turn agg + join read ONE pass
     firsts = toks.groupBy("conv_id", "tok").agg(F.min("turn_idx").alias("ft"))
     return (
         toks.join(firsts, ["conv_id", "tok"])
@@ -4555,6 +4562,457 @@ SELECT t.conv_id, t.turn_idx, CAST(COUNT(*) AS BIGINT) AS n_types,
              / COUNT(*), 6) AS novelty
 FROM nvt t JOIN nvf f ON f.conv_id = t.conv_id AND f.tok = t.tok
 GROUP BY t.conv_id, t.turn_idx
+"""
+
+
+def q_part_value_share(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: no partsupp table, so "value" is
+    shipped revenue): parts whose revenue share exceeds 4/3 of the
+    average part's — the HAVING-against-a-global-scalar pattern, with
+    a scale-invariant threshold (a fixed fraction empties out as the
+    part universe grows).
+
+    Scale shape: one hash agg reduces the fact table to |parts| rows,
+    lazy-localCheckpointed so the global scalar and the filter consume
+    ONE materialization; the scalar (total + part count) rides a
+    broadcast 1-row crossJoin (never a second fact scan); the share
+    test is exact integer arithmetic (v·n·3 > total·4) — no float
+    threshold."""
+    rev = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            )
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    ).localCheckpoint(eager=False)
+    tot = F.broadcast(
+        rev.agg(
+            F.sum("value_cents").alias("total_cents"),
+            F.count("*").alias("n_parts"),
+        )
+    )
+    return (
+        rev.crossJoin(tot)
+        .filter(
+            F.col("value_cents") * F.col("n_parts") * 3 > F.col("total_cents") * 4
+        )
+        .select(F.col("p_partkey").cast("bigint").alias("p_partkey"), "value_cents")
+    )
+
+
+SQL_PART_VALUE_SHARE = """
+WITH rev AS (
+  SELECT l_partkey AS p_partkey,
+         SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS value_cents
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(p_partkey AS BIGINT) AS p_partkey, value_cents
+FROM rev
+WHERE value_cents * (SELECT COUNT(*) FROM rev) * 3 > (SELECT SUM(value_cents) FROM rev) * 4
+"""
+
+
+def q_supplier_part_variety(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: supplier-part relationships observed
+    in lineitem stand in for partsupp; the "complaints" exclusion is
+    s_acctbal < 1000): how many distinct suppliers can ship each
+    surviving (brand, type, size) part class.
+
+    Scale shape: the fact table reduces to DISTINCT (part, supp) pairs
+    first (map-side combine) — the class-level countDistinct then runs
+    on the reduced pair set, never raw lineitem; the part dimension
+    filter and the exclusion list are both broadcast (dimension-sized);
+    the exclusion is a LEFT ANTI join, not a NOT IN subquery replay."""
+    pairs = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select(F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type", "p_size")
+    )
+    excl = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        pairs.join(excl, "l_suppkey", "left_anti")
+        .join(p, "l_partkey")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_VARIETY = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#3'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+
+def q_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a three-way DISJUNCTION of
+    (brand, size, quantity-band) conjunctions — the pattern that tests
+    whether OR-of-ANDs still prunes.
+
+    Scale shape: the part-only disjuncts are PRE-projected onto the
+    broadcast dimension filter (Catalyst cannot derive the per-side OR
+    envelope itself), so the join build side carries only candidate
+    parts; the full mixed predicate then runs post-join; the result is
+    ONE row via exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(
+            ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 5))
+            | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 10))
+            | ((F.col("p_brand") == "Brand#33") & (F.col("p_size") <= 15))
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    q = F.col("l_quantity")
+    matched = li.join(p, "p_partkey").filter(
+        (
+            (F.col("p_brand") == "Brand#11")
+            & (F.col("p_size") <= 5)
+            & (q >= 1)
+            & (q <= 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & (F.col("p_size") <= 10)
+            & (q >= 10)
+            & (q <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#33")
+            & (F.col("p_size") <= 15)
+            & (q >= 20)
+            & (q <= 30)
+        )
+    )
+    return matched.agg(
+        F.coalesce(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("bigint")
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("revenue_cents")
+    )
+
+
+SQL_DISJUNCTIVE_REVENUE = """
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)), 0) AS BIGINT)
+       AS revenue_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#11' AND p.p_size <= 5  AND l.l_quantity BETWEEN 1  AND 11)
+   OR (p.p_brand = 'Brand#22' AND p.p_size <= 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#33' AND p.p_size <= 15 AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp/availqty, so "excess" =
+    a supplier shipped MORE THAN 2× a part's average per-supplier
+    quantity — a relative dominance test that stays selective as the
+    supplier fan-out grows, where TPC-H's absolute 50% empties out):
+    suppliers dominating supply of any 'cold *' part — the nested
+    semi-join chain (part filter → per-(part,supp) agg → per-part
+    threshold → distinct suppliers).
+
+    Scale shape: the name filter rides the broadcast part dimension
+    into the first agg, so only candidate parts' lineitems aggregate;
+    per-(part,supp) and per-part totals come from ONE reduced table
+    (the part total is a window over the small agg output, not a
+    second fact scan); quantities are exact BIGINTs so the strict
+    q·n > 2·total dominance test cannot float-flip."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_suppkey", "l_quantity"
+    )
+    cold = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("cold "))
+        .select("p_partkey")
+    )
+    per_ps = (
+        li.join(cold, "p_partkey")
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("qty"))
+    )
+    w_tot = Window.partitionBy("p_partkey")
+    dominant = (
+        per_ps.withColumn("part_qty", F.sum("qty").over(w_tot))
+        .withColumn("n_supp", F.count("*").over(w_tot))
+        .filter(F.col("qty") * F.col("n_supp") > F.col("part_qty") * 2)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return dominant.join(s, "s_suppkey").select(
+        F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name"
+    )
+
+
+SQL_EXCESS_SHIPPERS = """
+WITH per_ps AS (
+  SELECT l.l_partkey, l.l_suppkey, SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS qty
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'cold %')
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+dom AS (
+  SELECT DISTINCT l_suppkey AS s_suppkey FROM (
+    SELECT l_suppkey, qty,
+           SUM(qty) OVER (PARTITION BY l_partkey) AS part_qty,
+           COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
+    FROM per_ps
+  ) WHERE qty * n_supp > part_qty * 2
+)
+SELECT CAST(d.s_suppkey AS BIGINT) AS s_suppkey, s.s_name
+FROM dom d JOIN supplier s ON s.s_suppkey = d.s_suppkey
+"""
+
+
+def q_blocking_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: no commitdate/receiptdate, so "late"
+    = shipped > 100 days after the order date, matching the Q4-shape
+    convention): in multi-supplier orders where EXACTLY ONE supplier
+    shipped late, count blocked orders per guilty supplier — the
+    exists + not-exists double-correlation.
+
+    Scale shape: both correlated subqueries collapse into ONE
+    per-order aggregate (n distinct suppliers, n distinct LATE
+    suppliers) over the distinct (order, supplier, late) pair set —
+    the fact table is touched once; the guilty-pair join then keys on
+    o_orderkey against the order-sized aggregate, and the supplier
+    dimension joins broadcast at the very end."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    pairs = (
+        li.join(o, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+            ).alias("late"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
+    ).localCheckpoint(eager=False)  # stats + guilty read ONE materialization
+    stats = pairs.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.col("late").cast("int")).alias("n_late_supp"),
+    )
+    guilty = pairs.filter("late").join(
+        stats.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+        "l_orderkey",
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        guilty.groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .join(s, "s_suppkey")
+        .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name", "numwait")
+    )
+
+
+SQL_BLOCKING_SUPPLIERS = """
+WITH pairs AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(l.l_shipdate > o.o_orderdate + INTERVAL 100 DAY) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey, l.l_suppkey
+),
+stats AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         SUM(CASE WHEN late THEN 1 ELSE 0 END) AS n_late_supp
+  FROM pairs GROUP BY l_orderkey
+)
+SELECT CAST(p.l_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM pairs p
+JOIN stats t ON t.l_orderkey = p.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.late AND t.n_supp >= 2 AND t.n_late_supp = 1
+GROUP BY p.l_suppkey, s.s_name
+"""
+
+
+def q_kg_degree_histogram(spark, sf_dir):
+    """Log2-bucketed degree distribution of the materialized KG — the
+    first profile a graph consumer reads (the bucket tail says whether
+    hub-killer strategies like triangle orientation are needed).
+
+    Scale shape: consumes the memoized KG edges (production reads the
+    materialized table); degrees are one (node)-keyed agg over the
+    src/dst union projection; the histogram is a second agg to
+    O(log maxdeg) rows.  floor(log2(n)) on exact integer degrees is
+    engine-stable (log2 of 2^k is exact in IEEE, so the floor can
+    never straddle a bucket edge)."""
+    e = q_kg_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        deg.groupBy(F.floor(F.log2("degree")).cast("bigint").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_nodes"),
+            F.min("degree").cast("bigint").alias("min_degree"),
+            F.max("degree").cast("bigint").alias("max_degree"),
+        )
+    )
+
+
+def _kg_degree_histogram_sql() -> str:
+    return f"""
+WITH edges AS ({kg_edges_sql(TRANSCRIPTS_CTE)}),
+nd AS (
+  SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+),
+dg AS (SELECT node, COUNT(*) AS degree FROM nd GROUP BY node)
+SELECT CAST(FLOOR(log2(degree)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MIN(degree) AS BIGINT) AS min_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM dg GROUP BY 1
+"""
+
+
+def q_kg_conv_density(spark, sf_dir):
+    """Per-conversation KG density profile: kept segments, mentions,
+    triples, and DISTINCT canonical entities — the extraction-QA read
+    that flags conversations where the pipeline produced nothing (or
+    suspiciously much) before anyone trains on the graph.
+
+    Scale shape: four conv-keyed thin aggregates over the memoized KG
+    chain (production reads materialized tables), each reduced to
+    |convs| rows BEFORE the joins — the joins never carry segment- or
+    mention-grain rows; conversations with zero mentions survive via
+    left joins from the segment-level conv universe (exact 0s, not
+    dropped rows)."""
+    segs = q_kg_segments(spark, sf_dir)
+    m = q_kg_mentions(spark, sf_dir)
+    t = q_kg_triples(spark, sf_dir)
+    cmap = q_kg_canonical_map(spark, sf_dir)
+
+    base = segs.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_segments")
+    )
+    nm = m.groupBy("conv_id").agg(F.count("*").cast("bigint").alias("n_mentions"))
+    nt = t.groupBy("conv_id").agg(F.count("*").cast("bigint").alias("n_triples"))
+    ne = (
+        m.join(
+            F.broadcast(cmap.select("text", "label", "canonical_id")),
+            ["text", "label"],
+        )
+        .groupBy("conv_id")
+        .agg(F.countDistinct("canonical_id").cast("bigint").alias("n_entities"))
+    )
+    out = (
+        base.join(nm, "conv_id", "left")
+        .join(nt, "conv_id", "left")
+        .join(ne, "conv_id", "left")
+    )
+    return out.select(
+        "conv_id",
+        "n_segments",
+        F.coalesce("n_mentions", F.lit(0)).cast("bigint").alias("n_mentions"),
+        F.coalesce("n_triples", F.lit(0)).cast("bigint").alias("n_triples"),
+        F.coalesce("n_entities", F.lit(0)).cast("bigint").alias("n_entities"),
+    )
+
+
+def _kg_conv_density_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_full_ctes
+
+    return f"""
+{kg_full_ctes(TRANSCRIPTS_CTE)},
+dbase AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_segments FROM segs GROUP BY 1),
+dm AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_mentions FROM mentions GROUP BY 1),
+dt AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_triples FROM triples GROUP BY 1),
+de AS (
+  SELECT m.conv_id, CAST(count(DISTINCT c.canonical_id) AS BIGINT) AS n_entities
+  FROM mentions m JOIN cmap c ON c.text = m.text AND c.label = m.label
+  GROUP BY 1
+)
+SELECT b.conv_id, b.n_segments,
+       CAST(COALESCE(dm.n_mentions, 0) AS BIGINT) AS n_mentions,
+       CAST(COALESCE(dt.n_triples, 0) AS BIGINT) AS n_triples,
+       CAST(COALESCE(de.n_entities, 0) AS BIGINT) AS n_entities
+FROM dbase b
+LEFT JOIN dm USING (conv_id)
+LEFT JOIN dt USING (conv_id)
+LEFT JOIN de USING (conv_id)
+"""
+
+
+def q_kg_entity_aliases(spark, sf_dir):
+    """Per-canonical-entity alias profile: how many distinct surface
+    forms fold into each canonical entity, over how many mentions, and
+    the lexicographically-first alias — the linking-QA read (an entity
+    with suspiciously many surfaces means the LSH threshold is too
+    loose; all singletons means it never fires).
+
+    Scale shape: the canonical map is vocabulary-sized and broadcasts
+    into the mention stream; the profile is ONE (canonical_id)-keyed
+    agg with the distinct-surface count taken over (surface, label)
+    pairs already reduced by the map join; min() gives a deterministic
+    representative without any sort."""
+    m = q_kg_mentions(spark, sf_dir)
+    cmap = q_kg_canonical_map(spark, sf_dir)
+    return (
+        m.join(
+            F.broadcast(cmap.select("text", "label", "canonical_id")),
+            ["text", "label"],
+        )
+        .groupBy("canonical_id")
+        .agg(
+            F.countDistinct("text", "label").cast("bigint").alias("n_surfaces"),
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.min("text").alias("first_alias"),
+        )
+    )
+
+
+def _kg_entity_aliases_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)}
+SELECT c.canonical_id,
+       CAST(count(DISTINCT (m.text, m.label)) AS BIGINT) AS n_surfaces,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       min(m.text) AS first_alias
+FROM mentions m JOIN cmap c ON c.text = m.text AND c.label = m.label
+GROUP BY 1
 """
 
 
@@ -4737,6 +5195,15 @@ SPARK_QUERIES = {
     "char_entropy": q_char_entropy,
     "ttr_by_source": q_ttr_by_source,
     "turn_novelty": q_turn_novelty,
+    # round-4 batch 8: remaining TPC-H shapes + KG degree profile
+    "part_value_share": q_part_value_share,
+    "supplier_part_variety": q_supplier_part_variety,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "excess_shippers": q_excess_shippers,
+    "blocking_suppliers": q_blocking_suppliers,
+    "kg_degree_histogram": q_kg_degree_histogram,
+    "kg_conv_density": q_kg_conv_density,
+    "kg_entity_aliases": q_kg_entity_aliases,
 }
 
 ORACLE_SQL = {
@@ -4883,4 +5350,12 @@ ORACLE_SQL = {
     "char_entropy": SQL_CHAR_ENTROPY,
     "ttr_by_source": SQL_TTR_BY_SOURCE,
     "turn_novelty": _turn_novelty_sql(),
+    "part_value_share": SQL_PART_VALUE_SHARE,
+    "supplier_part_variety": SQL_SUPPLIER_PART_VARIETY,
+    "disjunctive_revenue": SQL_DISJUNCTIVE_REVENUE,
+    "excess_shippers": SQL_EXCESS_SHIPPERS,
+    "blocking_suppliers": SQL_BLOCKING_SUPPLIERS,
+    "kg_degree_histogram": _kg_degree_histogram_sql(),
+    "kg_conv_density": _kg_conv_density_sql(),
+    "kg_entity_aliases": _kg_entity_aliases_sql(),
 }

@@ -122,3 +122,30 @@ def streaming_windowed_rollup(
             F.col("n"),
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("event_id",),
+    ts: str = "ts",
+) -> DataFrame:
+    """Exactly-once event emission under at-least-once delivery: drop
+    rows whose dedup key was already seen, keeping key state only
+    within the watermark horizon.
+
+    Why not plain dropDuplicates: on a stream it keeps EVERY key ever
+    seen — state grows without bound at 10¹²-turn scale.  Re-delivery
+    (the failure mode this guards) is temporally local — a retried
+    batch or replayed file lands within minutes — so
+    dropDuplicatesWithinWatermark bounds state to the keys inside the
+    watermark window and evicts the rest.  The batch twin is a plain
+    distinct-on-key (tests assert parity on a re-delivered stream).
+
+    Reference parity: the batch pipeline's idempotence comes from
+    content-addressed ids + overwrite markers (io/sinks.py); this is
+    the same guarantee for the append-only streaming path.
+    """
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

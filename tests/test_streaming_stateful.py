@@ -181,3 +181,50 @@ def test_streaming_windowed_rollup_drops_late_rows(spark, tmp_path):
     # re-emitted with the 10:55 row folded in (10:30 + 10:55 → n=2)
     assert not any(w.endswith("09:00:00") for w, _ in updates2)
     assert ("2025-03-01 10:00:00", 2) in updates2
+
+
+def _drain_dedup(spark, in_dir, out_dir, ckpt):
+    from docs2kg_spark.streaming.stateful import streaming_dedup
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(in_dir)
+    q = (
+        streaming_dedup(stream, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_streaming_dedup_redelivery_within_watermark(spark, tmp_path):
+    """A re-delivered event (same event_id, a later micro-batch, inside
+    the watermark horizon) must be emitted exactly once; genuinely new
+    events pass.  Output equals the batch distinct-on-key twin."""
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    b1 = pd.DataFrame(
+        [(1, 100, "2025-03-01 09:00:00"), (2, 200, "2025-03-01 09:01:00")],
+        columns=["user_id", "event_id", "ts"],
+    ).assign(ts=lambda d: pd.to_datetime(d["ts"]))
+    # batch 2 re-delivers event 100 (dup) alongside a new event 300
+    b2 = pd.DataFrame(
+        [(1, 100, "2025-03-01 09:00:00"), (3, 300, "2025-03-01 09:05:00")],
+        columns=["user_id", "event_id", "ts"],
+    ).assign(ts=lambda d: pd.to_datetime(d["ts"]))
+
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    _drain_dedup(spark, in_dir, out_dir, ckpt)
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.mode("append").parquet(in_dir)
+    _drain_dedup(spark, in_dir, out_dir, ckpt)
+
+    got = {(r.user_id, r.event_id) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {(1, 100), (2, 200), (3, 300)}
+    # exactly-once: no key appears twice
+    n = spark.read.parquet(out_dir).count()
+    assert n == 3

@@ -90,3 +90,35 @@ def test_char_entropy_matches_float_formula(spark):
         n = len(s)
         want = -sum(c / n * math.log2(c / n) for c in Counter(s).values())
         assert abs(got[row.doc_id] - want) < 1e-5, row.doc_id
+
+
+def test_char_entropy_property_random_texts(spark):
+    """Property: for random ASCII texts the integer-scaled Spark
+    entropy stays within 6dp quantization error of the float formula,
+    and bounds hold (0 <= H <= log2(alphabet))."""
+    import math
+    import random
+    from collections import Counter
+
+    from docs2kg_spark.operators.text import char_entropy
+
+    rng = random.Random(7)
+    alpha = "abcdefgh XYZ.,!019"
+    texts = [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 400)))
+        for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        s = t.lower()
+        n = len(s)
+        cnt = Counter(s)
+        want = -sum(c / n * math.log2(c / n) for c in cnt.values())
+        r = got[i]
+        assert abs(r.entropy - want) < 1e-5, (i, r.entropy, want)
+        assert 0.0 <= r.entropy <= math.log2(max(len(cnt), 2)) + 1e-9
+        assert r.n_chars == n and r.n_alphabet == len(cnt)

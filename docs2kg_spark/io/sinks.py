@@ -194,6 +194,57 @@ class TableStore:
     def drop(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
 
+    def compact(self, name: str, target_file_bytes: int = 128 << 20) -> dict:
+        """Small-file compaction for an UNPARTITIONED table: rewrite the
+        table into ``ceil(total_bytes / target_file_bytes)`` files and
+        atomically swap the directory.  Needed after many ``append()``
+        delta slices — at 10¹²-turn scale a serve table touched by
+        thousands of micro-batches becomes a scan of tiny files whose
+        per-file open/footer cost dominates the read.
+
+        Sizing is FOOTER-DRIVEN (os-level byte sum, no data scan, no
+        Spark job) so deciding "needs compaction?" is O(files) driver
+        work; the rewrite itself is one repartition job.  The swap is
+        rename-based (write ``__compact_tmp``, rename away the old dir,
+        rename tmp in, delete old) so a reader never sees a half-written
+        table and a crash leaves either the old or the new complete dir.
+        Lineage markers are untouched — content is unchanged, so the
+        stage fingerprint still matches.
+
+        Partitioned layouts (``key=value`` subdirs — the per-batch delta
+        logs) are refused: their compaction is the log-fold
+        ``streaming/incremental.py::compact_kg`` owns.  On Iceberg this
+        whole method maps to the ``rewrite_data_files`` action through
+        the same interface.
+        """
+        import math
+
+        p = self.path(name)
+        total, n_files = 0, 0
+        for root, dirs, files in os.walk(p):
+            for d in dirs:
+                if "=" in d:
+                    raise ValueError(
+                        f"compact({name!r}): partitioned layout ({d}) — "
+                        "use the delta-log fold (compact_kg), not file compaction"
+                    )
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+                    n_files += 1
+        n_out = max(1, math.ceil(total / target_file_bytes))
+        if n_files <= n_out:
+            return {"files_before": n_files, "files_after": n_files, "rewritten": False}
+        tmp, old = p + "__compact_tmp", p + "__compact_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        self.read(name).repartition(n_out).write.mode("overwrite").format(
+            self.fmt
+        ).save(tmp)
+        os.rename(p, old)
+        os.rename(tmp, p)
+        shutil.rmtree(old)
+        return {"files_before": n_files, "files_after": n_out, "rewritten": True}
+
     # ---- stage markers (resume support) --------------------------------
     # the parquet stand-in for Iceberg snapshot lineage: a stage is
     # complete iff its marker exists AND records the same input

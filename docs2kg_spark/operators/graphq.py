@@ -76,7 +76,12 @@ def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     return fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
 
 
-def k_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+def k_hop(
+    edges: DataFrame,
+    seeds: DataFrame,
+    k: int,
+    broadcast_below: int = 2_000_000,
+) -> DataFrame:
     """Minimum-hop BFS from ``seeds`` (a DataFrame with column `node`)
     following `src → dst`, bounded at ``k`` hops.
     → (node, hops) with hops = min #edges from any seed (seeds at 0).
@@ -92,26 +97,40 @@ def k_hop(edges: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     is the lazy union of the prior frontier checkpoints — the same rows
     the old visited table held (frontiers are disjoint by construction),
     read from the already-materialized blocks, never rewritten.  The
-    returned DataFrame is the lazy union of all frontiers."""
+    returned DataFrame is the lazy union of all frontiers.
+
+    Frontier counts are KNOWN (the Observation), so while frontier and
+    visited stay under ``broadcast_below`` rows the hop join and the
+    anti-join take explicit broadcast hints — the edge table is then
+    never exchanged (its partitions are probed map-side), which removes
+    both wide shuffles from the typical seeded-BFS hop.  A frontier
+    that outgrows the bound falls back to the shuffle join — the right
+    plan when the frontier is a large fraction of a 100 TB graph."""
     from functools import reduce
 
     first = seeds.select("node").distinct().withColumn("hops", F.lit(0)).localCheckpoint()
+    n_seen = first.count()  # blocks already materialized — metadata-cheap
+    n_frontier = n_seen
     frontiers = [first]
     frontier = first
     for h in range(1, k + 1):
         obs = Observation(f"k_hop_frontier_{h}")
         seen = reduce(DataFrame.unionByName, [f.select("node") for f in frontiers])
+        f_side = F.broadcast(frontier) if n_frontier < broadcast_below else frontier
+        s_side = F.broadcast(seen) if n_seen < broadcast_below else seen
         nxt = (
-            frontier.join(edges, frontier["node"] == edges["src"])
+            f_side.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(seen, "node", "left_anti")
+            .join(s_side, "node", "left_anti")
             .withColumn("hops", F.lit(h))
             .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if int(obs.get["n"] or 0) == 0:
+        n_frontier = int(obs.get["n"] or 0)
+        if n_frontier == 0:
             break
+        n_seen += n_frontier
         frontiers.append(nxt)
         frontier = nxt
     return reduce(DataFrame.unionByName, frontiers)

@@ -1187,7 +1187,10 @@ FROM o FULL JOIN i ON o.node = i.node
 def q_graph_khop(spark, sf_dir):
     from docs2kg_spark.operators.graphq import k_hop, undirect
 
-    e = undirect(_lineitem_graph(spark, sf_dir))
+    # materialize the edge table once: the BFS joins it k times, and
+    # without the checkpoint every hop replays the lineitem scan +
+    # distinct shuffle (in production the edge table is a stored table)
+    e = undirect(_lineitem_graph(spark, sf_dir)).localCheckpoint(eager=False)
     seeds = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 10 == 0)

@@ -1095,11 +1095,37 @@ def q_kg_edges(spark, sf_dir):
     return _kg_memo(spark, sf_dir, "edges", build)
 
 
-def q_doc_near_dup_minhash(spark, sf_dir):
+def _minhash_pairs_memo(spark, sf_dir):
+    """Default-cfg MinHash near-dup pairs, memoized like the KG chain:
+    the pair table (id, id, sim) is consumed by the pair query AND the
+    cross-source matrix — the signature/band computation must not
+    replay per consumer in a gate/bench session (production reads a
+    materialized pair table)."""
     from docs2kg_spark.operators.dedup import minhash_near_dup_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_near_dup_pairs(d).select("a", "b", F.round("sim", 6).alias("sim"))
+    return _kg_memo(
+        spark, sf_dir, "minhash_pairs", lambda: minhash_near_dup_pairs(d)
+    )
+
+
+def _doc_dedup_map_memo(spark, sf_dir):
+    """Transitive near-dup survivor map, memoized: consumed by the map
+    query, the leak-free split, and the per-source dup rate."""
+    from docs2kg_spark.operators.dedup import doc_dedup_map
+
+    return _kg_memo(
+        spark,
+        sf_dir,
+        "doc_dedup_map",
+        lambda: doc_dedup_map(_t(spark, sf_dir, "documents"), spark),
+    )
+
+
+def q_doc_near_dup_minhash(spark, sf_dir):
+    return _minhash_pairs_memo(spark, sf_dir).select(
+        "a", "b", F.round("sim", 6).alias("sim")
+    )
 
 
 def q_minhash_estimator_audit(spark, sf_dir):
@@ -1440,9 +1466,7 @@ def _kmeans_sql() -> str:
 def q_doc_dedup_map(spark, sf_dir):
     """near-dup clusters → min-id survivor map over documents (the
     transitive-closure completion of the pairwise near-dup queries)."""
-    from docs2kg_spark.operators.dedup import doc_dedup_map
-
-    return doc_dedup_map(_t(spark, sf_dir, "documents"), spark)
+    return _doc_dedup_map_memo(spark, sf_dir)
 
 
 def _doc_dedup_map_sql() -> str:
@@ -1469,10 +1493,9 @@ def q_doc_split_leakfree(spark, sf_dir):
     the near-dup CLUSTER id (doc_dedup_map's min-id survivor), so a
     near-duplicate can never straddle train and test — the standard
     leakage failure of naive per-doc splits.  → (doc_id, split)."""
-    from docs2kg_spark.operators.dedup import doc_dedup_map
     from docs2kg_spark.operators.sampling import hash_split
 
-    cmap = doc_dedup_map(_t(spark, sf_dir, "documents"), spark)
+    cmap = _doc_dedup_map_memo(spark, sf_dir)
     return hash_split(cmap, "canonical_id").select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "split"
     )
@@ -2106,7 +2129,12 @@ def q_doc_lang_balance(spark, sf_dir):
     from docs2kg_spark.operators.text import lang_id
 
     d = _t(spark, sf_dir, "documents")
-    labeled = d.select("doc_id", lang_id("text").alias("pred_lang"))
+    # thin (id, label) projection checkpointed once: balance_by_class
+    # reads its input twice (class counts + the filter pass), and the
+    # lang-id expression is the expensive part of this query
+    labeled = d.select("doc_id", lang_id("text").alias("pred_lang")).localCheckpoint(
+        eager=False
+    )
     return balance_by_class(labeled, "pred_lang", "doc_id").select("doc_id", "pred_lang")
 
 
@@ -3232,10 +3260,8 @@ def q_doc_dup_rate_by_source(spark, sf_dir):
     Scale shape: the dedup map is doc-keyed, so the join is a plain
     equi-join on the already-shuffled key; the rollup is |sources|
     rows."""
-    from docs2kg_spark.operators.dedup import doc_dedup_map
-
     d = _t(spark, sf_dir, "documents")
-    cmap = doc_dedup_map(d, spark)
+    cmap = _doc_dedup_map_memo(spark, sf_dir)
     j = d.select(F.col("doc_id").cast("string").alias("doc_id"), "source").join(
         cmap, on="doc_id"
     )
@@ -3586,10 +3612,8 @@ def q_doc_dup_source_matrix(spark, sf_dir):
     Scale shape: the pair table is id-only (two strings); the two
     source lookups are doc-keyed equi-joins against an id→source
     projection, then one |sources|² hash agg."""
-    from docs2kg_spark.operators.dedup import minhash_near_dup_pairs
-
     d = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_dup_pairs(d).select("a", "b")
+    pairs = _minhash_pairs_memo(spark, sf_dir).select("a", "b")
     src = d.select(
         F.col("doc_id").cast("string").alias("id"), F.col("source").alias("_src")
     )

@@ -338,6 +338,7 @@ HEADLINE = [
     "kg_degree_histogram",
     "kg_conv_density",
     "kg_entity_aliases",
+    "role_boilerplate",
 ]
 
 

@@ -5043,6 +5043,69 @@ GROUP BY 1
 """
 
 
+def q_role_boilerplate(spark, sf_dir):
+    """Boilerplate discovery per role: the top-5 most frequent
+    turn-initial trigram prefixes for each speaker role — the
+    template-stamping read an SFT-curation pass runs before dropping
+    canned openers (data-driven, unlike a fixed refusal lexicon, so it
+    finds THIS corpus's boilerplate).
+
+    Scale shape: the prefix is row-local array arithmetic (split →
+    filter empties → slice 3 → join) — no explode; one (role, prefix)
+    hash agg with map-side combine; the rank window runs over the
+    already-reduced prefix relation.  Deterministic total order
+    (count DESC, prefix ASC)."""
+    t = derive_transcripts(spark, sf_dir)
+    prefix = F.array_join(
+        F.slice(
+            F.filter(F.split(F.lower("text"), WS_RE), lambda x: x != F.lit("")),
+            1,
+            3,
+        ),
+        " ",
+    )
+    counted = (
+        t.select(
+            "role",
+            prefix.alias("prefix"),
+            F.size(
+                F.filter(F.split(F.lower("text"), WS_RE), lambda x: x != F.lit(""))
+            ).alias("_n"),
+        )
+        .filter(F.col("_n") >= 3)
+        .groupBy("role", "prefix")
+        .agg(F.count("*").cast("bigint").alias("n_turns"))
+    )
+    w = Window.partitionBy("role").orderBy(F.col("n_turns").desc(), F.col("prefix"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("role", F.col("rank").cast("int").alias("rank"), "prefix", "n_turns")
+    )
+
+
+def _role_boilerplate_sql() -> str:
+    return rf"""
+WITH {TRANSCRIPTS_CTE.strip().rstrip()},
+bp AS (
+  SELECT role,
+         array_to_string(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                                     x -> x <> '')[1:3], ' ') AS prefix,
+         length(list_filter(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+'),
+                            x -> x <> '')) AS n
+  FROM transcripts
+),
+bpc AS (
+  SELECT role, prefix, CAST(COUNT(*) AS BIGINT) AS n_turns
+  FROM bp WHERE n >= 3 GROUP BY 1, 2
+)
+SELECT role, CAST(rnk AS INT) AS rank, prefix, n_turns FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY role ORDER BY n_turns DESC, prefix) AS rnk
+  FROM bpc
+) WHERE rnk <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5231,6 +5294,7 @@ SPARK_QUERIES = {
     "kg_degree_histogram": q_kg_degree_histogram,
     "kg_conv_density": q_kg_conv_density,
     "kg_entity_aliases": q_kg_entity_aliases,
+    "role_boilerplate": q_role_boilerplate,
 }
 
 ORACLE_SQL = {
@@ -5385,4 +5449,5 @@ ORACLE_SQL = {
     "kg_degree_histogram": _kg_degree_histogram_sql(),
     "kg_conv_density": _kg_conv_density_sql(),
     "kg_entity_aliases": _kg_entity_aliases_sql(),
+    "role_boilerplate": _role_boilerplate_sql(),
 }

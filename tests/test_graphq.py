@@ -219,3 +219,22 @@ def test_kcore_cycle_keeps_cycle_drops_pendant(spark):
     )
     got = {r.node: r.core_degree for r in k_core(edges, k=2).collect()}
     assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_hop_broadcast_and_shuffle_paths_agree(spark):
+    """broadcast_below=0 forces the shuffle-join fallback; the default
+    broadcasts small frontiers — both must give the identical min-hop
+    set (the knob changes the physical plan only)."""
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "e"), ("x", "y")],
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    fast = {(r["node"], r["hops"]) for r in k_hop(e, seeds, k=4).collect()}
+    slow = {
+        (r["node"], r["hops"])
+        for r in k_hop(e, seeds, k=4, broadcast_below=0).collect()
+    }
+    assert fast == slow
+    # a=0, b=1, c=2, e=2 (via b->e), d=3; x/y unreachable
+    assert fast == {("a", 0), ("b", 1), ("c", 2), ("e", 2), ("d", 3)}

@@ -4088,6 +4088,12 @@ def q_forecast_revenue(spark, sf_dir):
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            # pushable ENVELOPE on the raw column first: the exact
+            # integer band below is arithmetic, which no parquet reader
+            # can push — the redundant implied-superset range restores
+            # min-max file pruning; the exact test still decides
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.09)
             & F.round(F.col("l_discount") * 100).cast("int").between(3, 8)
             & (F.col("l_quantity") < 24)
         )

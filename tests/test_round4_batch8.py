@@ -109,3 +109,18 @@ def test_entity_aliases_fold_detected(spark):
     for r in rows:
         assert 1 <= r.n_surfaces <= r.n_mentions
         assert r.first_alias
+
+
+def test_forecast_revenue_predicate_reaches_scan(spark):
+    """Q6 shape: the entire filter (date band, discount band, quantity
+    cap) must appear as PushedFilters on the lineitem parquet scan —
+    the query's whole point is that no row survives past the scan
+    unnecessarily."""
+    from docs2kg_spark.queries import q_forecast_revenue
+
+    plan = _plan(q_forecast_revenue(spark, SF_DIR))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed, plan
+    joined = " ".join(pushed)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in joined, (col, joined)

@@ -691,3 +691,73 @@ def link_prediction(edges: DataFrame, min_common: int = 2) -> DataFrame:
     return scored.join(existing, ["a", "b"], "left_anti").select(
         "a", "b", "common", "ra1e6"
     )
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    broadcast_below: int = 2_000_000,
+) -> DataFrame:
+    """Bounded-hop cheapest path from ``seeds`` over weighted edges —
+    Bellman-Ford with an improved-only frontier (delta-stepping's
+    0-bucket special case).  ``edges`` is (src, dst, w) with BIGINT
+    weights (keep weights integer: distances then stay exact across
+    engines — the repo's integer-scaling convention); ``seeds`` is a
+    DataFrame with column `node`.  Returns (node, dist) where dist is
+    the minimum total weight over any path from a seed using at most
+    ``max_hops`` edges (seeds at 0).  The Cypher analog is
+    `MATCH p = (s)-[*..k]->(n) RETURN n, min(weight(p))`.
+
+    Correctness of the frontier pruning: dist(v) after round h is the
+    min over paths of ≤h edges — a node re-enters the frontier exactly
+    when that min improves, so every (h+1)-edge extension is relaxed
+    either this round or the round its prefix last improved.  Negative
+    weights are safe under the hop bound (no closure to diverge).
+
+    Scale shape: per round ONE equi-join frontier⋈edges (the frontier
+    broadcasts while its observed size is under ``broadcast_below`` —
+    the edge table is then probed map-side, no exchange), one hash agg
+    min per dst, one join against settled dists to keep improvements
+    only.  Frontier and dist are localCheckpoint'ed per round (flat
+    lineage; the cluster analog is a stage table).  Early-exits when no
+    node improves.  Work per round is O(frontier out-edges), never the
+    whole graph — the same frontier discipline as k_hop."""
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint"))
+        .localCheckpoint()
+    )
+    frontier = dist
+    n_frontier = dist.count()  # blocks already materialized — cheap
+    for _ in range(max_hops):
+        if n_frontier == 0:
+            break
+        f = frontier.alias("f")
+        f_side = F.broadcast(f) if n_frontier < broadcast_below else f
+        cand = (
+            f_side.join(edges.alias("e"), F.col("f.node") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("node"),
+                (F.col("f.dist") + F.col("e.w")).cast("bigint").alias("nd"),
+            )
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+            .select("node", F.col("nd").alias("dist"))
+            .localCheckpoint()
+        )
+        n_frontier = improved.count()
+        if n_frontier == 0:
+            break
+        dist = (
+            dist.join(improved.select("node"), "node", "left_anti")
+            .unionByName(improved)
+            .localCheckpoint(eager=False)
+        )
+        frontier = improved
+    return dist

@@ -5112,6 +5112,239 @@ SELECT role, CAST(rnk AS INT) AS rank, prefix, n_turns FROM (
 """
 
 
+def q_graph_sssp(spark, sf_dir):
+    """Bounded-hop cheapest path over the weighted entity co-occurrence
+    graph (operators/graphq.py::sssp_bounded): edge weight is the
+    integer affinity cost 1 + ⌊20/n⌋ for a pair co-occurring in n
+    triples (frequent pairs are "close"), the seed is the
+    lexicographically first entity, and distances are exact BIGINTs —
+    the Cypher `shortestPath((s)-[*..4]-(n))` analog with weights.
+
+    Scale shape: the pair-count agg reduces triples to one row per
+    unordered pair before anything wide; the relaxation loop touches
+    only improved-frontier out-edges per round (broadcast while small);
+    the edge table rides one lazy localCheckpoint so four rounds never
+    replay the triple derivation."""
+    from docs2kg_spark.operators.graphq import sssp_bounded
+
+    t = q_kg_triples(spark, sf_dir)
+    pairs = (
+        t.filter(F.col("subj") != F.col("obj"))
+        .select(
+            F.least("subj", "obj").alias("a"),
+            F.greatest("subj", "obj").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    w = (F.lit(1) + F.floor(F.lit(20.0) / F.col("n"))).cast("bigint")
+    und = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"), w.alias("w"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"), w.alias("w"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    seeds = und.agg(F.min("src").alias("node"))
+    return sssp_bounded(und, seeds, max_hops=4).select(
+        "node", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+def _graph_sssp_sql(max_hops: int = 4) -> str:
+    """Recursive-CTE twin: enumerate (node, dist, hops) walk states —
+    UNION dedups identical states, so rows are bounded by
+    |nodes|·|distinct dists|·hops, not path counts — then MIN per node.
+    Identical ≤max_hops-edge semantics to the Spark relaxation."""
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH RECURSIVE {kg_triples_ctes(TRANSCRIPTS_CTE)},
+sp AS (
+  SELECT least(subj, obj) AS a, greatest(subj, obj) AS b, COUNT(*) AS n
+  FROM triples WHERE subj <> obj GROUP BY 1, 2
+),
+sw AS (SELECT a, b, CAST(1 + FLOOR(20.0 / n) AS BIGINT) AS w FROM sp),
+und AS (SELECT a AS src, b AS dst, w FROM sw UNION ALL SELECT b, a, w FROM sw),
+seed AS (SELECT min(src) AS node FROM und),
+walk(node, dist, hops) AS (
+  SELECT node, CAST(0 AS BIGINT), 0 FROM seed
+  UNION
+  SELECT e.dst, walk.dist + e.w, walk.hops + 1
+  FROM walk JOIN und e ON e.src = walk.node WHERE walk.hops < {max_hops}
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+"""
+
+
+def q_role_transitions(spark, sf_dir):
+    """Role-transition profile over the derived transcripts: counts of
+    each (prev_role → role) adjacency plus how many conversations
+    exhibit it — the chat-format QA read that catches non-alternating
+    corpora (assistant→assistant repeats, tool calls with no assistant
+    turn) before SFT training.
+
+    Scale shape: one lag window partitioned by conv_id (turn-bounded
+    partitions), then a hash agg to at most |roles|² rows; the distinct
+    conv count runs over the already-narrow (prev, role, conv) stream."""
+    t = derive_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        t.select(
+            "conv_id",
+            "role",
+            F.lag("role").over(w).alias("prev_role"),
+        )
+        .filter(F.col("prev_role").isNotNull())
+        .groupBy("prev_role", "role")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        )
+    )
+
+
+SQL_ROLE_TRANSITIONS = f"""
+WITH {TRANSCRIPTS_CTE},
+rt AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM transcripts
+)
+SELECT prev_role, role,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM rt WHERE prev_role IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Per-source Zipf fit: OLS slope of ln(freq) on ln(rank) over the
+    top-100 vocabulary — the corpus-health scalar (natural text ≈ −1;
+    template-stamped or synthetic sources drift toward 0) Gopher-style
+    curation tracks per domain.
+
+    Scale shape: the token stream reduces to (source, tok, tf) with
+    map-side combine; the rank window runs over the REDUCED relation
+    and keeps 100 rows per source; the OLS moments are integer-scaled
+    BIGINTs (ln·1e6 — exact, associative, order-independent sums; the
+    slope is scale-invariant so the 1e6 cancels), one guarded division
+    at the end."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split(F.lower("text"), WS_RE)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tf").desc(), F.col("tok"))
+    top = tf.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 100)
+    lr = F.round(F.log(F.col("rank").cast("double")) * 1e6).cast("bigint")
+    lf = F.round(F.log(F.col("tf").cast("double")) * 1e6).cast("bigint")
+    m = (
+        top.select("source", lr.alias("lr"), lf.alias("lf"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.sum("lr").alias("sx"),
+            F.sum("lf").alias("sy"),
+            F.sum(F.col("lr") * F.col("lr")).alias("sxx"),
+            F.sum(F.col("lr") * F.col("lf")).alias("sxy"),
+        )
+    )
+    num = (F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return m.select(
+        "source",
+        "n_terms",
+        F.round(F.when(den != 0, num / den), 6).alias("zipf_slope"),
+    )
+
+
+SQL_ZIPF_SLOPE = r"""
+WITH ztoks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents
+),
+ztf AS (SELECT source, tok, COUNT(*) AS tf FROM ztoks WHERE tok <> '' GROUP BY 1, 2),
+ztop AS (
+  SELECT source, tf,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY tf DESC, tok) AS rank
+  FROM ztf QUALIFY rank <= 100
+),
+zl AS (
+  SELECT source,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS lr,
+         CAST(round(ln(CAST(tf AS DOUBLE)) * 1e6) AS BIGINT) AS lf
+  FROM ztop
+),
+zm AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(lr) AS sx, SUM(lf) AS sy, SUM(lr * lr) AS sxx, SUM(lr * lf) AS sxy
+  FROM zl GROUP BY 1
+)
+SELECT source, n_terms,
+       ROUND(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+             / NULLIF(CAST(n_terms * sxx - sx * sx AS DOUBLE), 0.0), 6) AS zipf_slope
+FROM zm
+"""
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer-fertility audit per (lang, source): chars per BPE-ish
+    token — the compression read that sizes token budgets per domain
+    and flags scripts a tokenizer fragments (high chars/token drift
+    within a lang means mixed content).
+
+    Scale shape: pure row-local column expressions (regexp_count /
+    length) reduced by ONE hash agg with map-side combine to
+    |lang × source| rows; exact BIGINT sums, one guarded division."""
+    from docs2kg_spark.operators.text import bpe_token_count
+
+    d = _t(spark, sf_dir, "documents")
+    g = (
+        d.select(
+            "lang",
+            "source",
+            F.length("text").cast("bigint").alias("nc"),
+            bpe_token_count("text").cast("bigint").alias("nt"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nc").alias("n_chars"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_chars",
+        "n_tokens",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_chars").cast("double") / F.col("n_tokens"),
+            ),
+            6,
+        ).alias("chars_per_token"),
+    )
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(length(text)) AS DOUBLE)
+             / NULLIF(CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS DOUBLE), 0.0), 6)
+         AS chars_per_token
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5301,6 +5534,12 @@ SPARK_QUERIES = {
     "kg_conv_density": q_kg_conv_density,
     "kg_entity_aliases": q_kg_entity_aliases,
     "role_boilerplate": q_role_boilerplate,
+    # round-4 batch 9: weighted bounded-hop SSSP, chat-format QA,
+    # Zipf corpus-health fit, tokenizer-fertility audit
+    "graph_sssp": q_graph_sssp,
+    "role_transitions": q_role_transitions,
+    "zipf_slope": q_zipf_slope,
+    "tokenizer_fertility": q_tokenizer_fertility,
 }
 
 ORACLE_SQL = {
@@ -5456,4 +5695,8 @@ ORACLE_SQL = {
     "kg_conv_density": _kg_conv_density_sql(),
     "kg_entity_aliases": _kg_entity_aliases_sql(),
     "role_boilerplate": _role_boilerplate_sql(),
+    "graph_sssp": _graph_sssp_sql(),
+    "role_transitions": SQL_ROLE_TRANSITIONS,
+    "zipf_slope": SQL_ZIPF_SLOPE,
+    "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
 }

@@ -339,6 +339,18 @@ HEADLINE = [
     "kg_conv_density",
     "kg_entity_aliases",
     "role_boilerplate",
+    # round-4 batch 9: weighted SSSP, chat-format QA, Zipf fit,
+    # tokenizer fertility
+    "graph_sssp",
+    "role_transitions",
+    "zipf_slope",
+    "tokenizer_fertility",
+    # round-4 batch 10: turn dedup, winsorized stats, SimHash
+    # observability, packer fragmentation
+    "turn_dedup",
+    "event_winsorize",
+    "simhash_hd_hist",
+    "packing_splits",
 ]
 
 

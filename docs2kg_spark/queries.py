@@ -5345,6 +5345,184 @@ GROUP BY 1, 2
 """
 
 
+def q_turn_dedup(spark, sf_dir):
+    """Corpus-wide turn-level exact dedup over the derived transcripts
+    (C4's line dedup at chat-turn granularity): a turn survives iff it
+    is the FIRST occurrence of its text in (conv_id, turn_idx) order;
+    returns the per-conversation survival profile — the read an SFT
+    curation pass uses to drop template-stamped conversations.
+
+    Scale shape: the first-wins window partitions by sha2(text) (a
+    fixed-width key — the wide text column never rides the shuffle) and
+    each partition is one duplicate group; the per-conv rollup is a
+    second thin agg.  Same first-wins discipline as mention dedup."""
+    t = derive_transcripts(spark, sf_dir)
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("conv_id", "turn_idx")
+    flagged = t.select(
+        "conv_id",
+        (F.row_number().over(w) == 1).cast("int").alias("is_first"),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_turns"),
+        F.sum("is_first").cast("bigint").alias("n_kept"),
+        (F.count("*") - F.sum("is_first")).cast("bigint").alias("n_dropped"),
+    )
+
+
+SQL_TURN_DEDUP = f"""
+WITH {TRANSCRIPTS_CTE},
+td AS (
+  SELECT conv_id,
+         CASE WHEN ROW_NUMBER() OVER (PARTITION BY text ORDER BY conv_id, turn_idx) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM transcripts
+)
+SELECT conv_id,
+       CAST(COUNT(*) AS BIGINT) AS n_turns,
+       CAST(SUM(is_first) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(is_first) AS BIGINT) AS n_dropped
+FROM td GROUP BY 1
+"""
+
+
+def q_event_winsorize(spark, sf_dir):
+    """Robust-statistics winsorization per event type: exact
+    interpolated P1/P99 of `value`, the clipped-tail counts, and the
+    winsorized mean — the outlier-clipping read a reward-model or
+    feature pipeline runs before normalizing a heavy-tailed signal.
+
+    Scale shape: pass 1 is one percentile agg per type (exact sort per
+    type here — the documented `percentile_approx` swap applies at PB,
+    as in doc_length_quantiles); the |types|-row bounds broadcast back
+    for pass 2, a pure hash agg whose winsorized sum is integer-scaled
+    (round(v·1e6) BIGINT — exact, order-independent)."""
+    e = _t(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("p01"),
+        F.percentile("value", 0.99).alias("p99"),
+    )
+    j = e.join(F.broadcast(bounds), "event_type")
+    wv = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    return (
+        j.groupBy("event_type", "p01", "p99")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum((F.col("value") < F.col("p01")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum((F.col("value") > F.col("p99")).cast("bigint"))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            F.sum(F.round(wv * 1e6).cast("bigint")).alias("_s6"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("p01", 6).alias("p01"),
+            F.round("p99", 6).alias("p99"),
+            "n_clipped_lo",
+            "n_clipped_hi",
+            F.round(F.col("_s6").cast("double") / 1e6 / F.col("n"), 6).alias(
+                "mean_winsorized"
+            ),
+        )
+    )
+
+
+SQL_EVENT_WINSORIZE = """
+WITH wb AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS p01,
+         quantile_cont(value, 0.99) AS p99
+  FROM events GROUP BY 1
+),
+wj AS (
+  SELECT e.event_type, e.value, b.p01, b.p99,
+         least(greatest(e.value, b.p01), b.p99) AS wv
+  FROM events e JOIN wb b USING (event_type)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(p01, 6) AS p01,
+       ROUND(p99, 6) AS p99,
+       CAST(SUM(CASE WHEN value < p01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+       CAST(SUM(CASE WHEN value > p99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+       ROUND(CAST(SUM(CAST(round(wv * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*), 6)
+         AS mean_winsorized
+FROM wj GROUP BY event_type, p01, p99
+"""
+
+
+def q_simhash_hd_hist(spark, sf_dir):
+    """Hamming-distance histogram of the SimHash candidate pairs — the
+    threshold-tuning observability read: how many near-dup pairs sit at
+    each distance 0..3 tells you whether the ≤3 cutoff is inside the
+    duplicate cluster or already into the noise floor.
+
+    Scale shape: composes the pigeonhole-blocked pair join (never
+    all-pairs) and reduces it to ≤4 rows with one hash agg."""
+    from docs2kg_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        simhash_near_dup_pairs(d, max_hamming=3)
+        .groupBy("hamming")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+
+
+SQL_SIMHASH_HD_HIST = f"""
+SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({SQL_SIMHASH}) GROUP BY 1
+"""
+
+
+def q_packing_splits(spark, sf_dir):
+    """Boundary-fragmentation audit of the sequence packer: per shard,
+    how many documents the 512-token chunking splits across a chunk
+    boundary (pack_last > pack_first) — fragmented documents lose
+    coherence at training time, so curation tracks the split ratio per
+    shard before committing a budget.
+
+    Scale shape: composes the shard-local packing layout (no global
+    sort) and reduces it with one |shards|-row hash agg; exact BIGINTs
+    plus one rounded ratio."""
+    packed = q_doc_packing(spark, sf_dir)
+    split = (F.col("pack_last") > F.col("pack_first")).cast("bigint")
+    return (
+        packed.select("shard", "token_count", "pack_last", split.alias("is_split"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("is_split").cast("bigint").alias("n_split"),
+            F.sum("token_count").cast("bigint").alias("n_tokens"),
+            (F.max("pack_last") + 1).cast("bigint").alias("n_chunks"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_split",
+            "n_tokens",
+            "n_chunks",
+            F.round(F.col("n_split").cast("double") / F.col("n_docs"), 6).alias(
+                "split_ratio"
+            ),
+        )
+    )
+
+
+SQL_PACKING_SPLITS = f"""
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pack_last > pack_first THEN 1 ELSE 0 END) AS BIGINT) AS n_split,
+       CAST(SUM(token_count) AS BIGINT) AS n_tokens,
+       CAST(MAX(pack_last) + 1 AS BIGINT) AS n_chunks,
+       ROUND(CAST(SUM(CASE WHEN pack_last > pack_first THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS split_ratio
+FROM ({SQL_DOC_PACKING}) GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5540,6 +5718,12 @@ SPARK_QUERIES = {
     "role_transitions": q_role_transitions,
     "zipf_slope": q_zipf_slope,
     "tokenizer_fertility": q_tokenizer_fertility,
+    # round-4 batch 10: turn-level corpus dedup, winsorized robust
+    # stats, SimHash threshold observability, packer fragmentation
+    "turn_dedup": q_turn_dedup,
+    "event_winsorize": q_event_winsorize,
+    "simhash_hd_hist": q_simhash_hd_hist,
+    "packing_splits": q_packing_splits,
 }
 
 ORACLE_SQL = {
@@ -5699,4 +5883,8 @@ ORACLE_SQL = {
     "role_transitions": SQL_ROLE_TRANSITIONS,
     "zipf_slope": SQL_ZIPF_SLOPE,
     "tokenizer_fertility": SQL_TOKENIZER_FERTILITY,
+    "turn_dedup": SQL_TURN_DEDUP,
+    "event_winsorize": SQL_EVENT_WINSORIZE,
+    "simhash_hd_hist": SQL_SIMHASH_HD_HIST,
+    "packing_splits": SQL_PACKING_SPLITS,
 }

@@ -351,6 +351,11 @@ HEADLINE = [
     "event_winsorize",
     "simhash_hd_hist",
     "packing_splits",
+    # round-4 batch 11: perplexity bands, engagement Gini, retrieval
+    # leg agreement
+    "perplexity_bands",
+    "user_gini",
+    "retrieval_overlap",
 ]
 
 

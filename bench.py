@@ -356,6 +356,10 @@ HEADLINE = [
     "perplexity_bands",
     "user_gini",
     "retrieval_overlap",
+    # round-4 batch 12: IVF recall audit, transition entropy, KL shift
+    "ann_ivf_recall",
+    "transition_entropy",
+    "source_kl",
 ]
 
 

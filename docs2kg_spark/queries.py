@@ -5721,6 +5721,169 @@ FROM ro_bn b JOIN ro_jn j USING (query_id) LEFT JOIN ro_cn c USING (query_id)
 """
 
 
+def q_ann_ivf_recall(spark, sf_dir):
+    """Recall@5 of IVF-flat ANN vs exact brute force, per query — the
+    second leg of the measure-don't-guess ANN audit (ann_lsh_recall
+    covers the LSH path; 2-probe IVF loses different neighbors)."""
+    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(ivf, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 6).alias("recall"),
+        )
+    )
+
+
+def _ann_ivf_recall_sql() -> str:
+    return f"""
+WITH ri_bf AS ({SQL_ANN_TOPK}),
+ri_ivf AS ({SQL_ANN_IVF}),
+ri_hits AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM ri_bf b JOIN ri_ivf l
+    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(coalesce(n_hits, 0) / 5.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM ri_bf) q
+LEFT JOIN ri_hits h ON h.query_id = q.query_id
+"""
+
+
+def q_transition_entropy(spark, sf_dir):
+    """Markov entropy per source event type: H(next | src) in nats over
+    the per-user transition table — the predictability profile of an
+    agent-trace corpus (H≈0 means a deterministic tool chain; high H
+    means the type carries no routing signal).
+
+    H = ln(N) − (Σ n·ln n)/N with every log integer-scaled (ln·1e6
+    BIGINT — the repo's cross-engine exactness convention), so the sums
+    are associative and the one double division happens at the end.
+
+    Scale shape: composes the transition counts (lead window over
+    user-bounded partitions, one hash agg) and reduces them with a
+    second |types|-row agg."""
+    from docs2kg_spark.operators.sequences import transition_counts
+
+    e = _t(spark, sf_dir, "events")
+    tc = transition_counts(e, "user_id", ["ts", "event_id"], "event_type").select(
+        "src", "dst", "n"
+    )
+    ln6 = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("bigint")
+    per = tc.groupBy("src").agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_dst"),
+        F.sum(F.col("n") * ln6(F.col("n"))).cast("bigint").alias("_s"),
+    )
+    h = (
+        ln6(F.col("n_total")).cast("double")
+        - F.col("_s").cast("double") / F.col("n_total")
+    ) / 1e6
+    return per.select("src", "n_total", "n_dst", F.round(h, 6).alias("entropy"))
+
+
+SQL_TRANSITION_ENTROPY = """
+WITH te_pairs AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+te_counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM te_pairs WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+te_m AS (
+  SELECT src, CAST(SUM(n) AS BIGINT) AS n_total, CAST(COUNT(*) AS BIGINT) AS n_dst,
+         SUM(n * CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)) AS s
+  FROM te_counts GROUP BY 1
+)
+SELECT src, n_total, n_dst,
+       ROUND((CAST(CAST(round(ln(CAST(n_total AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+              - CAST(s AS DOUBLE) / n_total) / 1e6, 6) AS entropy
+FROM te_m
+"""
+
+
+def q_source_kl(spark, sf_dir):
+    """Domain-shift scalar per source: KL(source unigram ‖ corpus
+    unigram) in nats — the distribution-distance read (DSIR's global
+    cousin) that ranks sources by how far their token mix sits from the
+    corpus mode before weighting a training mixture.
+
+    KL = (Σ tf·(ln tf − ln ctf))/Nₛ + ln(N_c) − ln(Nₛ); every log is
+    integer-scaled (ln·1e6 BIGINT), sums exact, two double ops at the
+    end.  Scale shape: ONE (source, tok) hash agg feeds both the
+    corpus-marginal agg and the KL join (lazy localCheckpoint — the
+    corpus is token-exploded once); the join keys on tok and the final
+    agg is |sources| rows."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select("source", F.explode(F.split(F.lower("text"), WS_RE)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    ctf = tf.groupBy("tok").agg(F.sum("tf").cast("bigint").alias("ctf"))
+    ln6 = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("bigint")
+    per = (
+        tf.join(ctf, "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * (ln6(F.col("tf")) - ln6(F.col("ctf"))))
+            .cast("bigint")
+            .alias("_s"),
+        )
+    )
+    nc = per.agg(F.sum("n_tokens").cast("bigint").alias("n_corpus"))
+    kl = (
+        F.col("_s").cast("double") / F.col("n_tokens")
+        + ln6(F.col("n_corpus")).cast("double")
+        - ln6(F.col("n_tokens")).cast("double")
+    ) / 1e6
+    return (
+        per.crossJoin(F.broadcast(nc))
+        .select("source", "n_tokens", F.round(kl, 6).alias("kl_nats"))
+    )
+
+
+SQL_SOURCE_KL = r"""
+WITH kl_toks AS (
+  SELECT source, unnest(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents
+),
+kl_tf AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM kl_toks WHERE tok <> '' GROUP BY 1, 2
+),
+kl_ctf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS ctf FROM kl_tf GROUP BY 1),
+kl_per AS (
+  SELECT source, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+         SUM(tf * (CAST(round(ln(CAST(tf AS DOUBLE)) * 1e6) AS BIGINT)
+                   - CAST(round(ln(CAST(ctf AS DOUBLE)) * 1e6) AS BIGINT))) AS s
+  FROM kl_tf JOIN kl_ctf USING (tok) GROUP BY 1
+),
+kl_nc AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS n_corpus FROM kl_per)
+SELECT source, n_tokens,
+       ROUND((CAST(s AS DOUBLE) / n_tokens
+              + CAST(CAST(round(ln(CAST(n_corpus AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)
+              - CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS DOUBLE)) / 1e6, 6)
+         AS kl_nats
+FROM kl_per CROSS JOIN kl_nc
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5927,6 +6090,11 @@ SPARK_QUERIES = {
     "perplexity_bands": q_perplexity_bands,
     "user_gini": q_user_gini,
     "retrieval_overlap": q_retrieval_overlap,
+    # round-4 batch 12: IVF recall audit, Markov transition entropy,
+    # per-source KL domain shift
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "transition_entropy": q_transition_entropy,
+    "source_kl": q_source_kl,
 }
 
 ORACLE_SQL = {
@@ -6093,4 +6261,7 @@ ORACLE_SQL = {
     "perplexity_bands": SQL_PERPLEXITY_BANDS,
     "user_gini": SQL_USER_GINI,
     "retrieval_overlap": _retrieval_overlap_sql(),
+    "ann_ivf_recall": _ann_ivf_recall_sql(),
+    "transition_entropy": SQL_TRANSITION_ENTROPY,
+    "source_kl": SQL_SOURCE_KL,
 }

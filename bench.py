@@ -360,6 +360,10 @@ HEADLINE = [
     "ann_ivf_recall",
     "transition_entropy",
     "source_kl",
+    # round-4 batch 13: int8 retrieval audit, MinHash bands, heatmap
+    "ann_int8_recall",
+    "minhash_sim_bands",
+    "event_hour_heatmap",
 ]
 
 

@@ -5884,6 +5884,173 @@ FROM kl_per CROSS JOIN kl_nc
 """
 
 
+def q_ann_int8_recall(spark, sf_dir):
+    """Recall@5 of int8-quantized dot-product retrieval vs exact float
+    cosine — the audit that says whether absmax int8 (the
+    embedding_quantize scheme) is safe for the retrieval tier.
+
+    Exactness: quantized lanes are integers ≤127, so the dot product is
+    an exact BIGINT on the Spark side and an exactly-representable
+    double on the DuckDB side (≤127²·dim ≪ 2⁵³) — no float-order
+    nondeterminism anywhere in the ranking.
+
+    Scale shape: the brute-force probe join is the documented
+    correctness baseline (10 queries broadcast against the corpus);
+    production swaps the same scoring into the IVF/LSH bucketed legs."""
+    e = _t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    qv = F.transform(
+        "embedding",
+        lambda x: (x.cast("double") * 127 / F.col("_am")).cast("bigint"),
+    )
+    quant = (
+        e.withColumn("_am", absmax)
+        .filter(F.col("_am") > 0)
+        .select("vec_id", qv.alias("qv"))
+        .localCheckpoint(eager=False)
+    )
+    probes = quant.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "qv", lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id")
+    )
+    i8 = (
+        quant.select(F.col("vec_id").alias("neighbor_id"), "qv")
+        .crossJoin(F.broadcast(probes))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", qdot.alias("qdot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(i8, on=["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 6).alias("recall"),
+        )
+    )
+
+
+def _ann_int8_recall_sql() -> str:
+    return f"""
+WITH i8_bf AS ({SQL_ANN_TOPK}),
+i8_m AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS am,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+i8_q AS (
+  SELECT vec_id,
+         list_transform(ve, x -> CAST(trunc(x * 127 / am) AS DOUBLE)) AS qv
+  FROM i8_m WHERE am > 0
+),
+i8_scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.qv, c.qv) AS qdot
+  FROM i8_q q JOIN i8_q c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+),
+i8_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY qdot DESC, neighbor_id ASC) AS rank
+    FROM i8_scored
+  ) WHERE rank <= 5
+),
+i8_hits AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM i8_bf b JOIN i8_top t
+    ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(coalesce(n_hits, 0) / 5.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM i8_bf) q
+LEFT JOIN i8_hits h ON h.query_id = q.query_id
+"""
+
+
+def q_minhash_sim_bands(spark, sf_dir):
+    """Similarity histogram of the MinHash near-dup pairs (verified
+    Jaccard, 0.1-wide bands) — the threshold-tuning observability read
+    for the LSH path, the Jaccard analog of simhash_hd_hist.
+
+    Scale shape: composes the memoized pair table and reduces it to
+    ≤10 rows with one hash agg."""
+    pairs = _minhash_pairs_memo(spark, sf_dir)
+    band = F.floor(F.col("sim") * 10).cast("bigint")
+    return pairs.groupBy(band.alias("band")).agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )
+
+
+def _minhash_sim_bands_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import minhash_near_dup_sql
+
+    return f"""
+SELECT CAST(FLOOR(sim * 10) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM ({minhash_near_dup_sql()}) GROUP BY 1
+"""
+
+
+def q_event_hour_heatmap(spark, sf_dir):
+    """Traffic heatmap: event volume and mean value by (day-of-week,
+    hour-of-day) — the load-profile read behind batch-window placement
+    and volume-anomaly baselines.
+
+    The weekday index is computed with engine-agnostic date arithmetic
+    (days since a known Monday, mod 7 — 0=Mon) rather than each
+    engine's differently-anchored dayofweek; the mean rides an
+    integer-scaled sum.  Scale shape: one projection + one 168-row
+    hash agg."""
+    e = _t(spark, sf_dir, "events")
+    dow = F.pmod(
+        F.datediff(F.to_date("ts"), F.to_date(F.lit("1970-01-05"))), F.lit(7)
+    ).cast("int")
+    return (
+        e.select(
+            dow.alias("dow"),
+            F.hour("ts").cast("int").alias("hour"),
+            F.round(F.col("value") * 1e6).cast("bigint").alias("v6"),
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("v6").cast("double") / 1e6 / F.count("*"), 6).alias(
+                "mean_value"
+            ),
+        )
+    )
+
+
+SQL_EVENT_HOUR_HEATMAP = """
+SELECT CAST(((CAST(ts AS DATE) - DATE '1970-01-05') % 7 + 7) % 7 AS INT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*), 6)
+         AS mean_value
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6095,6 +6262,11 @@ SPARK_QUERIES = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "transition_entropy": q_transition_entropy,
     "source_kl": q_source_kl,
+    # round-4 batch 13: int8 retrieval audit, MinHash similarity bands,
+    # traffic heatmap
+    "ann_int8_recall": q_ann_int8_recall,
+    "minhash_sim_bands": q_minhash_sim_bands,
+    "event_hour_heatmap": q_event_hour_heatmap,
 }
 
 ORACLE_SQL = {
@@ -6264,4 +6436,7 @@ ORACLE_SQL = {
     "ann_ivf_recall": _ann_ivf_recall_sql(),
     "transition_entropy": SQL_TRANSITION_ENTROPY,
     "source_kl": SQL_SOURCE_KL,
+    "ann_int8_recall": _ann_int8_recall_sql(),
+    "minhash_sim_bands": _minhash_sim_bands_sql(),
+    "event_hour_heatmap": SQL_EVENT_HOUR_HEATMAP,
 }

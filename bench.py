@@ -364,6 +364,11 @@ HEADLINE = [
     "ann_int8_recall",
     "minhash_sim_bands",
     "event_hour_heatmap",
+    # round-4 batch 14: dedup agreement, confidence calibration,
+    # edge-type mix
+    "dedup_method_venn",
+    "mention_confidence_profile",
+    "kg_edge_type_share",
 ]
 
 

@@ -6051,6 +6051,173 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_dedup_method_venn(spark, sf_dir):
+    """Method-agreement audit across the three document dedup paths:
+    exact-hash pairs vs MinHash near-dup pairs vs SimHash near-dup
+    pairs — per method pair, both set sizes, the intersection, and the
+    set-Jaccard.  This is the read that justifies a dedup-stack choice
+    (if SimHash ⊂ MinHash the cheaper pass is redundant; a low exact∩
+    near-dup overlap means the near-dup passes are doing real work).
+
+    Scale shape: exact pairs expand only within identical-text groups
+    (dup clusters are small; same bound as dup_spans); the near-dup
+    sets ride their blocked joins (MinHash memoized).  Each set is
+    localCheckpointed once and read three times; the venn is nine
+    1-row aggs over thin (a, b) tables."""
+    d = _t(spark, sf_dir, "documents")
+    h = d.select(F.col("doc_id"), F.sha2(F.col("text"), 256).alias("h"))
+    ex = (
+        h.alias("x")
+        .join(h.alias("y"), F.col("x.h") == F.col("y.h"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .localCheckpoint(eager=False)
+    )
+    mh = _minhash_pairs_memo(spark, sf_dir).select("a", "b")
+    from docs2kg_spark.operators.dedup import simhash_near_dup_pairs
+
+    sh = (
+        simhash_near_dup_pairs(d, max_hamming=3)
+        .select("a", "b")
+        .localCheckpoint(eager=False)
+    )
+    sets = {"exact": ex, "minhash": mh, "simhash": sh}
+    combos = [("exact", "minhash"), ("exact", "simhash"), ("minhash", "simhash")]
+    parts = []
+    for na, nb in combos:
+        ca = sets[na].agg(F.count("*").cast("bigint").alias("n_a"))
+        cb = sets[nb].agg(F.count("*").cast("bigint").alias("n_b"))
+        cc = (
+            sets[na]
+            .join(sets[nb], ["a", "b"])
+            .agg(F.count("*").cast("bigint").alias("n_common"))
+        )
+        parts.append(
+            ca.crossJoin(cb)
+            .crossJoin(cc)
+            .select(
+                F.lit(na).alias("method_a"),
+                F.lit(nb).alias("method_b"),
+                "n_a",
+                "n_b",
+                "n_common",
+                F.round(
+                    F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    6,
+                ).alias("set_jaccard"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _dedup_method_venn_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import minhash_near_dup_sql
+
+    return f"""
+WITH vn_ex AS (
+  SELECT x.doc_id AS a, y.doc_id AS b
+  FROM documents x JOIN documents y
+    ON x.text = y.text AND x.doc_id < y.doc_id
+),
+vn_mh AS (SELECT a, b FROM ({minhash_near_dup_sql()})),
+vn_sh AS (SELECT a, b FROM ({SQL_SIMHASH})),
+vn_rows AS (
+  SELECT 'exact' AS method_a, 'minhash' AS method_b,
+         (SELECT count(*) FROM vn_ex) AS n_a,
+         (SELECT count(*) FROM vn_mh) AS n_b,
+         (SELECT count(*) FROM vn_ex JOIN vn_mh USING (a, b)) AS n_common
+  UNION ALL
+  SELECT 'exact', 'simhash',
+         (SELECT count(*) FROM vn_ex),
+         (SELECT count(*) FROM vn_sh),
+         (SELECT count(*) FROM vn_ex JOIN vn_sh USING (a, b))
+  UNION ALL
+  SELECT 'minhash', 'simhash',
+         (SELECT count(*) FROM vn_mh),
+         (SELECT count(*) FROM vn_sh),
+         (SELECT count(*) FROM vn_mh JOIN vn_sh USING (a, b))
+)
+SELECT method_a, method_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS set_jaccard
+FROM vn_rows
+"""
+
+
+def q_mention_confidence_profile(spark, sf_dir):
+    """Extraction-confidence profile of the mention table: per
+    (method, label), mention volume, distinct surface count, and the
+    mean confidence (integer-scaled cents — exact) — the calibration
+    read for tuning per-method acceptance thresholds.
+
+    Scale shape: one hash agg over the memoized mention stream to
+    |methods × labels| rows."""
+    m = q_kg_mentions(spark, sf_dir)
+    return (
+        m.groupBy("method", "label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.countDistinct("text").cast("bigint").alias("n_surfaces"),
+            F.sum(F.round(F.col("confidence") * 100).cast("bigint")).alias("_c2"),
+        )
+        .select(
+            "method",
+            "label",
+            "n_mentions",
+            "n_surfaces",
+            F.round(
+                F.col("_c2").cast("double") / 100 / F.col("n_mentions"), 6
+            ).alias("mean_conf"),
+        )
+    )
+
+
+def _mention_confidence_profile_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_mentions_sql
+
+    return f"""
+SELECT method, label,
+       CAST(COUNT(*) AS BIGINT) AS n_mentions,
+       CAST(COUNT(DISTINCT text) AS BIGINT) AS n_surfaces,
+       ROUND(CAST(SUM(CAST(round(confidence * 100) AS BIGINT)) AS DOUBLE)
+             / 100 / COUNT(*), 6) AS mean_conf
+FROM ({kg_mentions_sql(TRANSCRIPTS_CTE)}) GROUP BY 1, 2
+"""
+
+
+def q_kg_edge_type_share(spark, sf_dir):
+    """Edge-type mix of the materialized KG — the one-glance structure
+    profile (layout vs mention vs relation edges) a graph consumer
+    checks before sizing traversals.
+
+    Scale shape: one hash agg over the memoized edge table to |types|
+    rows plus a broadcast 1-row total."""
+    e = q_kg_edges(spark, sf_dir)
+    per = e.groupBy("type").agg(F.count("*").cast("bigint").alias("n_edges"))
+    tot = per.agg(F.sum("n_edges").cast("bigint").alias("n_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "type",
+        "n_edges",
+        F.round(F.col("n_edges").cast("double") / F.col("n_total"), 6).alias("share"),
+    )
+
+
+def _kg_edge_type_share_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_edges_sql
+
+    return f"""
+WITH ets AS (SELECT type FROM ({kg_edges_sql(TRANSCRIPTS_CTE)}))
+SELECT type, CAST(COUNT(*) AS BIGINT) AS n_edges,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM ets), 6) AS share
+FROM ets GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6267,6 +6434,11 @@ SPARK_QUERIES = {
     "ann_int8_recall": q_ann_int8_recall,
     "minhash_sim_bands": q_minhash_sim_bands,
     "event_hour_heatmap": q_event_hour_heatmap,
+    # round-4 batch 14: dedup method agreement, extraction confidence
+    # calibration, KG edge-type mix
+    "dedup_method_venn": q_dedup_method_venn,
+    "mention_confidence_profile": q_mention_confidence_profile,
+    "kg_edge_type_share": q_kg_edge_type_share,
 }
 
 ORACLE_SQL = {
@@ -6439,4 +6611,7 @@ ORACLE_SQL = {
     "ann_int8_recall": _ann_int8_recall_sql(),
     "minhash_sim_bands": _minhash_sim_bands_sql(),
     "event_hour_heatmap": SQL_EVENT_HOUR_HEATMAP,
+    "dedup_method_venn": _dedup_method_venn_sql(),
+    "mention_confidence_profile": _mention_confidence_profile_sql(),
+    "kg_edge_type_share": _kg_edge_type_share_sql(),
 }

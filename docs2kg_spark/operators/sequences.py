@@ -36,12 +36,16 @@ def transition_counts(
     key_col: str,
     order_cols: list[str],
     state_col: str,
+    with_prob: bool = True,
 ) -> DataFrame:
     """→ (src, dst, n, prob): first-order transition counts and
     conditional probabilities of ``state_col`` sequences per ``key_col``,
     ordered by ``order_cols`` (pass a unique tiebreaker last — transition
     tables under a non-total order are not well-defined).  Terminal
     states (no successor within the key) are not counted as transitions.
+    ``with_prob=False`` returns (src, dst, n) only and skips the
+    marginal join — consumers that re-aggregate (e.g. the entropy
+    profile) should not pay it.
     """
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     pairs = events.select(
@@ -49,6 +53,8 @@ def transition_counts(
         F.lead(state_col).over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     counts = pairs.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    if not with_prob:
+        return counts.select("src", "dst", F.col("n").cast("bigint").alias("n"))
     totals = counts.groupBy("src").agg(F.sum("n").alias("_tot"))
     return (
         counts.join(F.broadcast(totals), on="src")

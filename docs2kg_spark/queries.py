@@ -657,12 +657,20 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 
 
 def q_ann_topk(spark, sf_dir):
+    """Memoized: the exact-cosine baseline is consumed by the LSH, IVF,
+    and int8 recall audits in one gate/bench session — one brute-force
+    pass, three readers."""
     from docs2kg_spark.operators.similarity import brute_force_topk
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return brute_force_topk(e, q, k=5).select(
-        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    return _kg_memo(
+        spark,
+        sf_dir,
+        "ann_topk",
+        lambda: brute_force_topk(e, q, k=5).select(
+            "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+        ),
     )
 
 
@@ -5777,8 +5785,8 @@ def q_transition_entropy(spark, sf_dir):
     from docs2kg_spark.operators.sequences import transition_counts
 
     e = _t(spark, sf_dir, "events")
-    tc = transition_counts(e, "user_id", ["ts", "event_id"], "event_type").select(
-        "src", "dst", "n"
+    tc = transition_counts(
+        e, "user_id", ["ts", "event_id"], "event_type", with_prob=False
     )
     ln6 = lambda c: F.round(F.log(c.cast("double")) * 1e6).cast("bigint")
     per = tc.groupBy("src").agg(

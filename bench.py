@@ -369,6 +369,9 @@ HEADLINE = [
     "dedup_method_venn",
     "mention_confidence_profile",
     "kg_edge_type_share",
+    # round-4 batch 15: MOSS containment, label cohesion
+    "winnow_containment",
+    "label_centroid_cos",
 ]
 
 

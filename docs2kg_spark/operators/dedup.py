@@ -623,6 +623,13 @@ def winnow_pairs(
     docs BEFORE the join, bounding per-key fanout at max_df² — the
     gram-cap playbook from ngram_jaccard_pairs, but exact and
     engine-mirrorable (a fixed df threshold, not a per-block top-N)."""
+    thin = _winnow_thin(documents, id_col, text_col, k, window, max_df)
+    return _winnow_pair_counts(thin, min_shared)
+
+
+def _winnow_thin(documents, id_col, text_col, k, window, max_df):
+    """df-filtered per-doc fingerprint table (id, fp) — shared by the
+    pair generator and the containment scorer."""
     fps = (
         winnow_fingerprints(documents, id_col, text_col, k, window)
         .select("id", "fp")
@@ -635,7 +642,10 @@ def winnow_pairs(
         .filter(F.col("df") <= max_df)
         .select("fp")
     )
-    thin = fps.join(df_ok, on="fp")
+    return fps.join(df_ok, on="fp")
+
+
+def _winnow_pair_counts(thin, min_shared):
     return (
         thin.alias("a")
         .join(
@@ -645,6 +655,45 @@ def winnow_pairs(
         .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
         .agg(F.count("*").cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_containment(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int = 50,
+) -> DataFrame:
+    """MOSS-style containment per winnowing candidate pair →
+    (doc_a, doc_b, n_shared, n_a, n_b, containment) with containment =
+    n_shared / min(n_a, n_b) over the df-FILTERED fingerprint sets —
+    the asymmetric overlap score that separates "b quotes a section of
+    a" (high containment, low Jaccard) from global near-duplication.
+
+    Scale shape: the thin fingerprint table rides ONE lazy
+    localCheckpoint consumed by the pair join AND the per-doc counts;
+    the count join keys on doc id over the already-reduced pair set."""
+    thin = _winnow_thin(documents, id_col, text_col, k, window, max_df).localCheckpoint(
+        eager=False
+    )
+    pairs = _winnow_pair_counts(thin, min_shared)
+    cnt = thin.groupBy("id").agg(F.count("*").cast("bigint").alias("n_fp"))
+    return (
+        pairs.join(cnt.select(F.col("id").alias("doc_a"), F.col("n_fp").alias("n_a")), "doc_a")
+        .join(cnt.select(F.col("id").alias("doc_b"), F.col("n_fp").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
     )
 
 

@@ -3179,8 +3179,9 @@ def q_doc_winnow_pairs(spark, sf_dir):
     return winnow_pairs(_t(spark, sf_dir, "documents"), min_shared=2)
 
 
-def _doc_winnow_pairs_sql(k: int = 3, window: int = 4, min_shared: int = 2,
-                          max_df: int = 50) -> str:
+def _winnow_thin_ctes(k: int = 3, window: int = 4, max_df: int = 50) -> str:
+    """CTE chain ending at wn_thin (the df-filtered per-doc fingerprint
+    table) — shared by the pair twin and the containment twin."""
     from docs2kg_spark.operators.dedup import _WINNOW_POS_BITS
 
     p = _WINNOW_POS_BITS
@@ -3188,8 +3189,7 @@ def _doc_winnow_pairs_sql(k: int = 3, window: int = 4, min_shared: int = 2,
     # generate_series bounds used k but the concat hardcoded 3 tokens,
     # so a k != 3 caller silently hashed different grams than Spark.
     gram_expr = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(k))
-    return rf"""
-WITH wn_arrs AS (
+    return rf"""wn_arrs AS (
   SELECT doc_id AS id,
          list_filter(regexp_split_to_array(trim(lower(text)), '[ \t\n\r\f\x0B]+'),
                      x -> x <> '') AS toks
@@ -3211,10 +3211,34 @@ wn_fp AS (
     FROM wn_g)
 ),
 wn_ok AS (SELECT fp FROM wn_fp GROUP BY fp HAVING count(*) <= {max_df}),
-wn_thin AS (SELECT id, fp FROM wn_fp JOIN wn_ok USING (fp))
+wn_thin AS (SELECT id, fp FROM wn_fp JOIN wn_ok USING (fp))"""
+
+
+def _doc_winnow_pairs_sql(k: int = 3, window: int = 4, min_shared: int = 2,
+                          max_df: int = 50) -> str:
+    return f"""
+WITH {_winnow_thin_ctes(k, window, max_df)}
 SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
 FROM wn_thin a JOIN wn_thin b ON a.fp = b.fp AND a.id < b.id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+def _doc_winnow_containment_sql(k: int = 3, window: int = 4, min_shared: int = 2,
+                                max_df: int = 50) -> str:
+    return f"""
+WITH {_winnow_thin_ctes(k, window, max_df)},
+wn_cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fp FROM wn_thin GROUP BY 1),
+wn_pairs AS (
+  SELECT a.id AS doc_a, b.id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM wn_thin a JOIN wn_thin b ON a.fp = b.fp AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+)
+SELECT p.doc_a, p.doc_b, p.n_shared, ca.n_fp AS n_a, cb.n_fp AS n_b,
+       ROUND(CAST(p.n_shared AS DOUBLE) / least(ca.n_fp, cb.n_fp), 6) AS containment
+FROM wn_pairs p
+JOIN wn_cnt ca ON ca.id = p.doc_a
+JOIN wn_cnt cb ON cb.id = p.doc_b
 """
 
 
@@ -6226,6 +6250,92 @@ FROM ets GROUP BY 1
 """
 
 
+def q_winnow_containment(spark, sf_dir):
+    """MOSS containment per winnowing candidate pair — the asymmetric
+    overlap score (shared fps / smaller fp set) that separates "doc b
+    quotes a section of doc a" from global near-duplication; the
+    quote-detection read a license/provenance pass runs."""
+    from docs2kg_spark.operators.dedup import winnow_containment
+
+    return winnow_containment(_t(spark, sf_dir, "documents"), min_shared=2)
+
+
+def q_label_centroid_cos(spark, sf_dir):
+    """Embedding-space label cohesion: cosine of each label's centroid
+    to the global centroid — the clustering-sanity read (a label whose
+    centroid sits at the corpus mean carries no geometric signal).
+
+    Exactness: per-(label, dim) sums are integer-scaled BIGINTs
+    (round(v·1e6)) — associative and partition-order-independent — and
+    the cosine is computed from those exact integers in ONE in-row
+    array fold whose accumulation order is the array order in both
+    engines.
+
+    Scale shape: posexplode is a dim× narrow multiplier into ONE
+    (label, dim) hash agg (map-side combined); everything after runs on
+    |labels|·dim rows; the global centroid is the label sums re-reduced
+    and broadcast."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double") * 1e6).cast("bigint").alias("e6"),
+    )
+    per = x.groupBy("label", "pos").agg(F.sum("e6").alias("s")).localCheckpoint(
+        eager=False
+    )
+    assemble = lambda df, keys: df.groupBy(*keys).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("pos", "s"))), lambda t: t["s"]
+        ).alias("c")
+    )
+    lab = assemble(per, ["label"])
+    glob = assemble(
+        per.groupBy("pos").agg(F.sum("s").alias("s")), []
+    ).select(F.col("c").alias("g"))
+    nv = e.groupBy("label").agg(F.count("*").cast("bigint").alias("n_vecs"))
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    j = lab.crossJoin(F.broadcast(glob)).join(nv, "label")
+    denom = F.sqrt(dot(F.col("c"), F.col("c"))) * F.sqrt(dot(F.col("g"), F.col("g")))
+    return j.select(
+        "label",
+        "n_vecs",
+        F.round(
+            F.when(denom > 0, dot(F.col("c"), F.col("g")) / denom), 6
+        ).alias("cos_to_global"),
+    )
+
+
+SQL_LABEL_CENTROID_COS = """
+WITH lc_x AS (
+  SELECT label, unnest(range(0, len(embedding))) AS pos,
+         CAST(round(unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) * 1e6) AS BIGINT) AS e6
+  FROM embeddings
+),
+lc_per AS (SELECT label, pos, SUM(e6) AS s FROM lc_x GROUP BY 1, 2),
+lc_lab AS (
+  SELECT label, list(CAST(s AS DOUBLE) ORDER BY pos) AS c FROM lc_per GROUP BY 1
+),
+lc_glob AS (
+  SELECT list(CAST(s AS DOUBLE) ORDER BY pos) AS g
+  FROM (SELECT pos, SUM(s) AS s FROM lc_per GROUP BY 1)
+),
+lc_nv AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY 1)
+SELECT l.label, n.n_vecs,
+       ROUND(CASE WHEN sqrt(list_dot_product(l.c, l.c)) * sqrt(list_dot_product(g.g, g.g)) > 0
+                  THEN list_dot_product(l.c, g.g)
+                       / (sqrt(list_dot_product(l.c, l.c)) * sqrt(list_dot_product(g.g, g.g)))
+             END, 6) AS cos_to_global
+FROM lc_lab l CROSS JOIN lc_glob g JOIN lc_nv n ON n.label = l.label
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6447,6 +6557,9 @@ SPARK_QUERIES = {
     "dedup_method_venn": q_dedup_method_venn,
     "mention_confidence_profile": q_mention_confidence_profile,
     "kg_edge_type_share": q_kg_edge_type_share,
+    # round-4 batch 15: MOSS containment, embedding label cohesion
+    "winnow_containment": q_winnow_containment,
+    "label_centroid_cos": q_label_centroid_cos,
 }
 
 ORACLE_SQL = {
@@ -6622,4 +6735,6 @@ ORACLE_SQL = {
     "dedup_method_venn": _dedup_method_venn_sql(),
     "mention_confidence_profile": _mention_confidence_profile_sql(),
     "kg_edge_type_share": _kg_edge_type_share_sql(),
+    "winnow_containment": _doc_winnow_containment_sql(),
+    "label_centroid_cos": SQL_LABEL_CENTROID_COS,
 }

@@ -5613,9 +5613,15 @@ def q_perplexity_bands(spark, sf_dir):
             "band",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 6).alias(
-                "share"
-            ),
+            # empty-corpus guard: ANSI Spark throws on /0 where DuckDB
+            # yields NULL — F.when matches the twin's NULLIF
+            F.round(
+                F.when(
+                    F.col("n_total") > 0,
+                    F.col("n_docs").cast("double") / F.col("n_total"),
+                ),
+                6,
+            ).alias("share"),
         )
     )
 
@@ -5626,7 +5632,7 @@ pb_t AS (SELECT COUNT(*) AS n_total FROM pb_lp)
 SELECT CAST(FLOOR(avg_logprob * 2) AS BIGINT) AS band,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT n_total FROM pb_t), 6) AS share
+       ROUND(CAST(COUNT(*) AS DOUBLE) / NULLIF((SELECT n_total FROM pb_t), 0), 6) AS share
 FROM pb_lp GROUP BY 1
 """
 
@@ -5672,11 +5678,12 @@ def q_user_gini(spark, sf_dir):
         F.sum("cnt").cast("bigint").alias("total_events"),
         F.sum(F.col("rank") * F.col("cnt")).cast("bigint").alias("s_rank_x"),
     )
-    gini = (
+    gini = F.when(
+        F.col("n_users") > 0,
         F.lit(2.0) * F.col("s_rank_x").cast("double")
         / (F.col("n_users") * F.col("total_events")).cast("double")
-        - (F.col("n_users") + 1).cast("double") / F.col("n_users").cast("double")
-    )
+        - (F.col("n_users") + 1).cast("double") / F.col("n_users").cast("double"),
+    )  # empty-events guard: NULL like the twin's NULLIF, not ANSI /0
     return m.select("n_users", "total_events", F.round(gini, 6).alias("gini"))
 
 
@@ -5694,8 +5701,9 @@ gm AS (
   FROM gr
 )
 SELECT n_users, total_events,
-       ROUND(2.0 * CAST(s_rank_x AS DOUBLE) / (CAST(n_users AS DOUBLE) * total_events)
-             - CAST(n_users + 1 AS DOUBLE) / n_users, 6) AS gini
+       ROUND(2.0 * CAST(s_rank_x AS DOUBLE)
+               / NULLIF(CAST(n_users AS DOUBLE) * total_events, 0)
+             - CAST(n_users + 1 AS DOUBLE) / NULLIF(n_users, 0), 6) AS gini
 FROM gm
 """
 
@@ -6133,9 +6141,13 @@ def q_dedup_method_venn(spark, sf_dir):
                 "n_a",
                 "n_b",
                 "n_common",
+                # both-sets-empty guard (NULL, matching NULLIF)
                 F.round(
-                    F.col("n_common").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    F.when(
+                        (F.col("n_a") + F.col("n_b") - F.col("n_common")) > 0,
+                        F.col("n_common").cast("double")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    ),
                     6,
                 ).alias("set_jaccard"),
             )
@@ -6176,7 +6188,7 @@ vn_rows AS (
 SELECT method_a, method_b,
        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(n_common AS BIGINT) AS n_common,
-       ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS set_jaccard
+       ROUND(CAST(n_common AS DOUBLE) / NULLIF(n_a + n_b - n_common, 0), 6) AS set_jaccard
 FROM vn_rows
 """
 
@@ -6235,7 +6247,13 @@ def q_kg_edge_type_share(spark, sf_dir):
     return per.crossJoin(F.broadcast(tot)).select(
         "type",
         "n_edges",
-        F.round(F.col("n_edges").cast("double") / F.col("n_total"), 6).alias("share"),
+        F.round(
+            F.when(
+                F.col("n_total") > 0,
+                F.col("n_edges").cast("double") / F.col("n_total"),
+            ),
+            6,
+        ).alias("share"),  # empty-graph guard, matches the twin's NULLIF
     )
 
 
@@ -6245,7 +6263,7 @@ def _kg_edge_type_share_sql() -> str:
     return f"""
 WITH ets AS (SELECT type FROM ({kg_edges_sql(TRANSCRIPTS_CTE)}))
 SELECT type, CAST(COUNT(*) AS BIGINT) AS n_edges,
-       ROUND(CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM ets), 6) AS share
+       ROUND(CAST(COUNT(*) AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM ets), 0), 6) AS share
 FROM ets GROUP BY 1
 """
 

@@ -65,3 +65,25 @@ def test_label_centroid_cos_bounds_and_identity(spark):
         Q._t = orig
     assert len(r) == 1 and r[0]["n_vecs"] == 2
     assert r[0]["cos_to_global"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_empty_input_guards_return_null_not_ansi_error(spark):
+    """ANSI mode throws DIVIDE_BY_ZERO where DuckDB yields NULL — the
+    empty-input guards must make the ratio columns NULL instead of
+    crashing (the event_anomalies ADVICE class, applied to the round-4
+    late batches)."""
+    import docs2kg_spark.queries as Q
+
+    empty_events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    orig = Q._t
+    try:
+        Q._t = lambda spark, sf_dir, name: (
+            empty_events if name == "events" else orig(spark, sf_dir, name)
+        )
+        rows = Q.q_user_gini(spark, "/root/testdata/sf0.001").collect()
+    finally:
+        Q._t = orig
+    assert len(rows) == 1 and rows[0]["n_users"] == 0 and rows[0]["gini"] is None

@@ -372,6 +372,10 @@ HEADLINE = [
     # round-4 batch 15: MOSS containment, label cohesion
     "winnow_containment",
     "label_centroid_cos",
+    # round-4 batch 16: LSH sweep, quality-length bias, dup quality gap
+    "lsh_band_sweep",
+    "quality_length_corr",
+    "dup_quality_gap",
 ]
 
 

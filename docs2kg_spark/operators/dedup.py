@@ -771,3 +771,48 @@ def minhash_estimator_audit(
             F.col("_iu")[1].cast("bigint").alias("n_union"),
         )
     )
+
+
+def lsh_band_sweep(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bandings: tuple[int, ...] = (4, 8, 16),
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Candidate-volume sweep across LSH banding configs → one row per
+    banding (bands, rows_per_band, n_candidates): how many candidate
+    pairs each (bands × rows) S-curve admits from the SAME 32-perm
+    signature table — the tuning read that prices a recall/compute
+    trade before re-running a petabyte dedup (more bands ⇒ higher
+    recall at the threshold AND more false candidates to verify).
+
+    Scale shape: signatures are computed ONCE (the expensive Arrow
+    pass, localCheckpointed); each banding re-keys the checkpointed
+    table and pays only its own (id, band_key) self-join; the output is
+    |bandings| rows."""
+    import dataclasses
+
+    cfg = cfg or PipelineConfig(shingle_k=5, jaccard_threshold=0.7, lsh_bands=8)
+    mh = make_minhash_udf(cfg)
+    src = ensure_min_parallelism(
+        documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    )
+    sig = src.withColumn("sig", mh("text")).localCheckpoint()
+    parts = []
+    for bands in bandings:
+        c = dataclasses.replace(cfg, lsh_bands=bands)
+        n = _band_candidate_pairs(sig, c).agg(
+            F.count("*").cast("bigint").alias("n_candidates")
+        )
+        parts.append(
+            n.select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(cfg.minhash_perms // bands).cast("int").alias("rows_per_band"),
+                "n_candidates",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

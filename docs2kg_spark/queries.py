@@ -6354,6 +6354,153 @@ FROM lc_lab l CROSS JOIN lc_glob g JOIN lc_nv n ON n.label = l.label
 """
 
 
+def q_lsh_band_sweep(spark, sf_dir):
+    """LSH banding sweep: candidate-pair volume under 4×8 / 8×4 / 16×2
+    bandings from ONE signature table — prices the recall/verify-cost
+    trade before re-running a petabyte dedup (operators/dedup.py::
+    lsh_band_sweep)."""
+    from docs2kg_spark.operators.dedup import lsh_band_sweep
+
+    return lsh_band_sweep(_t(spark, sf_dir, "documents"), bandings=(4, 8, 16))
+
+
+def _lsh_band_sweep_sql(bandings: tuple = (4, 8, 16)) -> str:
+    from docs2kg_spark.config import PipelineConfig
+    from docs2kg_spark.oracle.sql_twins import (
+        _band_keys_expr,
+        _shingle_hash_ctes,
+        _sig_select,
+    )
+
+    cfg = PipelineConfig(shingle_k=5, jaccard_threshold=0.7, lsh_bands=8)
+    legs = []
+    for bands in bandings:
+        keys = _band_keys_expr(cfg.minhash_perms, bands)
+        legs.append(
+            f"""
+SELECT CAST({bands} AS INT) AS bands,
+       CAST({cfg.minhash_perms // bands} AS INT) AS rows_per_band,
+       CAST((SELECT count(*) FROM (
+          SELECT DISTINCT a.id, b.id
+          FROM (SELECT id, unnest([{keys}]) AS bk FROM mh_sigs) a
+          JOIN (SELECT id, unnest([{keys}]) AS bk FROM mh_sigs) b
+            ON a.bk = b.bk AND a.id < b.id)) AS BIGINT) AS n_candidates"""
+        )
+    return (
+        f"WITH {_shingle_hash_ctes(cfg.shingle_k).strip()},\n"
+        f"{_sig_select(cfg.minhash_perms, mat='MATERIALIZED ')}\n"
+        + "\nUNION ALL\n".join(legs)
+    )
+
+
+def q_quality_length_corr(spark, sf_dir):
+    """Pearson correlation between document length and the composite
+    quality score, per source — the audit that catches a quality filter
+    silently proxying for length (a classic curation bias).
+
+    Exactness: the quality score is rounded to 6dp (as in
+    quality_scores) then integer-scaled, so all five moments are exact
+    BIGINTs; the variance products are combined in DOUBLE (they exceed
+    int64 at corpus scale) from those exact integers — deterministic on
+    both engines.  Scale shape: row-local expressions, ONE hash agg."""
+    from docs2kg_spark.operators.text import quality_columns
+
+    d = _t(spark, sf_dir, "documents")
+    q6 = F.round(F.round(quality_columns("text")["quality"], 6) * 1e6).cast("bigint")
+    m = (
+        d.select("source", F.col("n_chars").cast("bigint").alias("x"), q6.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = F.col("n").cast("double") * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    vy = F.col("n").cast("double") * F.col("syy").cast("double") - (
+        F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    den = F.sqrt(vx * vy)
+    return m.select(
+        "source", "n", F.round(F.when(den > 0, num / den), 6).alias("corr")
+    )
+
+
+def _quality_length_corr_sql() -> str:
+    return f"""
+WITH qc_q AS ({SQL_QUALITY}),
+qc_m AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(d.n_chars) AS sx,
+         SUM(CAST(round(q.quality * 1e6) AS BIGINT)) AS sy,
+         SUM(d.n_chars * CAST(round(q.quality * 1e6) AS BIGINT)) AS sxy,
+         SUM(d.n_chars * d.n_chars) AS sxx,
+         SUM(CAST(round(q.quality * 1e6) AS BIGINT) * CAST(round(q.quality * 1e6) AS BIGINT)) AS syy
+  FROM documents d JOIN qc_q q USING (doc_id)
+  GROUP BY 1
+)
+SELECT source, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 0.0), 6)
+         AS corr
+FROM qc_m
+"""
+
+
+def q_dup_quality_gap(spark, sf_dir):
+    """Are near-duplicates lower quality?  Mean quality score and mean
+    length for duplicate docs (canonical_id ≠ own id in the transitive
+    dedup map) vs survivors — the evidence read behind 'dedup first,
+    then quality-filter' pipeline ordering.
+
+    Scale shape: the dedup map joins doc-keyed onto row-local quality
+    columns; ONE 2-row hash agg with integer-scaled sums."""
+    from docs2kg_spark.operators.text import quality_columns
+
+    d = _t(spark, sf_dir, "documents")
+    dm = q_doc_dedup_map(spark, sf_dir)
+    q6 = F.round(F.round(quality_columns("text")["quality"], 6) * 1e6).cast("bigint")
+    j = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("n_chars").cast("bigint").alias("nc"),
+        q6.alias("q6"),
+    ).join(dm, "doc_id")
+    bucket = F.when(F.col("doc_id") == F.col("canonical_id"), "kept").otherwise("dup")
+    return (
+        j.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.sum("q6").cast("double") / 1e6 / F.count("*"), 6).alias(
+                "mean_quality"
+            ),
+            F.round(F.sum("nc").cast("double") / F.count("*"), 6).alias("mean_chars"),
+        )
+    )
+
+
+def _dup_quality_gap_sql() -> str:
+    return f"""
+WITH dg_map AS ({_doc_dedup_map_sql()}),
+dg_q AS ({SQL_QUALITY})
+SELECT CASE WHEN m.doc_id = m.canonical_id THEN 'kept' ELSE 'dup' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(round(q.quality * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / COUNT(*), 6)
+         AS mean_quality,
+       ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+FROM documents d
+JOIN dg_map m ON m.doc_id = CAST(d.doc_id AS VARCHAR)
+JOIN dg_q q ON q.doc_id = d.doc_id
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6578,6 +6725,11 @@ SPARK_QUERIES = {
     # round-4 batch 15: MOSS containment, embedding label cohesion
     "winnow_containment": q_winnow_containment,
     "label_centroid_cos": q_label_centroid_cos,
+    # round-4 batch 16: LSH tuning sweep, quality-length bias audit,
+    # dup-vs-quality evidence
+    "lsh_band_sweep": q_lsh_band_sweep,
+    "quality_length_corr": q_quality_length_corr,
+    "dup_quality_gap": q_dup_quality_gap,
 }
 
 ORACLE_SQL = {
@@ -6755,4 +6907,7 @@ ORACLE_SQL = {
     "kg_edge_type_share": _kg_edge_type_share_sql(),
     "winnow_containment": _doc_winnow_containment_sql(),
     "label_centroid_cos": SQL_LABEL_CENTROID_COS,
+    "lsh_band_sweep": _lsh_band_sweep_sql(),
+    "quality_length_corr": _quality_length_corr_sql(),
+    "dup_quality_gap": _dup_quality_gap_sql(),
 }

@@ -376,6 +376,9 @@ HEADLINE = [
     "lsh_band_sweep",
     "quality_length_corr",
     "dup_quality_gap",
+    # round-4 batch 17: RAKE keywords, session basket lift
+    "rake_keywords",
+    "event_lift",
 ]
 
 

@@ -6501,6 +6501,181 @@ GROUP BY 1
 """
 
 
+RAKE_STOP_RE = r"\b(?:the|a|an|and|or|of|to|in|is|it)\b"
+
+
+def q_rake_keywords(spark, sf_dir):
+    """RAKE-style keyword extraction: stopword-delimited candidate
+    phrases scored by Σ degree(w)/freq(w) over corpus-wide word
+    statistics, top-3 phrases per document — the unsupervised
+    keyword/topic tagger a curation pass runs to label domains.
+
+    Exactness: degree and frequency are exact BIGINT aggregates; the
+    per-word ratio is integer division of deg·10⁶ by freq (no float
+    rounding anywhere until the display column), so phrase scores are
+    exact integers on both engines.
+
+    Scale shape: the phrase split is row-local; word stats reduce with
+    ONE (word) hash agg broadcast back onto the exploded phrase-word
+    stream; the top-3 window runs per doc over already-scored
+    phrases."""
+    d = _t(spark, sf_dir, "documents")
+    phrase = F.trim(F.regexp_replace(F.col("ph_raw"), WS_RE, " "))
+    phrases = (
+        d.select(
+            "doc_id", F.explode(F.split(F.lower("text"), RAKE_STOP_RE)).alias("ph_raw")
+        )
+        .select("doc_id", phrase.alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .localCheckpoint(eager=False)  # word stats + scoring read ONE pass
+    )
+    words = phrases.select(
+        "phrase", F.explode(F.split("phrase", " ")).alias("w"),
+        F.size(F.split("phrase", " ")).alias("plen"),
+    )
+    wstats = (
+        words.groupBy("w")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+        .select("w", F.expr("deg * 1000000 DIV freq").alias("wscore"))
+    )
+    scored = (
+        phrases.select("doc_id", "phrase").distinct()
+        .select("doc_id", "phrase", F.explode(F.split("phrase", " ")).alias("w"))
+        .join(wstats, "w")
+        .groupBy("doc_id", "phrase")
+        .agg(F.sum("wscore").cast("bigint").alias("score6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score6").desc(), F.col("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "phrase",
+            F.round(F.col("score6").cast("double") / 1e6, 6).alias("score"),
+        )
+    )
+
+
+SQL_RAKE_KEYWORDS = r"""
+WITH rk_raw AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\b(?:the|a|an|and|or|of|to|in|is|it)\b')) AS ph_raw
+  FROM documents
+),
+rk_p AS (
+  SELECT doc_id, trim(regexp_replace(ph_raw, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS phrase
+  FROM rk_raw
+),
+rk_ph AS (SELECT doc_id, phrase FROM rk_p WHERE phrase <> ''),
+rk_w AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS w,
+         len(string_split(phrase, ' ')) AS plen
+  FROM rk_ph
+),
+rk_ws AS (
+  SELECT w, (CAST(SUM(plen) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS wscore
+  FROM rk_w GROUP BY 1
+),
+rk_scored AS (
+  SELECT doc_id, phrase, CAST(SUM(wscore) AS BIGINT) AS score6
+  FROM (
+    SELECT DISTINCT doc_id, phrase FROM rk_ph
+  ), LATERAL unnest(string_split(phrase, ' ')) AS u(w)
+  JOIN rk_ws USING (w)
+  GROUP BY 1, 2
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, phrase,
+       ROUND(CAST(score6 AS DOUBLE) / 1e6, 6) AS score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score6 DESC, phrase) AS rank
+  FROM rk_scored
+) WHERE rank <= 3
+"""
+
+
+def q_event_lift(spark, sf_dir):
+    """Market-basket lift between event types within user sessions:
+    lift(A,B) = N·n_AB / (n_A·n_B) over 60-minute-gap sessions — the
+    association read behind funnel design and feature co-activation
+    analysis.  All counts exact BIGINTs, one rounded division.
+
+    Scale shape: composes the sessionizer (user-bounded lag window),
+    reduces to distinct (session, type) — at most |types| rows per
+    session — and self-joins on the session key (per-key fanout ≤
+    |types|²); the marginals broadcast back onto ≤|types|² pair rows."""
+    s = q_sessionize(spark, sf_dir)
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    st = (
+        s.join(e, "event_id")
+        .select(
+            F.concat_ws("#", F.col("user_id").cast("string"),
+                        F.col("session_idx").cast("string")).alias("skey"),
+            "event_type",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # marginals + pair join: ONE pass
+    )
+    n_s = st.select("skey").distinct().agg(F.count("*").cast("bigint").alias("n_sessions"))
+    marg = st.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_t"))
+    pairs = (
+        st.alias("x")
+        .join(st.alias("y"), "skey")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    return (
+        pairs.join(F.broadcast(marg.selectExpr("event_type AS type_a", "n_t AS n_a")), "type_a")
+        .join(F.broadcast(marg.selectExpr("event_type AS type_b", "n_t AS n_b")), "type_b")
+        .crossJoin(F.broadcast(n_s))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                (F.col("n_ab") * F.col("n_sessions")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double"),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+SQL_EVENT_LIFT = f"""
+WITH el_s AS ({SQL_SESSIONIZE}),
+el_st AS (
+  SELECT DISTINCT CAST(s.user_id AS VARCHAR) || '#' || CAST(s.session_idx AS VARCHAR) AS skey,
+         e.event_type
+  FROM el_s s JOIN events e USING (event_id)
+),
+el_n AS (SELECT CAST(COUNT(DISTINCT skey) AS BIGINT) AS n_sessions FROM el_st),
+el_m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM el_st GROUP BY 1),
+el_p AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM el_st x JOIN el_st y ON x.skey = y.skey AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab, a.n_t AS n_a, b.n_t AS n_b,
+       ROUND(CAST(p.n_ab * n.n_sessions AS DOUBLE) / (a.n_t * b.n_t), 6) AS lift
+FROM el_p p
+JOIN el_m a ON a.event_type = p.type_a
+JOIN el_m b ON b.event_type = p.type_b
+CROSS JOIN el_n n
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6730,6 +6905,9 @@ SPARK_QUERIES = {
     "lsh_band_sweep": q_lsh_band_sweep,
     "quality_length_corr": q_quality_length_corr,
     "dup_quality_gap": q_dup_quality_gap,
+    # round-4 batch 17: RAKE keyword extraction, session basket lift
+    "rake_keywords": q_rake_keywords,
+    "event_lift": q_event_lift,
 }
 
 ORACLE_SQL = {
@@ -6910,4 +7088,6 @@ ORACLE_SQL = {
     "lsh_band_sweep": _lsh_band_sweep_sql(),
     "quality_length_corr": _quality_length_corr_sql(),
     "dup_quality_gap": _dup_quality_gap_sql(),
+    "rake_keywords": SQL_RAKE_KEYWORDS,
+    "event_lift": SQL_EVENT_LIFT,
 }

@@ -1,15 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The container has no media libraries, so the *decode* step is stubbed
-(deterministic fake featurizer + a clearly-marked NotImplementedError
-path for real codecs), but everything Spark-side is real and tested:
-the asset schema, the mapInPandas batch iteration, the UDF signatures
-and batch shapes, and the partitioning of feature output.
+Decode is REAL for uncompressed/deflate formats (BMP, PPM/PGM,
+WAV-PCM, PNG — pure-stdlib codecs in operators/media.py; see
+real_decode / media.media_features, exercised end-to-end by the
+oracled `multimodal_real_decode` query).  Compressed codecs
+(JPEG/MP3/H.264) still need PIL/ffmpeg, absent in this container —
+`_fake_decode` remains the deterministic default featurizer for
+opaque payloads, and `extract_features(decode=...)` is the injection
+seam for either the real media featurizer or a cluster's codec stack.
 
-Real-deployment note: swap `_fake_decode` for a PIL/ffmpeg call — the
-dataflow (binary in → fixed-dim float features out, Arrow-batched) is
-unchanged.
+Real-deployment note: pass `decode=media.media_features` (or a
+PIL/ffmpeg call) — the dataflow (binary in → fixed-dim float features
+out, Arrow-batched) is unchanged.
 """
 
 from __future__ import annotations
@@ -68,10 +71,14 @@ def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
 
 
 def real_decode(payload: bytes, kind: str):
-    raise NotImplementedError(
-        "real media decode requires PIL/ffmpeg/librosa, not present in this "
-        "container; the Spark plumbing uses _fake_decode deterministically"
-    )
+    """REAL decode for uncompressed/deflate formats — pure stdlib
+    (operators/media.py): BMP, PPM/PGM, WAV-PCM, and PNG (zlib IDAT +
+    all five row filters).  Compressed codecs (JPEG/MP3/H.264) still
+    raise NotImplementedError inside — that boundary genuinely needs
+    PIL/ffmpeg, which this container lacks."""
+    from docs2kg_spark.operators.media import media_decode
+
+    return media_decode(payload, kind)
 
 
 def extract_features(assets: DataFrame, batch_hint: int = 256, decode=None) -> DataFrame:

@@ -1179,6 +1179,69 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(assets_from_documents(d)).select("asset_id", "kind", "n_bytes")
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL media decode end-to-end (§2.10 multimodal; reference asset
+    side-outputs digitization/native/ebook.py:222-238): each doc
+    synthesizes a deterministic gradient image, encodes it to REAL
+    BMP / PNG / PPM bytes (doc_id % 3 picks the codec), decodes the
+    byte stream back through the pure-stdlib decoders dispatched on
+    magic bytes (operators/media.py), and emits per-channel pixel sums
+    computed FROM THE DECODED ARRAY.  The DuckDB twin computes the
+    same sums analytically, so any encode/decode defect — row order,
+    BMP padding, PNG filtering, BGR/RGB channel swap — breaks the
+    value hash.  100 TB shape: one narrow Arrow pass, zero shuffle;
+    pixel work is per-row and bounded (≤ 8×6×3)."""
+    import numpy as np
+
+    from docs2kg_spark.operators import media
+
+    schema = (
+        "doc_id bigint, fmt string, w bigint, h bigint, "
+        "sum_r bigint, sum_g bigint, sum_b bigint"
+    )
+    encoders = {"bmp": media.encode_bmp, "png": media.encode_png, "pnm": media.encode_ppm}
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "fmt", "w", "h", "sum_r", "sum_g", "sum_b")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                b0, b1, b2 = did % 64, (did * 7) % 64, (did * 13) % 64
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [b0 + xs + 2 * ys, b1 + 3 * xs + ys, b2 + xs + ys], axis=2
+                ).astype(np.uint8)
+                fmt = ("bmp", "png", "pnm")[did % 3]
+                dec = media.media_decode(encoders[fmt](px))
+                rows["doc_id"].append(did)
+                rows["fmt"].append(fmt)
+                rows["w"].append(int(dec.shape[1]))
+                rows["h"].append(int(dec.shape[0]))
+                s = dec.astype(np.int64).sum(axis=(0, 1))
+                rows["sum_r"].append(int(s[0]))
+                rows["sum_g"].append(int(s[1]))
+                rows["sum_b"].append(int(s[2]))
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(gen, schema=schema)
+
+
+# analytic twin: sum over the h×w grid of (b + α·x + β·y) =
+# h·w·b + α·h·Σx + β·w·Σy with Σx = w(w-1)/2, Σy = h(h-1)/2.
+SQL_MM_REAL_DECODE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png' ELSE 'pnm' END AS fmt,
+       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(h*w*(doc_id % 64)        + h*(w*(w-1)//2)     + 2*(w*(h*(h-1)//2)) AS BIGINT) AS sum_r,
+       CAST(h*w*((doc_id*7) % 64)    + 3*(h*(w*(w-1)//2)) + w*(h*(h-1)//2)     AS BIGINT) AS sum_g,
+       CAST(h*w*((doc_id*13) % 64)   + h*(w*(w-1)//2)     + w*(h*(h-1)//2)     AS BIGINT) AS sum_b
+FROM (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents)
+"""
+
+
 # ---------------------------------------------------------------------------
 # graph queries (operators/graphq.py): the read side of the KG — degree
 # stats / bounded-hop expansion over a large bipartite graph derived from
@@ -6732,6 +6795,7 @@ SPARK_QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "multimodal_features": q_multimodal_features,
+    "multimodal_real_decode": q_multimodal_real_decode,
     # graph reads over the materialized KG / derived graphs (SQL-oracled)
     "graph_degrees": q_graph_degrees,
     "graph_khop": q_graph_khop,
@@ -6965,6 +7029,7 @@ ORACLE_SQL = {
     # to the assets projection, so the same oracle value-checks the
     # mapInPandas plumbing end-to-end (round-1 verdict item 1b)
     "multimodal_features": SQL_MM_ASSETS,
+    "multimodal_real_decode": SQL_MM_REAL_DECODE,
     "kg_segments": SQL_KG_SEGMENTS,
     "kg_turn_invariant": SQL_KG_TURN_INVARIANT,
     "kg_conv_metadata_edges": SQL_KG_CONV_META_EDGES,

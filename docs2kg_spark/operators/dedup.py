@@ -816,3 +816,89 @@ def lsh_band_sweep(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ppjoin_pairs(
+    documents: DataFrame,
+    threshold_pct: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT word-set similarity self-join via prefix filtering
+    (PPJoin-lite, Xiao et al., WWW'08): emits every document pair with
+    word-set Jaccard >= threshold_pct/100 — no approximation, unlike
+    the MinHash/SimHash paths (reference dedups via pandas loops,
+    e.g. kg_construction dedup helpers; this is the exact-join analog).
+
+    Algorithm: tokens get a single GLOBAL canonical order (document
+    frequency ascending, token as tie-break), each document keeps only
+    its prefix — the first n - ceil(t*n) + 1 tokens in that order —
+    and candidates are pairs sharing ANY prefix token (the prefix
+    filtering theorem guarantees this is a superset of all qualifying
+    pairs under a consistent global order).  Candidates are then
+    verified with the exact integer-scaled Jaccard test
+    inter * 100 >= t_pct * (na + nb - inter), so no float decides
+    membership.
+
+    100 TB shape: the df table is one (token) hash agg; the per-doc
+    rank is a doc-keyed window (each doc's token list is small);
+    the candidate join keys on PREFIX tokens only — rare tokens by
+    construction, so per-key fanout is bounded by the rarest-token df,
+    not by stopword df (joining on ALL tokens would put every pair
+    sharing 'the' through the shuffle); verification is row-local
+    array math on the pair rows.
+    """
+    from pyspark.sql import Window
+
+    t_pct = int(threshold_pct)
+    toks = (
+        documents.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .localCheckpoint(eager=False)  # df agg + rank + arrays: ONE token pass
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
+    ranked = toks.join(dfreq, "tok").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("df"), F.col("tok"))
+        ),
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").cast("bigint").alias("n"))
+    # prefix length p = n - ceil(t*n) + 1, integer ceil: (t_pct*n + 99) DIV 100
+    pref = ranked.join(sizes, "id").filter(
+        F.col("rk") <= F.col("n") - F.expr(f"({t_pct} * n + 99) DIV 100") + 1
+    )
+    cand = (
+        pref.select(F.col("id").alias("a"), "tok")
+        .join(pref.select(F.col("id").alias("b"), "tok"), "tok")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    arrs = toks.groupBy("id").agg(
+        F.sort_array(F.collect_list("tok")).alias("ts"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    return (
+        cand.join(arrs.select(F.col("id").alias("a"), F.col("ts").alias("ta"), F.col("n").alias("na")), "a")
+        .join(arrs.select(F.col("id").alias("b"), F.col("ts").alias("tb"), F.col("n").alias("nb")), "b")
+        .withColumn("inter", F.size(F.array_intersect("ta", "tb")).cast("bigint"))
+        .filter(F.expr(f"inter * 100 >= {t_pct} * (na + nb - inter)"))
+        .select(
+            "a",
+            "b",
+            "inter",
+            "na",
+            "nb",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ).alias("jacc"),
+        )
+    )

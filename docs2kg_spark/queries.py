@@ -6739,6 +6739,208 @@ CROSS JOIN el_n n
 """
 
 
+def q_doc_ppjoin(spark, sf_dir):
+    """EXACT word-set similarity self-join via prefix filtering
+    (PPJoin-lite; operators/dedup.py::ppjoin_pairs) at Jaccard ≥ 0.5 —
+    the exact counterpart to the approximate MinHash/SimHash paths:
+    same pair semantics, zero false negatives, candidate generation
+    keyed on globally-rarest prefix tokens only.  The DuckDB twin is
+    the brute-force all-shared-token join, so the gate proves the
+    prefix filter loses nothing."""
+    from docs2kg_spark.operators.dedup import ppjoin_pairs
+
+    return ppjoin_pairs(_t(spark, sf_dir, "documents"), threshold_pct=50)
+
+
+SQL_DOC_PPJOIN = r"""
+WITH pj_raw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+),
+pj_t AS (SELECT DISTINCT doc_id, tok FROM pj_raw WHERE tok <> ''),
+pj_n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pj_t GROUP BY 1),
+pj_i AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+  FROM pj_t x JOIN pj_t y ON x.tok = y.tok AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, inter, na.n AS na, nb.n AS nb,
+       ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jacc
+FROM pj_i
+JOIN pj_n na ON na.doc_id = a
+JOIN pj_n nb ON nb.doc_id = b
+WHERE inter * 100 >= 50 * (na.n + nb.n - inter)
+"""
+
+
+def q_kg_entity_salience(spark, sf_dir):
+    """Top-3 salient canonical entities per conversation: salience =
+    n_mentions·10⁶ DIV (1 + first_turn) — frequency boosted by
+    earliness, the ranking a summarizer or index-page builder reads
+    off the KG.  Exact integer scoring (no float decides rank);
+    deterministic tie-break on canonical_id.
+
+    Scale shape: reuses the memoized mention/canonical chain; one
+    (conv, entity) hash agg, a broadcast vocabulary join, and a
+    per-conv top-3 window over already-reduced rows."""
+    from pyspark.sql import Window
+
+    m = q_kg_mentions(spark, sf_dir).select("conv_id", "seg_id", "text", "label")
+    s = q_kg_segments(spark, sf_dir).select("seg_id", "seg_idx")
+    cmap = q_kg_canonical_map(spark, sf_dir)
+    c = F.broadcast(cmap.select("text", "label", "canonical_id"))
+    agg = (
+        m.join(s, "seg_id")
+        .join(c, ["text", "label"])
+        .groupBy("conv_id", "canonical_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.min("seg_idx").cast("int").alias("first_turn"),
+        )
+        .withColumn("sal6", F.expr("n_mentions * 1000000 DIV (1 + first_turn)"))
+    )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("sal6").desc(), F.col("canonical_id")
+    )
+    surv = F.broadcast(
+        cmap.filter(F.col("node_id") == F.col("canonical_id")).select(
+            "canonical_id", F.col("text").alias("canonical_text")
+        )
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .join(surv, "canonical_id")
+        .select(
+            "conv_id",
+            F.col("rank").cast("int").alias("rank"),
+            "canonical_id",
+            "canonical_text",
+            "n_mentions",
+            "first_turn",
+            F.round(F.col("sal6").cast("double") / 1e6, 6).alias("salience"),
+        )
+    )
+
+
+def _kg_entity_salience_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+es_a AS (
+  SELECT m.conv_id, c.canonical_id,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(min(s.seg_idx) AS INT) AS first_turn
+  FROM mentions m
+  JOIN segs s ON s.seg_id = m.seg_id
+  JOIN cmap c ON c.text = m.text AND c.label = m.label
+  GROUP BY 1, 2
+),
+es_r AS (
+  SELECT *, (n_mentions * 1000000) // (1 + first_turn) AS sal6,
+         ROW_NUMBER() OVER (
+           PARTITION BY conv_id
+           ORDER BY (n_mentions * 1000000) // (1 + first_turn) DESC, canonical_id
+         ) AS rank
+  FROM es_a
+)
+SELECT r.conv_id, CAST(r.rank AS INT) AS rank, r.canonical_id,
+       surv.text AS canonical_text, r.n_mentions, r.first_turn,
+       ROUND(CAST(r.sal6 AS DOUBLE) / 1e6, 6) AS salience
+FROM es_r r JOIN cmap surv ON surv.node_id = r.canonical_id
+WHERE r.rank <= 3
+"""
+
+
+def q_flesch_readability(spark, sf_dir):
+    """Flesch reading-ease per document, exactly: words W, sentences S
+    (≥1), vowel-run syllable proxy Y, and the score's numerator
+    num6 = 206835·S·W − 1015·W² − 84600·Y·S (= flesch·1000·S·W) kept
+    as a BIGINT so the readability BAND is decided by integer
+    comparison on both engines — the corpus-quality read a curation
+    pass bands on.  Scale shape: pure row-local column expressions,
+    zero shuffle."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT) AS w",
+            "CAST(greatest(1, size(regexp_extract_all(text, '[.!?]', 0))) AS BIGINT) AS s",
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)) AS BIGINT) AS y",
+        )
+        .filter("w > 0")
+        .selectExpr(
+            "doc_id",
+            "w",
+            "s",
+            "y",
+            "206835*s*w - 1015*w*w - 84600*y*s AS num6",
+            "CASE WHEN 206835*s*w - 1015*w*w - 84600*y*s >= 60000*s*w THEN 'easy' "
+            "WHEN 206835*s*w - 1015*w*w - 84600*y*s >= 30000*s*w THEN 'standard' "
+            "ELSE 'difficult' END AS band",
+            "ROUND(CAST(206835*s*w - 1015*w*w - 84600*y*s AS DOUBLE) / (1000*s*w), 4) AS flesch",
+        )
+    )
+
+
+SQL_FLESCH = r"""
+WITH fr AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS w,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+  FROM documents
+)
+SELECT doc_id, w, s, y,
+       206835*s*w - 1015*w*w - 84600*y*s AS num6,
+       CASE WHEN 206835*s*w - 1015*w*w - 84600*y*s >= 60000*s*w THEN 'easy'
+            WHEN 206835*s*w - 1015*w*w - 84600*y*s >= 30000*s*w THEN 'standard'
+            ELSE 'difficult' END AS band,
+       ROUND(CAST(206835*s*w - 1015*w*w - 84600*y*s AS DOUBLE) / (1000*s*w), 4) AS flesch
+FROM fr WHERE w > 0
+"""
+
+
+def q_priority_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield-Lund-Thorup, JACM'07): each doc gets priority
+    q = weight · 2³² DIV (h+1) with h a 32-bit md5 hash (the
+    deterministic stand-in for the uniform draw), and the top-20
+    priorities are the sample — heavier docs proportionally likelier,
+    fully reproducible.  Priorities are exact BIGINTs, so rank is
+    never decided by a float.  Scale shape: one row-local projection +
+    a TakeOrdered top-k; no shuffle beyond the k-row reduction."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("psample-v1"), F.col("doc_id"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            h.alias("h32"),
+        )
+        .withColumn("pri", F.expr("weight * 4294967296 DIV (h32 + 1)"))
+        .orderBy(F.col("pri").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+
+
+SQL_PRIORITY_SAMPLE = r"""
+SELECT doc_id, weight, h32, (weight * 4294967296) // (h32 + 1) AS pri
+FROM (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         CAST(CAST(('0x' || substr(md5('psample-v1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) AS h32
+  FROM documents
+)
+ORDER BY pri DESC, doc_id
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6972,6 +7174,10 @@ SPARK_QUERIES = {
     # round-4 batch 17: RAKE keyword extraction, session basket lift
     "rake_keywords": q_rake_keywords,
     "event_lift": q_event_lift,
+    "doc_ppjoin": q_doc_ppjoin,
+    "kg_entity_salience": q_kg_entity_salience,
+    "flesch_readability": q_flesch_readability,
+    "priority_sample": q_priority_sample,
 }
 
 ORACLE_SQL = {
@@ -7155,4 +7361,8 @@ ORACLE_SQL = {
     "dup_quality_gap": _dup_quality_gap_sql(),
     "rake_keywords": SQL_RAKE_KEYWORDS,
     "event_lift": SQL_EVENT_LIFT,
+    "doc_ppjoin": SQL_DOC_PPJOIN,
+    "kg_entity_salience": _kg_entity_salience_sql(),
+    "flesch_readability": SQL_FLESCH,
+    "priority_sample": SQL_PRIORITY_SAMPLE,
 }

@@ -6941,6 +6941,238 @@ LIMIT 20
 """
 
 
+def q_embedding_contamination(spark, sf_dir):
+    """Embedding-space benchmark-contamination audit: for each
+    benchmark vector (deterministic held-out subset vec_id % 97 = 0),
+    how many corpus vectors sit above cosine 0.35, the max cosine, and
+    the closest corpus vector — the semantic analog of the n-gram
+    `contamination` query (n-gram decontamination misses paraphrases;
+    embedding sweep catches them).
+
+    Scale shape: the benchmark set is broadcast (tiny by construction
+    — eval sets are thousands of rows at any corpus size); the scan
+    over the corpus is one narrow pass with row-local zip_with cosine;
+    the per-benchmark reduction is a |bench|-row hash agg + a top-1
+    window over pre-reduced rows."""
+    from pyspark.sql import Window
+
+    from docs2kg_spark.operators.dedup import cosine_expr
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bench = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("bench_id"), F.col("embedding").alias("bv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") % 97 != 0)
+        .join(F.broadcast(bench))
+        .select(
+            "bench_id",
+            "vec_id",
+            cosine_expr(F.col("bv"), F.col("embedding")).alias("cos"),
+        )
+        .localCheckpoint(eager=False)  # agg + top-1 window: ONE scoring pass
+    )
+    agg = scored.groupBy("bench_id").agg(
+        F.count("*").cast("bigint").alias("n_corpus"),
+        F.sum(F.when(F.col("cos") >= 0.35, 1).otherwise(0)).cast("bigint").alias("n_above"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+    )
+    w = Window.partitionBy("bench_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    top = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .select("bench_id", F.col("vec_id").alias("top_vec"))
+    )
+    return agg.join(top, "bench_id").select(
+        "bench_id", "n_corpus", "n_above", "max_cos", "top_vec"
+    )
+
+
+SQL_EMBEDDING_CONTAMINATION = """
+WITH ec_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ec_b AS (SELECT vec_id AS bench_id, v AS bv FROM ec_e WHERE vec_id % 97 = 0),
+ec_s AS (
+  SELECT b.bench_id, c.vec_id, list_cosine_similarity(b.bv, c.v) AS cos
+  FROM ec_b b, ec_e c WHERE c.vec_id % 97 != 0
+),
+ec_a AS (
+  SELECT bench_id, CAST(count(*) AS BIGINT) AS n_corpus,
+         CAST(count(*) FILTER (cos >= 0.35) AS BIGINT) AS n_above,
+         ROUND(max(cos), 6) AS max_cos
+  FROM ec_s GROUP BY 1
+),
+ec_t AS (
+  SELECT bench_id, vec_id AS top_vec
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY bench_id
+                                     ORDER BY cos DESC, vec_id) AS r FROM ec_s)
+  WHERE r = 1
+)
+SELECT a.bench_id, a.n_corpus, a.n_above, a.max_cos, t.top_vec
+FROM ec_a a JOIN ec_t t USING (bench_id)
+"""
+
+
+def q_event_burstiness(spark, sf_dir):
+    """Fano factor (variance/mean of hourly event counts) per event
+    type — the burstiness read behind rate-limit sizing and anomaly
+    thresholds (Fano ≈ 1 ⇒ Poisson; ≫ 1 ⇒ bursty).  Moments are exact
+    BIGINTs over integer hourly counts: num = n·Σc² − (Σc)², den =
+    n·Σc, fano = num/den — one float division at the end, like the
+    repo's z-score and Gini queries.
+
+    Scale shape: two stacked hash aggs ((hour,type) then (type)) —
+    the first reduces the corpus to |hours|·|types| rows, the second
+    to |types|."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    return (
+        hourly.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_hours",
+            "n_events",
+            "n_hours * s2 - n_events * n_events AS fano_num",
+            "n_hours * n_events AS fano_den",
+            "ROUND(CAST(n_hours * s2 - n_events * n_events AS DOUBLE) / (n_hours * n_events), 6) AS fano",
+        )
+    )
+
+
+SQL_EVENT_BURSTINESS = """
+WITH eb_h AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+eb_a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(c) AS BIGINT) AS n_events, CAST(sum(c*c) AS BIGINT) AS s2
+  FROM eb_h GROUP BY 1
+)
+SELECT event_type, n_hours, n_events,
+       n_hours * s2 - n_events * n_events AS fano_num,
+       n_hours * n_events AS fano_den,
+       ROUND(CAST(n_hours * s2 - n_events * n_events AS DOUBLE) / (n_hours * n_events), 6) AS fano
+FROM eb_a
+"""
+
+
+def q_dup_sentences(spark, sf_dir):
+    """Corpus-wide duplicated-SENTENCE profile: the top-20 sentences
+    (≥ 20 chars, whitespace-normalized) appearing in ≥ 2 documents —
+    sentence-granular boilerplate discovery (role_boilerplate is
+    per-role n-grams; this is cross-corpus verbatim sentences, the
+    thing licence headers and templated disclaimers show up as).
+
+    Scale shape: the sentence split is row-local; ONE (sentence) hash
+    agg with a distinct-doc count; TakeOrdered top-20."""
+    d = _t(spark, sf_dir, "documents")
+    sent = F.trim(F.regexp_replace(F.col("s_raw"), WS_RE, " "))
+    sents = (
+        d.select("doc_id", F.explode(F.split("text", "[.!?]")).alias("s_raw"))
+        .select("doc_id", sent.alias("sentence"))
+        .filter(F.length("sentence") >= 20)
+    )
+    return (
+        sents.groupBy("sentence")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occ"),
+        )
+        .filter("n_docs >= 2")
+        .orderBy(F.col("n_occ").desc(), F.col("n_docs").desc(), "sentence")
+        .limit(20)
+    )
+
+
+SQL_DUP_SENTENCES = r"""
+WITH ds_raw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '[.!?]')) AS s_raw
+  FROM documents
+),
+ds_s AS (
+  SELECT doc_id, trim(regexp_replace(s_raw, '[ \t\n\r\f\x0B]+', ' ', 'g')) AS sentence
+  FROM ds_raw
+)
+SELECT sentence, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM ds_s WHERE length(sentence) >= 20
+GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+ORDER BY n_occ DESC, n_docs DESC, sentence
+LIMIT 20
+"""
+
+
+def q_doc_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document against the corpus top-1000
+    token vocabulary — the tokenizer-coverage read (what fraction of a
+    doc's tokens would map to <unk> under a frequency-built vocab).
+    Vocabulary membership is decided by exact counts with a
+    deterministic (count desc, token) boundary tie-break.
+
+    Scale shape: tokens exploded ONCE (lazy checkpoint feeds both the
+    vocab agg and the per-doc count); the vocab is a TakeOrdered top-N
+    over the (token) hash agg — per-partition partial top-k merged on
+    the driver, NEVER a global-window single-reducer sort — and joins
+    back as a broadcast; per-doc reduction is one (doc) hash agg."""
+    d = _t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .localCheckpoint(eager=False)  # vocab + per-doc: ONE token pass
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok"))
+        .limit(1000)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tok"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .selectExpr(
+            "doc_id", "n_tok", "n_oov",
+            "ROUND(CAST(n_oov AS DOUBLE) / n_tok, 6) AS oov_rate",
+        )
+    )
+
+
+SQL_DOC_OOV_RATE = r"""
+WITH ov_raw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents
+),
+ov_t AS (SELECT doc_id, tok FROM ov_raw WHERE tok <> ''),
+ov_v AS (
+  SELECT tok FROM (
+    SELECT tok, ROW_NUMBER() OVER (ORDER BY count(*) DESC, tok) AS r
+    FROM ov_t GROUP BY tok
+  ) WHERE r <= 1000
+)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov,
+       ROUND(CAST(count(*) FILTER (v.tok IS NULL) AS DOUBLE) / count(*), 6) AS oov_rate
+FROM ov_t t LEFT JOIN ov_v v ON v.tok = t.tok
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7178,6 +7410,10 @@ SPARK_QUERIES = {
     "kg_entity_salience": q_kg_entity_salience,
     "flesch_readability": q_flesch_readability,
     "priority_sample": q_priority_sample,
+    "embedding_contamination": q_embedding_contamination,
+    "event_burstiness": q_event_burstiness,
+    "dup_sentences": q_dup_sentences,
+    "doc_oov_rate": q_doc_oov_rate,
 }
 
 ORACLE_SQL = {
@@ -7365,4 +7601,8 @@ ORACLE_SQL = {
     "kg_entity_salience": _kg_entity_salience_sql(),
     "flesch_readability": SQL_FLESCH,
     "priority_sample": SQL_PRIORITY_SAMPLE,
+    "embedding_contamination": SQL_EMBEDDING_CONTAMINATION,
+    "event_burstiness": SQL_EVENT_BURSTINESS,
+    "dup_sentences": SQL_DUP_SENTENCES,
+    "doc_oov_rate": SQL_DOC_OOV_RATE,
 }

@@ -7173,6 +7173,233 @@ GROUP BY 1
 """
 
 
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership sketch with a measured false-positive
+    audit: build an m=4096-bit, k=3 Bloom filter over purchasing users
+    (md5-derived bit positions — the deterministic stand-in for the
+    hash family), probe EVERY user, and report exact
+    members/flagged/false-positive counts in one row — the
+    approximate-membership primitive a 100 TB pipeline uses to
+    pre-filter a huge stream against a large-but-boundable key set,
+    with the approximation's error itself oracled (like
+    cms_user_counts / hll_user_distinct).
+
+    Scale shape: bit positions are row-local projections; the bit SET
+    is ≤ m rows (a broadcast however big the member set is — that is
+    the point of the sketch); the probe is one broadcast join + a
+    user-keyed hash agg; output is ONE row."""
+    e = _t(spark, sf_dir, "events")
+
+    def bh(j):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit("bloom-v1"), F.lit(str(j)), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+
+    hashes = F.array(*[bh(j) for j in range(_BLOOM_K)])
+    users = e.select("user_id").distinct().localCheckpoint(eager=False)
+    members = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # bits + membership flag: ONE pass
+    )
+    bits = (
+        members.select(F.explode(hashes).alias("bit")).distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probed = (
+        users.select("user_id", F.explode(hashes).alias("bit"))
+        .join(F.broadcast(bits), "bit", "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce("hit", F.lit(0))).alias("all_hit"))
+        .join(members.withColumn("is_member", F.lit(1)), "user_id", "left")
+    )
+    return (
+        probed.agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum(F.coalesce("is_member", F.lit(0))).cast("bigint").alias("n_members"),
+            F.sum("all_hit").cast("bigint").alias("n_flagged"),
+            F.sum(
+                F.when((F.col("all_hit") == 1) & F.col("is_member").isNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+        .crossJoin(
+            F.broadcast(bits.agg(F.count("*").cast("bigint").alias("n_bits_set")))
+        )
+        .select("n_users", "n_members", "n_bits_set", "n_flagged", "n_false_pos")
+    )
+
+
+SQL_BLOOM_MEMBERSHIP = f"""
+WITH bl_u AS (SELECT DISTINCT user_id FROM events),
+bl_m AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+bl_h AS (
+  SELECT user_id, j,
+         CAST(CAST(('0x' || substr(md5('bloom-v1' || '|' || CAST(j AS VARCHAR) || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % {_BLOOM_M} AS bit
+  FROM bl_u, generate_series(0, {_BLOOM_K - 1}) AS g(j)
+),
+bl_bits AS (
+  SELECT DISTINCT h.bit FROM bl_h h JOIN bl_m m USING (user_id)
+),
+bl_probe AS (
+  SELECT h.user_id, min(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) AS all_hit
+  FROM bl_h h LEFT JOIN bl_bits b ON b.bit = h.bit
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(count(m.user_id) AS BIGINT) AS n_members,
+       (SELECT CAST(count(*) AS BIGINT) FROM bl_bits) AS n_bits_set,
+       CAST(sum(p.all_hit) AS BIGINT) AS n_flagged,
+       CAST(sum(CASE WHEN p.all_hit = 1 AND m.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+FROM bl_probe p LEFT JOIN bl_m m ON m.user_id = p.user_id
+"""
+
+
+def q_user_rfm_bands(spark, sf_dir):
+    """RFM (recency/frequency/monetary) segmentation with POLICY
+    thresholds: per user, days since last event vs the corpus max
+    date, event count, and exact spend in BIGINT cents, banded by
+    fixed cutoffs and counted per (r, f, m) cell — the cohort read
+    behind retention targeting.  Fixed-threshold banding (not
+    quantile) is deliberate: it needs NO global sort/rank, so the
+    shape survives any user count.
+
+    Scale shape: one user-keyed hash agg; the corpus max date is a
+    1-row broadcast; banding is row-local; the final cell agg is
+    ≤ 27 rows."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_d"),
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("cents"),
+    )
+    gmax = e.agg(F.max(F.to_date("ts")).alias("gmax_d"))
+    banded = per_user.crossJoin(F.broadcast(gmax)).selectExpr(
+        "user_id",
+        "datediff(gmax_d, last_d) AS rdays",
+        "freq",
+        "cents",
+        "CASE WHEN datediff(gmax_d, last_d) <= 0 THEN 'hot' "
+        "WHEN datediff(gmax_d, last_d) <= 1 THEN 'warm' ELSE 'cold' END AS r_band",
+        "CASE WHEN freq >= 75 THEN 'high' WHEN freq >= 60 THEN 'mid' ELSE 'low' END AS f_band",
+        "CASE WHEN cents >= 400000 THEN 'big' WHEN cents >= 300000 THEN 'mid' ELSE 'small' END AS m_band",
+    )
+    return banded.groupBy("r_band", "f_band", "m_band").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+
+
+SQL_USER_RFM_BANDS = """
+WITH rf_u AS (
+  SELECT user_id, CAST(max(ts) AS DATE) AS last_d,
+         CAST(count(*) AS BIGINT) AS freq,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+rf_g AS (SELECT CAST(max(ts) AS DATE) AS gmax_d FROM events),
+rf_b AS (
+  SELECT CASE WHEN date_diff('day', last_d, gmax_d) <= 0 THEN 'hot'
+              WHEN date_diff('day', last_d, gmax_d) <= 1 THEN 'warm'
+              ELSE 'cold' END AS r_band,
+         CASE WHEN freq >= 75 THEN 'high' WHEN freq >= 60 THEN 'mid' ELSE 'low' END AS f_band,
+         CASE WHEN cents >= 400000 THEN 'big' WHEN cents >= 300000 THEN 'mid' ELSE 'small' END AS m_band,
+         cents
+  FROM rf_u CROSS JOIN rf_g
+)
+SELECT r_band, f_band, m_band, CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM rf_b GROUP BY 1, 2, 3
+"""
+
+
+def q_event_value_histogram(spark, sf_dir):
+    """Fixed-width value histogram per event type: bucket i counts
+    values in [50·i, 50·(i+1)) with the top bucket open — the
+    distribution profile a pipeline uses to pick clipping bounds.
+    Bucket assignment is integer floor division; sums are exact
+    cents.  Scale shape: row-local bucketing into one
+    (type, bucket) hash agg — ≤ |types|·10 output rows."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.selectExpr(
+            "event_type",
+            "CAST(least(CAST(floor(value / 50) AS BIGINT), 9) AS INT) AS bucket",
+            "CAST(round(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+SQL_EVENT_VALUE_HISTOGRAM = """
+SELECT event_type,
+       CAST(least(CAST(floor(value / 50) AS BIGINT), 9) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_order_value_windows(spark, sf_dir):
+    """Per-customer ranking windows over order value — rank,
+    dense_rank, percent_rank, cume_dist, ntile(4) in one pass (§2.5
+    window coverage beyond row_number/lag/sum).  The order-by key is
+    (o_totalprice DESC, o_orderkey), so ties never leave rank to
+    engine discretion.  Scale shape: ONE customer-partitioned window
+    (all five functions share the frame), never a global sort."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+SQL_ORDER_VALUE_WINDOWS = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       ROUND(percent_rank() OVER w, 6) AS prank,
+       ROUND(cume_dist() OVER w, 6) AS cdist,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7414,6 +7641,10 @@ SPARK_QUERIES = {
     "event_burstiness": q_event_burstiness,
     "dup_sentences": q_dup_sentences,
     "doc_oov_rate": q_doc_oov_rate,
+    "bloom_membership": q_bloom_membership,
+    "user_rfm_bands": q_user_rfm_bands,
+    "event_value_histogram": q_event_value_histogram,
+    "order_value_windows": q_order_value_windows,
 }
 
 ORACLE_SQL = {
@@ -7605,4 +7836,8 @@ ORACLE_SQL = {
     "event_burstiness": SQL_EVENT_BURSTINESS,
     "dup_sentences": SQL_DUP_SENTENCES,
     "doc_oov_rate": SQL_DOC_OOV_RATE,
+    "bloom_membership": SQL_BLOOM_MEMBERSHIP,
+    "user_rfm_bands": SQL_USER_RFM_BANDS,
+    "event_value_histogram": SQL_EVENT_VALUE_HISTOGRAM,
+    "order_value_windows": SQL_ORDER_VALUE_WINDOWS,
 }

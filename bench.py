@@ -379,6 +379,24 @@ HEADLINE = [
     # round-4 batch 17: RAKE keywords, session basket lift
     "rake_keywords",
     "event_lift",
+    # round-4 batch 18: real media decode, PPJoin exact similarity
+    # join, entity salience, readability, priority sampling
+    "multimodal_real_decode",
+    "doc_ppjoin",
+    "kg_entity_salience",
+    "flesch_readability",
+    "priority_sample",
+    # round-4 batch 19: embedding contamination, burstiness,
+    # sentence boilerplate, OOV rate
+    "embedding_contamination",
+    "event_burstiness",
+    "dup_sentences",
+    "doc_oov_rate",
+    # round-4 batch 20: Bloom sketch, RFM, histogram, ranking windows
+    "bloom_membership",
+    "user_rfm_bands",
+    "event_value_histogram",
+    "order_value_windows",
 ]
 
 

@@ -824,29 +824,33 @@ def ppjoin_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """EXACT word-set similarity self-join via prefix filtering
+    """EXACT 3-token-shingle similarity self-join via prefix filtering
     (PPJoin-lite, Xiao et al., WWW'08): emits every document pair with
-    word-set Jaccard >= threshold_pct/100 — no approximation, unlike
-    the MinHash/SimHash paths (reference dedups via pandas loops,
-    e.g. kg_construction dedup helpers; this is the exact-join analog).
+    shingle-set Jaccard >= threshold_pct/100 — no approximation,
+    unlike the MinHash/SimHash paths (reference dedups via pandas
+    loops, e.g. kg_construction dedup helpers; this is the exact-join
+    analog).  Sets are 3-token shingles, not unigram words: unigram
+    word sets over templated corpora make MOST pairs qualify (the
+    output goes quadratic); shingles keep qualifying pairs = true
+    near-dups at any corpus size.
 
-    Algorithm: tokens get a single GLOBAL canonical order (document
-    frequency ascending, token as tie-break), each document keeps only
-    its prefix — the first n - ceil(t*n) + 1 tokens in that order —
-    and candidates are pairs sharing ANY prefix token (the prefix
-    filtering theorem guarantees this is a superset of all qualifying
-    pairs under a consistent global order).  Candidates are then
-    verified with the exact integer-scaled Jaccard test
+    Algorithm: shingles get a single GLOBAL canonical order (document
+    frequency ascending, shingle as tie-break), each document keeps
+    only its prefix — the first n - ceil(t*n) + 1 shingles in that
+    order — and candidates are pairs sharing ANY prefix shingle (the
+    prefix filtering theorem guarantees this is a superset of all
+    qualifying pairs under a consistent global order).  Candidates are
+    then verified with the exact integer-scaled Jaccard test
     inter * 100 >= t_pct * (na + nb - inter), so no float decides
     membership.
 
-    100 TB shape: the df table is one (token) hash agg; the per-doc
-    rank is a doc-keyed window (each doc's token list is small);
-    the candidate join keys on PREFIX tokens only — rare tokens by
-    construction, so per-key fanout is bounded by the rarest-token df,
-    not by stopword df (joining on ALL tokens would put every pair
-    sharing 'the' through the shuffle); verification is row-local
-    array math on the pair rows.
+    100 TB shape: the df table is one (shingle) hash agg; the per-doc
+    rank is a doc-keyed window (each doc's shingle list is small);
+    the candidate join keys on PREFIX shingles only — rare by
+    construction, so per-key fanout is bounded by the rarest-shingle
+    df, not by boilerplate df (joining on ALL shingles would put
+    every pair sharing a common template line through the shuffle);
+    verification is row-local array math on the pair rows.
     """
     from pyspark.sql import Window
 
@@ -854,12 +858,25 @@ def ppjoin_pairs(
     toks = (
         documents.select(
             F.col(id_col).alias("id"),
+            F.expr(
+                f"filter(split(lower({text_col}), '[^a-z0-9]+'), x -> x != '')"
+            ).alias("w"),
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "id",
             F.explode(
-                F.array_distinct(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"))
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 3), "
+                        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                    )
+                )
             ).alias("tok"),
         )
-        .filter(F.col("tok") != "")
-        .localCheckpoint(eager=False)  # df agg + rank + arrays: ONE token pass
+        # EAGER: four consumers (df agg, rank, sizes, arrays) land in one
+        # action — a lazy checkpoint would replay the explode per branch
+        .localCheckpoint()
     )
     dfreq = toks.groupBy("tok").agg(F.count("*").cast("bigint").alias("df"))
     ranked = toks.join(dfreq, "tok").withColumn(
@@ -870,8 +887,13 @@ def ppjoin_pairs(
     )
     sizes = toks.groupBy("id").agg(F.count("*").cast("bigint").alias("n"))
     # prefix length p = n - ceil(t*n) + 1, integer ceil: (t_pct*n + 99) DIV 100
-    pref = ranked.join(sizes, "id").filter(
-        F.col("rk") <= F.col("n") - F.expr(f"({t_pct} * n + 99) DIV 100") + 1
+    # EAGER checkpoint: pref feeds BOTH sides of the candidate self-join —
+    # without it the rank window computes twice
+    pref = (
+        ranked.join(sizes, "id")
+        .filter(F.col("rk") <= F.col("n") - F.expr(f"({t_pct} * n + 99) DIV 100") + 1)
+        .select("id", "tok")
+        .localCheckpoint()
     )
     cand = (
         pref.select(F.col("id").alias("a"), "tok")

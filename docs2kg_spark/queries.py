@@ -6740,12 +6740,12 @@ CROSS JOIN el_n n
 
 
 def q_doc_ppjoin(spark, sf_dir):
-    """EXACT word-set similarity self-join via prefix filtering
+    """EXACT 3-shingle similarity self-join via prefix filtering
     (PPJoin-lite; operators/dedup.py::ppjoin_pairs) at Jaccard ≥ 0.5 —
     the exact counterpart to the approximate MinHash/SimHash paths:
     same pair semantics, zero false negatives, candidate generation
-    keyed on globally-rarest prefix tokens only.  The DuckDB twin is
-    the brute-force all-shared-token join, so the gate proves the
+    keyed on globally-rarest prefix shingles only.  The DuckDB twin is
+    the brute-force all-shared-shingle join, so the gate proves the
     prefix filter loses nothing."""
     from docs2kg_spark.operators.dedup import ppjoin_pairs
 
@@ -6753,11 +6753,19 @@ def q_doc_ppjoin(spark, sf_dir):
 
 
 SQL_DOC_PPJOIN = r"""
-WITH pj_raw AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+WITH pj_w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
   FROM documents
 ),
-pj_t AS (SELECT DISTINCT doc_id, tok FROM pj_raw WHERE tok <> ''),
+pj_idx AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM pj_w WHERE len(w) >= 3
+),
+pj_t AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+  FROM pj_idx
+),
 pj_n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pj_t GROUP BY 1),
 pj_i AS (
   SELECT x.doc_id AS a, y.doc_id AS b, CAST(count(*) AS BIGINT) AS inter

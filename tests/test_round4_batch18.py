@@ -10,24 +10,27 @@ import docs2kg_spark.queries as Q
 SF_DIR = "/root/testdata/sf0.001"
 
 
+def _shingles(txt):
+    import re
+
+    w = [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t]
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
 def _brute_pairs(docs, t_pct):
-    """Reference: exact all-pairs word-set Jaccard at threshold."""
-    toks = {i: set(w for w in _words(txt)) for i, txt in docs}
+    """Reference: exact all-pairs 3-shingle-set Jaccard at threshold."""
+    toks = {i: _shingles(txt) for i, txt in docs}
     out = set()
     ids = sorted(toks)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
+            if not toks[a] or not toks[b]:
+                continue
             inter = len(toks[a] & toks[b])
             union = len(toks[a] | toks[b])
-            if union and inter * 100 >= t_pct * union:
+            if inter * 100 >= t_pct * union:
                 out.add((a, b, inter, len(toks[a]), len(toks[b])))
     return out
-
-
-def _words(txt):
-    import re
-
-    return [w for w in re.split(r"[^a-z0-9]+", txt.lower()) if w]
 
 
 def test_ppjoin_equals_brute_force_random(spark):
@@ -41,7 +44,7 @@ def test_ppjoin_equals_brute_force_random(spark):
     for i in range(40):
         n = rng.randint(4, 14)
         docs.append((i, " ".join(rng.sample(vocab, n))))
-    # planted: 3 pairs sharing most words
+    # planted near-dups: shared word SEQUENCE (shingles match on order)
     for j, base in enumerate((40, 42, 44)):
         words = rng.sample(vocab, 10)
         docs.append((base, " ".join(words)))
@@ -56,20 +59,22 @@ def test_ppjoin_equals_brute_force_random(spark):
 
 
 def test_ppjoin_threshold_is_integer_exact(spark):
-    """A pair at exactly J = 0.5 (inter=2, union=4) must be INCLUDED
-    (>=, not >) — the integer-scaled test has no float wobble."""
+    """A pair at exactly J = 0.5 (inter=2, union=4 shingles) must be
+    INCLUDED (>=, not >) — the integer test has no float wobble —
+    and a pair just under (1/3) is excluded."""
     from docs2kg_spark.operators.dedup import ppjoin_pairs
 
+    # {a b c, b c d} vs {a b c, b c d, c d e, d e f}: inter 2, union 4
     df = spark.createDataFrame(
-        [(1, "aa bb cc"), (2, "aa bb dd")], "doc_id long, text string"
+        [(1, "a b c d"), (2, "a b c d e f")], "doc_id long, text string"
     )
     rows = ppjoin_pairs(df, threshold_pct=50).collect()
     assert len(rows) == 1 and rows[0]["inter"] == 2 and rows[0]["jacc"] == 0.5
-    # and J just below threshold is excluded
+    # {a b c, b c d} vs {a b c, b c x}: inter 1, union 3 -> excluded
     df2 = spark.createDataFrame(
-        [(1, "aa bb cc x1"), (2, "aa bb dd x2")], "doc_id long, text string"
+        [(1, "a b c d"), (2, "a b c x")], "doc_id long, text string"
     )
-    assert ppjoin_pairs(df2, threshold_pct=50).count() == 0  # J = 2/6
+    assert ppjoin_pairs(df2, threshold_pct=50).count() == 0
 
 
 def test_flesch_exact_counts(spark):

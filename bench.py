@@ -397,6 +397,11 @@ HEADLINE = [
     "user_rfm_bands",
     "event_value_histogram",
     "order_value_windows",
+    # round-4 batch 21: attribution, SLA percentiles, DQ audit, baskets
+    "purchase_attribution",
+    "shipping_delay_stats",
+    "dq_audit",
+    "part_basket_pairs",
 ]
 
 

@@ -7408,6 +7408,199 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 """
 
 
+def q_purchase_attribution(spark, sf_dir):
+    """Last-touch attribution: for every purchase, the most recent
+    PRIOR view by the same user (conditional running-last over a
+    ROWS … 1 PRECEDING frame — the event-stream as-of shape), bucketed
+    by view→purchase latency and counted — the attribution read behind
+    conversion-window policy.  Latency is exact integer seconds;
+    'none' buckets purchases with no prior view.
+
+    Scale shape: ONE user-partitioned window (O(1) running state per
+    row, never a self-join on user), then a ≤5-row hash agg."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_view = F.last(
+        F.when(F.col("event_type") == "view", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        e.withColumn("prior_view_ts", last_view)
+        .filter(F.col("event_type") == "purchase")
+        .selectExpr(
+            "CASE WHEN prior_view_ts IS NULL THEN 'none' "
+            "WHEN unix_timestamp(ts) - unix_timestamp(prior_view_ts) < 60 THEN 'lt_1m' "
+            "WHEN unix_timestamp(ts) - unix_timestamp(prior_view_ts) < 3600 THEN 'lt_1h' "
+            "WHEN unix_timestamp(ts) - unix_timestamp(prior_view_ts) < 86400 THEN 'lt_1d' "
+            "ELSE 'older' END AS latency_bucket"
+        )
+        .groupBy("latency_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+    )
+
+
+SQL_PURCHASE_ATTRIBUTION = """
+WITH pa AS (
+  SELECT event_type, ts,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+  FROM events
+)
+SELECT CASE WHEN prior_view_ts IS NULL THEN 'none'
+            WHEN epoch(ts) - epoch(prior_view_ts) < 60 THEN 'lt_1m'
+            WHEN epoch(ts) - epoch(prior_view_ts) < 3600 THEN 'lt_1h'
+            WHEN epoch(ts) - epoch(prior_view_ts) < 86400 THEN 'lt_1d'
+            ELSE 'older' END AS latency_bucket,
+       CAST(count(*) AS BIGINT) AS n_purchases
+FROM pa WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+def q_shipping_delay_stats(spark, sf_dir):
+    """Order→ship latency distribution per order priority: exact
+    integer day deltas with min/max and interpolated p50/p90
+    (`percentile` in Spark = `quantile_cont` in DuckDB, both the
+    standard R-7 continuous quantile over the SAME integers, so the
+    doubles agree bit-for-bit) — the SLA read (§2.4 aggregate coverage
+    beyond count/sum: exact order-statistic aggregates).
+
+    Scale shape: join is orderkey-equi; the percentile agg is
+    per-GROUP (|priorities| groups), never a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderpriority",
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("delay_d"),
+        )
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("delay_d").alias("min_d"),
+        F.max("delay_d").alias("max_d"),
+        F.round(F.expr("percentile(delay_d, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(delay_d, 0.9)"), 6).alias("p90"),
+    )
+
+
+SQL_SHIPPING_DELAY_STATS = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_d,
+       CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_d,
+       ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.5), 6) AS p50,
+       ROUND(quantile_cont(date_diff('day', o_orderdate, l_shipdate), 0.9), 6) AS p90
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+def q_dq_audit(spark, sf_dir):
+    """Deequ-style data-quality audit in ONE row: row counts,
+    referential-integrity orphans (lineitem→orders, orders→customer,
+    both left-anti shapes), domain violations (quantity outside
+    [1, 50], discount outside [0, 0.1]), and null keys — the
+    constraint-validation pass a pipeline runs before anything else.
+    All counts exact BIGINTs.
+
+    Scale shape: two anti-join counts on their natural keys +
+    row-local range predicates folded into one aggregate per table;
+    the five 1-row aggregates cross-join (broadcast) into one row."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    li_stats = li.agg(
+        F.count("*").cast("bigint").alias("n_lineitem"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1).otherwise(0)
+        ).cast("bigint").alias("n_bad_qty"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1).otherwise(0)
+        ).cast("bigint").alias("n_bad_discount"),
+    )
+    o_stats = o.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_null_custkey"),
+    )
+    li_orphans = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_li_orphans"))
+    )
+    o_orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_order_orphans"))
+    )
+    return (
+        li_stats.crossJoin(F.broadcast(o_stats))
+        .crossJoin(F.broadcast(li_orphans))
+        .crossJoin(F.broadcast(o_orphans))
+        .select(
+            "n_lineitem", "n_orders", "n_li_orphans", "n_order_orphans",
+            "n_null_custkey", "n_bad_qty", "n_bad_discount",
+        )
+    )
+
+
+SQL_DQ_AUDIT = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem li
+     WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)) AS n_li_orphans,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS n_order_orphans,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) AS n_null_custkey,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50) AS n_bad_qty,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1) AS n_bad_discount
+"""
+
+
+def q_part_basket_pairs(spark, sf_dir):
+    """Co-purchase part-pair mining: the top-20 part pairs appearing
+    together in the most orders — the item-to-item affinity read
+    (event_lift's session analog over the order basket).  Counts are
+    exact; ties break on the part keys.
+
+    Scale shape: the self-join keys on l_orderkey, whose per-key
+    fanout is the basket size (bounded small by the data model — a
+    basket-size CAP would be the guard at adversarial scale); distinct
+    (order, part) first so multi-line parts don't inflate pairs;
+    TakeOrdered top-20."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    return (
+        li.alias("x")
+        .join(li.alias("y"), "l_orderkey")
+        .filter(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .groupBy(
+            F.col("x.l_partkey").alias("part_a"),
+            F.col("y.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+SQL_PART_BASKET_PAIRS = """
+WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM bp x JOIN bp y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+GROUP BY 1, 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7653,6 +7846,10 @@ SPARK_QUERIES = {
     "user_rfm_bands": q_user_rfm_bands,
     "event_value_histogram": q_event_value_histogram,
     "order_value_windows": q_order_value_windows,
+    "purchase_attribution": q_purchase_attribution,
+    "shipping_delay_stats": q_shipping_delay_stats,
+    "dq_audit": q_dq_audit,
+    "part_basket_pairs": q_part_basket_pairs,
 }
 
 ORACLE_SQL = {
@@ -7848,4 +8045,8 @@ ORACLE_SQL = {
     "user_rfm_bands": SQL_USER_RFM_BANDS,
     "event_value_histogram": SQL_EVENT_VALUE_HISTOGRAM,
     "order_value_windows": SQL_ORDER_VALUE_WINDOWS,
+    "purchase_attribution": SQL_PURCHASE_ATTRIBUTION,
+    "shipping_delay_stats": SQL_SHIPPING_DELAY_STATS,
+    "dq_audit": SQL_DQ_AUDIT,
+    "part_basket_pairs": SQL_PART_BASKET_PAIRS,
 }

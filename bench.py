@@ -402,6 +402,12 @@ HEADLINE = [
     "shipping_delay_stats",
     "dq_audit",
     "part_basket_pairs",
+    # round-4 batch 22: modularity audit, cluster sizes, k-per-group
+    # sample, YoY seasonality
+    "graph_modularity",
+    "dedup_cluster_sizes",
+    "group_sample",
+    "monthly_revenue_yoy",
 ]
 
 

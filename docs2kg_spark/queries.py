@@ -2385,10 +2385,13 @@ def q_graph_communities(spark, sf_dir):
     )
 
 
-def _graph_lpa_sql(iters: int = 4) -> str:
-    """Unrolled synchronous LPA — per iteration: neighbor label counts,
-    per-node argmax by (count DESC, label ASC), coalesce over the prior
-    labels (the exact recurrence of graphq.py::label_propagation)."""
+def _graph_lpa_ctes(iters: int = 4) -> str:
+    """The unrolled-LPA CTE chain (shared by the communities twin and
+    the modularity twin): per iteration neighbor label counts, per-node
+    argmax by (count DESC, label ASC), coalesce over the prior labels
+    (the exact recurrence of graphq.py::label_propagation).  Exposes
+    `lpa_und` (the deduped undirected edge list) and `lp{iters}` (the
+    final labels)."""
     ctes = [
         """lpa_und AS (
   SELECT src, dst FROM (
@@ -2410,12 +2413,11 @@ lp{i} AS (
   SELECT p.node, coalesce(k.community, p.community) AS community
   FROM lp{i - 1} p LEFT JOIN pk{i} k ON k.node = p.node)"""
         )
-    return (
-        _entity_graph_prefix()
-        + ",\n"
-        + ",\n".join(ctes)
-        + f"\nSELECT node, community FROM lp{iters}"
-    )
+    return _entity_graph_prefix() + ",\n" + ",\n".join(ctes)
+
+
+def _graph_lpa_sql(iters: int = 4) -> str:
+    return _graph_lpa_ctes(iters) + f"\nSELECT node, community FROM lp{iters}"
 
 
 # ---------------------------------------------------------------------------
@@ -7601,6 +7603,182 @@ LIMIT 20
 """
 
 
+def q_graph_modularity(spark, sf_dir):
+    """Newman modularity of the LPA partition over the entity
+    co-occurrence graph — the single-number community-quality audit
+    (is LPA finding structure, or noise?).  Computed EXACTLY in
+    integers: with m2 = |directed und edges| = 2m,
+    Q·m2² = Σ_c (intra2_c·m2 − d_c²) is a BIGINT (safe while
+    m2 ≲ 3·10⁹; beyond that the audit runs per-community anyway), and
+    the single float division happens once at the end.
+
+    Scale shape: reuses the memoized triples; one undirected-dedup
+    pass; two broadcast label joins onto the edge list; a
+    per-community hash agg then a 1-row reduction."""
+    t = q_kg_triples(spark, sf_dir)
+    e = t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .filter("src != dst")
+        .localCheckpoint(eager=False)  # m2 count + label joins: ONE pass
+    )
+    labels = q_graph_communities(spark, sf_dir)
+    lab = und.join(
+        F.broadcast(labels.selectExpr("node AS src", "community AS c_src")), "src"
+    ).join(F.broadcast(labels.selectExpr("node AS dst", "community AS c_dst")), "dst")
+    per_c = lab.groupBy("c_src").agg(
+        F.count("*").cast("bigint").alias("d_sum"),
+        F.sum(F.when(F.col("c_src") == F.col("c_dst"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("intra2"),
+    )
+    m2 = und.agg(F.count("*").cast("bigint").alias("m2"))
+    return (
+        per_c.crossJoin(F.broadcast(m2))
+        .groupBy("m2")
+        .agg(
+            F.count("*").cast("bigint").alias("n_communities"),
+            F.sum(F.col("intra2") * F.col("m2") - F.col("d_sum") * F.col("d_sum"))
+            .cast("bigint")
+            .alias("q_num"),
+        )
+        .selectExpr(
+            "n_communities",
+            "m2",
+            "q_num",
+            "ROUND(CAST(q_num AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2), 6) AS modularity",
+        )
+    )
+
+
+def _graph_modularity_sql() -> str:
+    return f"""
+{_graph_lpa_ctes(4)},
+gm_lab AS (
+  SELECT u.src, u.dst, ls.community AS c_src, ld.community AS c_dst
+  FROM lpa_und u
+  JOIN lp4 ls ON ls.node = u.src
+  JOIN lp4 ld ON ld.node = u.dst
+),
+gm_m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM lpa_und),
+gm_c AS (
+  SELECT c_src, CAST(count(*) AS BIGINT) AS d_sum,
+         CAST(count(*) FILTER (c_src = c_dst) AS BIGINT) AS intra2
+  FROM gm_lab GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities, m2,
+       CAST(sum(intra2 * m2 - d_sum * d_sum) AS BIGINT) AS q_num,
+       ROUND(CAST(sum(intra2 * m2 - d_sum * d_sum) AS DOUBLE) / (CAST(m2 AS DOUBLE) * m2), 6) AS modularity
+FROM gm_c CROSS JOIN gm_m GROUP BY m2
+"""
+
+
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster size histogram: how many clusters have 1, 2, 3…
+    members — the dedup-impact summary (singleton share = untouched
+    corpus; the tail = template families).  Composes the memoized
+    transitive survivor map; exact counts.
+
+    Scale shape: two stacked hash aggs (survivor → size, size → count)
+    on the already-materialized map."""
+    cmap = _doc_dedup_map_memo(spark, sf_dir)
+    return (
+        cmap.groupBy("canonical_id")
+        .agg(F.count("*").cast("bigint").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .selectExpr("CAST(sz AS BIGINT) AS cluster_size", "n_clusters")
+    )
+
+
+def _dedup_cluster_sizes_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import doc_dedup_map_sql
+
+    return f"""
+WITH dcs_map AS ({doc_dedup_map_sql()}),
+dcs_sz AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz FROM dcs_map GROUP BY 1
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM dcs_sz GROUP BY 1
+"""
+
+
+def q_group_sample(spark, sf_dir):
+    """Deterministic k-per-group sample: 3 documents per (lang, source)
+    cell chosen by md5 hash order — uniform-without-replacement within
+    every cell, reproducible across runs and engines (the eval-set
+    carve-out a pipeline does per stratum; doc_stratified downsamples
+    by RATE, this caps by COUNT).
+
+    Scale shape: one group-partitioned window over row-local hash
+    keys; no global sort, no shuffle beyond the group key."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    hkey = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("gsample-v1")))
+    w = Window.partitionBy("lang", "source").orderBy(hkey, "doc_id")
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "source", F.col("rank").cast("int").alias("rank"), "doc_id")
+    )
+
+
+SQL_GROUP_SAMPLE = """
+SELECT lang, source, CAST(rank AS INT) AS rank, doc_id
+FROM (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || 'gsample-v1'), doc_id
+         ) AS rank
+  FROM documents
+) WHERE rank <= 3
+"""
+
+
+def q_monthly_revenue_yoy(spark, sf_dir):
+    """Monthly revenue with year-over-year delta: exact BIGINT cents
+    per month, lag(12) for the same month last year — the seasonality
+    read.  The lag window is global-ordered BUT runs over the
+    already-aggregated month table (≤ |months| rows — bounded by the
+    calendar, not the data; the same vocabulary-sized-bound argument
+    as negative sampling, only tighter).
+
+    Scale shape: one (month) hash agg reduces the corpus to ≤ ~100
+    rows; the window sorts those rows only."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+    )
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "cents",
+        F.lag("cents", 12).over(w).alias("prev_year_cents"),
+        (F.col("cents") - F.lag("cents", 12).over(w)).alias("yoy_delta"),
+    )
+
+
+SQL_MONTHLY_REVENUE_YOY = """
+WITH mr AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT month, cents,
+       lag(cents, 12) OVER (ORDER BY month) AS prev_year_cents,
+       cents - lag(cents, 12) OVER (ORDER BY month) AS yoy_delta
+FROM mr
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -7850,6 +8028,10 @@ SPARK_QUERIES = {
     "shipping_delay_stats": q_shipping_delay_stats,
     "dq_audit": q_dq_audit,
     "part_basket_pairs": q_part_basket_pairs,
+    "graph_modularity": q_graph_modularity,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "group_sample": q_group_sample,
+    "monthly_revenue_yoy": q_monthly_revenue_yoy,
 }
 
 ORACLE_SQL = {
@@ -8049,4 +8231,8 @@ ORACLE_SQL = {
     "shipping_delay_stats": SQL_SHIPPING_DELAY_STATS,
     "dq_audit": SQL_DQ_AUDIT,
     "part_basket_pairs": SQL_PART_BASKET_PAIRS,
+    "graph_modularity": _graph_modularity_sql(),
+    "dedup_cluster_sizes": _dedup_cluster_sizes_sql(),
+    "group_sample": SQL_GROUP_SAMPLE,
+    "monthly_revenue_yoy": SQL_MONTHLY_REVENUE_YOY,
 }

@@ -408,6 +408,9 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "group_sample",
     "monthly_revenue_yoy",
+    # round-4 batch 23: PQ compression audit, fuzzy alias discovery
+    "ann_pq_recall",
+    "mention_fuzzy_aliases",
 ]
 
 

@@ -7779,6 +7779,223 @@ FROM mr
 """
 
 
+_PQ_M, _PQ_K, _PQ_SUB = 4, 16, 16
+
+
+def q_ann_pq_recall(spark, sf_dir):
+    """Recall@5 of product-quantized retrieval vs exact cosine
+    (Jégou et al., PAMI'11): the 64-dim space splits into 4 subspaces,
+    each vector's subvectors snap to the nearest of 16 codewords
+    (codebook = the 16 smallest vec_ids' subvectors — deterministic
+    k-means init, replicated verbatim in the twin), and the
+    asymmetric-distance score is the sum of 4 LUT dot products — the
+    memory-compression tier (64 floats → 4 codes) audited against the
+    exact baseline, the PQ analog of ann_int8_recall.
+
+    Cross-engine float discipline: every dot product is ONE
+    fixed-order fold (matches list_dot_product); the 4 per-subspace
+    contributions are pivoted to columns and summed in one fixed
+    parse order — never a float SUM over a hash-partitioned group.
+
+    Scale shape: the codebook (64 rows) and LUT (10 queries × 64
+    entries) broadcast; encoding is a 64-way broadcast join + a
+    (vec, subspace)-keyed argmin window; the score needs NO access to
+    the original vectors — that is the point of PQ at 100 TB."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    anchors = e.orderBy("vec_id").limit(_PQ_K)
+    cb = None
+    for s in range(_PQ_M):
+        part = anchors.select(
+            F.lit(s).alias("s"),
+            F.col("vec_id").alias("code"),
+            F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("cw"),
+        )
+        cb = part if cb is None else cb.unionByName(part)
+    cb = cb.localCheckpoint(eager=False)  # encode join + LUT: ONE build
+    xs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("xs"),
+                    )
+                    for s in range(_PQ_M)
+                ]
+            )
+        ).alias("st"),
+    ).select("vec_id", "st.s", "st.xs")
+    scored = xs.join(F.broadcast(cb), "s").select(
+        "vec_id",
+        "s",
+        "code",
+        (dot(F.col("xs"), F.col("xs")) + dot(F.col("cw"), F.col("cw"))
+         - 2 * dot(F.col("xs"), F.col("cw"))).alias("d2"),
+    )
+    wenc = Window.partitionBy("vec_id", "s").orderBy("d2", "code")
+    codes = (
+        scored.withColumn("r", F.row_number().over(wenc))
+        .filter("r = 1")
+        .select("vec_id", "s", "code")
+    )
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    lut = probes.crossJoin(F.broadcast(cb)).select(
+        "query_id",
+        "s",
+        "code",
+        dot(
+            F.slice("qv", F.col("s") * _PQ_SUB + 1, F.lit(_PQ_SUB)), F.col("cw")
+        ).alias("pdot"),
+    )
+    sc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            *[
+                F.max(F.when(F.col("s") == s, F.col("pdot"))).alias(f"p{s}")
+                for s in range(_PQ_M)
+            ]
+        )
+        .selectExpr("query_id", "neighbor_id", "((p0 + p1) + p2) + p3 AS ascore")
+    )
+    wtop = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col("neighbor_id")
+    )
+    pq_top = (
+        sc.withColumn("r", F.row_number().over(wtop))
+        .filter("r <= 5")
+        .select("query_id", "neighbor_id")
+    )
+    bf = q_ann_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        bf.join(pq_top, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
+    return (
+        bf.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .selectExpr(
+            "query_id",
+            "CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits",
+            "ROUND(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5, 6) AS recall_at_5",
+        )
+    )
+
+
+SQL_ANN_PQ_RECALL = f"""
+WITH pq_e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pq_s AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS s),
+pq_a AS (SELECT vec_id AS code, v FROM pq_e ORDER BY vec_id LIMIT {_PQ_K}),
+pq_cb AS (
+  SELECT s, code, v[s*{_PQ_SUB}+1 : s*{_PQ_SUB}+{_PQ_SUB}] AS cw FROM pq_a, pq_s
+),
+pq_xs AS (
+  SELECT vec_id, s, v[s*{_PQ_SUB}+1 : s*{_PQ_SUB}+{_PQ_SUB}] AS xs FROM pq_e, pq_s
+),
+pq_d AS (
+  SELECT x.vec_id, x.s, c.code,
+         list_dot_product(x.xs, x.xs) + list_dot_product(c.cw, c.cw)
+           - 2 * list_dot_product(x.xs, c.cw) AS d2
+  FROM pq_xs x JOIN pq_cb c ON c.s = x.s
+),
+pq_codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS r
+    FROM pq_d) WHERE r = 1
+),
+pq_lut AS (
+  SELECT q.vec_id AS query_id, c.s, c.code,
+         list_dot_product(q.v[c.s*{_PQ_SUB}+1 : c.s*{_PQ_SUB}+{_PQ_SUB}], c.cw) AS pdot
+  FROM pq_e q, pq_cb c WHERE q.vec_id < 10
+),
+pq_sc AS (
+  SELECT l.query_id, x.vec_id AS neighbor_id,
+         ((max(CASE WHEN l.s = 0 THEN l.pdot END) + max(CASE WHEN l.s = 1 THEN l.pdot END))
+          + max(CASE WHEN l.s = 2 THEN l.pdot END)) + max(CASE WHEN l.s = 3 THEN l.pdot END) AS ascore
+  FROM pq_codes x JOIN pq_lut l ON l.s = x.s AND l.code = x.code AND l.query_id != x.vec_id
+  GROUP BY 1, 2
+),
+pq_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ascore DESC, neighbor_id) AS r
+    FROM pq_sc) WHERE r <= 5
+),
+pq_bf AS (SELECT query_id, neighbor_id FROM ({SQL_ANN_TOPK})),
+pq_hits AS (
+  SELECT b.query_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM pq_bf b JOIN pq_top t ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+  GROUP BY 1
+)
+SELECT q.query_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(coalesce(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+FROM (SELECT DISTINCT query_id FROM pq_bf) q
+LEFT JOIN pq_hits h ON h.query_id = q.query_id
+"""
+
+
+def q_mention_fuzzy_aliases(spark, sf_dir):
+    """Typo-distance alias discovery over the mention surface
+    vocabulary: same-label surface pairs within Levenshtein distance 2
+    (length ≥ 4, so short tokens don't fuzz together) — the
+    fuzzy-match complement to the MinHash-token canonical map (which
+    catches word-level variants, not character-level typos).
+
+    Scale shape: the pair join runs on the DISTINCT (text, label)
+    vocabulary — broadcast-sized by construction (the same argument as
+    linking.py's driver fast path), never on the mention stream; the
+    length-band predicate prunes before the edit-distance evaluates."""
+    m = q_kg_mentions(spark, sf_dir)
+    vocab = (
+        m.select("text", "label").distinct()
+        .filter(F.length("text") >= 4)
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    a = vocab.selectExpr("text AS text_a", "label")
+    b = vocab.selectExpr("text AS text_b", "label")
+    return (
+        a.join(F.broadcast(b), "label")
+        .filter(F.col("text_a") < F.col("text_b"))
+        .filter(F.abs(F.length("text_a") - F.length("text_b")) <= 2)
+        .withColumn("dist", F.levenshtein("text_a", "text_b").cast("int"))
+        .filter(F.col("dist") <= 2)
+        .select("label", "text_a", "text_b", "dist")
+    )
+
+
+def _mention_fuzzy_aliases_sql() -> str:
+    # kg_canonical_ctes carries the mentions CTE; the unreferenced cmap
+    # CTEs are never evaluated (DuckDB executes CTEs on demand)
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+fa_v AS (
+  SELECT DISTINCT text, label FROM mentions WHERE length(text) >= 4
+)
+SELECT a.label, a.text AS text_a, b.text AS text_b,
+       CAST(levenshtein(a.text, b.text) AS INT) AS dist
+FROM fa_v a JOIN fa_v b ON a.label = b.label AND a.text < b.text
+WHERE abs(length(a.text) - length(b.text)) <= 2
+  AND levenshtein(a.text, b.text) <= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8032,6 +8249,8 @@ SPARK_QUERIES = {
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "group_sample": q_group_sample,
     "monthly_revenue_yoy": q_monthly_revenue_yoy,
+    "ann_pq_recall": q_ann_pq_recall,
+    "mention_fuzzy_aliases": q_mention_fuzzy_aliases,
 }
 
 ORACLE_SQL = {
@@ -8235,4 +8454,6 @@ ORACLE_SQL = {
     "dedup_cluster_sizes": _dedup_cluster_sizes_sql(),
     "group_sample": SQL_GROUP_SAMPLE,
     "monthly_revenue_yoy": SQL_MONTHLY_REVENUE_YOY,
+    "ann_pq_recall": SQL_ANN_PQ_RECALL,
+    "mention_fuzzy_aliases": _mention_fuzzy_aliases_sql(),
 }

@@ -411,6 +411,9 @@ HEADLINE = [
     # round-4 batch 23: PQ compression audit, fuzzy alias discovery
     "ann_pq_recall",
     "mention_fuzzy_aliases",
+    # round-4 batch 24: WAV decode leg, per-group HLL
+    "multimodal_audio_decode",
+    "hll_type_distinct",
 ]
 
 

@@ -7996,6 +7996,117 @@ WHERE abs(length(a.text) - length(b.text)) <= 2
 """
 
 
+def q_multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decode end-to-end (the WAV leg of the media family;
+    multimodal_real_decode is the image leg): each doc synthesizes a
+    deterministic integer waveform s_i = ((doc_id·31 + 7i) mod 201) −
+    100 of length 64 + doc_id%64, encodes it to REAL RIFF/PCM WAV
+    bytes, decodes the byte stream back through the pure-stdlib parser
+    (operators/media.py::decode_wav), and emits sample-rate/channel/
+    sum/peak FROM THE DECODED ARRAY — all exact integers, so any
+    header, chunk-walk, or sample-width defect breaks the value hash.
+    The DuckDB twin regenerates the same waveform arithmetically.
+
+    100 TB shape: one narrow Arrow pass, zero shuffle; per-row work
+    bounded by 128 samples."""
+    import numpy as np
+
+    from docs2kg_spark.operators import media
+
+    schema = "doc_id bigint, sr bigint, nch bigint, n_samples bigint, sum_s bigint, peak bigint"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "sr", "nch", "n_samples", "sum_s", "peak")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 64 + did % 64
+                s = (((did * 31 + np.arange(n) * 7) % 201) - 100).astype(np.int16)
+                payload = media.encode_wav(s, sample_rate=8000 + (did % 4) * 4000)
+                sr, nch, dec = media.decode_wav(payload)
+                rows["doc_id"].append(did)
+                rows["sr"].append(int(sr))
+                rows["nch"].append(int(nch))
+                rows["n_samples"].append(int(len(dec)))
+                rows["sum_s"].append(int(dec.sum()))
+                rows["peak"].append(int(np.abs(dec).max()))
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(gen, schema=schema)
+
+
+SQL_MM_AUDIO_DECODE = """
+WITH ad_n AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+ad_i AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM ad_n),
+ad_s AS (SELECT doc_id, n, ((doc_id * 31 + i * 7) % 201) - 100 AS s FROM ad_i)
+SELECT doc_id,
+       CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sr,
+       CAST(1 AS BIGINT) AS nch,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(sum(s) AS BIGINT) AS sum_s,
+       CAST(max(abs(s)) AS BIGINT) AS peak
+FROM ad_s GROUP BY doc_id, n
+"""
+
+
+def q_hll_type_distinct(spark, sf_dir):
+    """Per-event-type HyperLogLog distinct-user estimate beside the
+    exact answer and the integer-scaled relative error — the per-group
+    sketch read (count(DISTINCT) per group expands every row at 100 TB;
+    the (group, register) table reduces to |groups|·64 rows and is the
+    sketch's MERGE form).  Registers, fixed-point harmonic sum, and
+    the error basis points are all engine-exact."""
+    from docs2kg_spark.operators.sketches import hll_distinct_by
+
+    return hll_distinct_by(
+        _t(spark, sf_dir, "events"), "user_id", "event_type"
+    ).selectExpr(
+        "grp AS event_type", "v_nonempty", "est", "n_true", "rel_err_bp"
+    )
+
+
+SQL_HLL_TYPE_DISTINCT = """
+WITH ht_h AS (
+  SELECT event_type AS grp,
+         CAST(CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+  FROM events
+),
+ht_b AS (SELECT grp, h & 63 AS bucket, h >> 6 AS h2 FROM ht_h),
+ht_r AS (
+  SELECT grp, bucket,
+         max(CASE WHEN h2 > 0 THEN 43 - length(bin(h2)) ELSE 43 END) AS r
+  FROM ht_b GROUP BY 1, 2
+),
+ht_c AS (
+  SELECT grp, CAST(count(*) AS BIGINT) AS v_nonempty,
+         SUM(CAST(1 AS BIGINT) << (50 - r)) AS hsum
+  FROM ht_r GROUP BY 1
+),
+ht_e AS (
+  SELECT grp, v_nonempty,
+         ROUND(CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(1125899906842624 AS DOUBLE)
+               / (hsum + (64 - v_nonempty) * CAST(1125899906842624 AS BIGINT)), 6) AS raw_est
+  FROM ht_c
+),
+ht_f AS (
+  SELECT grp, v_nonempty,
+         CASE WHEN raw_est <= 160.0 AND v_nonempty < 64
+              THEN ROUND(64.0 * ln(64.0 / CAST(64 - v_nonempty AS DOUBLE)), 6)
+              ELSE raw_est END AS est
+  FROM ht_e
+),
+ht_t AS (
+  SELECT event_type AS grp, CAST(count(DISTINCT user_id) AS BIGINT) AS n_true
+  FROM events GROUP BY 1
+)
+SELECT f.grp AS event_type, f.v_nonempty, f.est, t.n_true,
+       CAST(abs(CAST(round(f.est) AS BIGINT) - t.n_true) * 10000 // t.n_true AS BIGINT) AS rel_err_bp
+FROM ht_f f JOIN ht_t t ON t.grp = f.grp
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8251,6 +8362,8 @@ SPARK_QUERIES = {
     "monthly_revenue_yoy": q_monthly_revenue_yoy,
     "ann_pq_recall": q_ann_pq_recall,
     "mention_fuzzy_aliases": q_mention_fuzzy_aliases,
+    "multimodal_audio_decode": q_multimodal_audio_decode,
+    "hll_type_distinct": q_hll_type_distinct,
 }
 
 ORACLE_SQL = {
@@ -8456,4 +8569,6 @@ ORACLE_SQL = {
     "monthly_revenue_yoy": SQL_MONTHLY_REVENUE_YOY,
     "ann_pq_recall": SQL_ANN_PQ_RECALL,
     "mention_fuzzy_aliases": _mention_fuzzy_aliases_sql(),
+    "multimodal_audio_decode": SQL_MM_AUDIO_DECODE,
+    "hll_type_distinct": SQL_HLL_TYPE_DISTINCT,
 }

@@ -414,6 +414,10 @@ HEADLINE = [
     # round-4 batch 24: WAV decode leg, per-group HLL
     "multimodal_audio_decode",
     "hll_type_distinct",
+    # round-4 batch 25: ego drill-down, robust anomalies, linking venn
+    "kg_ego_net",
+    "event_mad_anomalies",
+    "linking_method_venn",
 ]
 
 

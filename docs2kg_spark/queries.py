@@ -8107,6 +8107,221 @@ FROM ht_f f JOIN ht_t t ON t.grp = f.grp
 """
 
 
+def q_kg_ego_net(spark, sf_dir):
+    """Ego network of the KG's top-degree hub: the hub (max degree,
+    min node-id tie-break), every incident edge with direction and
+    type, and each neighbor's own degree — the drill-down read a graph
+    consumer runs after the degree histogram says "there is a hub".
+
+    Scale shape: degrees are one (node) hash agg over the src/dst
+    union; the hub is a TakeOrdered top-1 broadcast back as a join
+    filter (never a driver collect in the dataflow); neighbor degrees
+    join the already-reduced degree table."""
+    e = q_kg_edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count("*").cast("bigint").alias("degree"))
+    deg = deg.localCheckpoint(eager=False)  # hub top-1 + neighbor degrees
+    hub = deg.orderBy(F.col("degree").desc(), "node").limit(1).select(
+        F.col("node").alias("hub")
+    )
+    inc = (
+        e.join(F.broadcast(hub), (e.src == F.col("hub")) | (e.dst == F.col("hub")))
+        .selectExpr(
+            "hub",
+            "CASE WHEN src = hub THEN 'out' ELSE 'in' END AS direction",
+            "CASE WHEN src = hub THEN dst ELSE src END AS neighbor",
+            "type",
+        )
+    )
+    return inc.join(
+        deg.selectExpr("node AS neighbor", "degree AS neighbor_degree"), "neighbor"
+    ).select("hub", "direction", "neighbor", "type", "neighbor_degree")
+
+
+def _kg_ego_net_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_edges_sql
+
+    return f"""
+WITH en_e AS ({kg_edges_sql(TRANSCRIPTS_CTE)}),
+en_nd AS (SELECT src AS node FROM en_e UNION ALL SELECT dst FROM en_e),
+en_dg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM en_nd GROUP BY 1),
+en_hub AS (SELECT node AS hub FROM en_dg ORDER BY degree DESC, node LIMIT 1),
+en_inc AS (
+  SELECT h.hub,
+         CASE WHEN e.src = h.hub THEN 'out' ELSE 'in' END AS direction,
+         CASE WHEN e.src = h.hub THEN e.dst ELSE e.src END AS neighbor,
+         e.type
+  FROM en_e e JOIN en_hub h ON e.src = h.hub OR e.dst = h.hub
+)
+SELECT i.hub, i.direction, i.neighbor, i.type, d.degree AS neighbor_degree
+FROM en_inc i JOIN en_dg d ON d.node = i.neighbor
+"""
+
+
+def q_event_mad_anomalies(spark, sf_dir):
+    """Robust (median/MAD) hourly-volume anomaly profile per event
+    type: median hourly count, median absolute deviation, and the most
+    deviant hour — the outlier-resistant alternative to
+    event_anomalies' z-scores (one bursty hour inflates a stddev but
+    not a MAD).  Medians interpolate over exact integer counts
+    (`percentile` ≡ `quantile_cont`, parity proven by
+    shipping_delay_stats); the top hour tie-breaks on the hour key.
+
+    Scale shape: hourly counts are one (hour, type) hash agg; median
+    and MAD are per-GROUP order statistics; the deviant-hour pick is a
+    per-type top-1 window over already-reduced rows."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("h"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)  # median agg + dev window: ONE pass
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.expr("percentile(c, 0.5)").alias("med"),
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("c") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("adev").desc(), "h")
+    top = (
+        dev.withColumn("r", F.row_number().over(w))
+        .filter("r = 1")
+        .select("event_type", F.col("h").alias("top_hour"), F.col("c").alias("top_count"))
+    )
+    return (
+        med.join(mad, "event_type")
+        .join(top, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "top_hour",
+            "top_count",
+        )
+    )
+
+
+SQL_EVENT_MAD_ANOMALIES = """
+WITH ma_h AS (
+  SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS h, event_type,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+ma_m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         quantile_cont(c, 0.5) AS med
+  FROM ma_h GROUP BY 1
+),
+ma_d AS (
+  SELECT h.h, h.event_type, h.c, m.n_hours, m.med, abs(h.c - m.med) AS adev
+  FROM ma_h h JOIN ma_m m USING (event_type)
+),
+ma_mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM ma_d GROUP BY 1
+),
+ma_top AS (
+  SELECT event_type, h AS top_hour, c AS top_count FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev DESC, h) AS r
+    FROM ma_d) WHERE r = 1
+)
+SELECT m.event_type, m.n_hours, ROUND(m.med, 6) AS med, ROUND(d.mad, 6) AS mad,
+       t.top_hour, t.top_count
+FROM ma_m m JOIN ma_mad d USING (event_type) JOIN ma_top t USING (event_type)
+"""
+
+
+def q_linking_method_venn(spark, sf_dir):
+    """Method-agreement audit for ENTITY linking (the dedup_method_venn
+    analog one level up): same-label surface pairs proposed by the
+    MinHash canonical map (same cluster) vs by Levenshtein ≤ 2 — the
+    overlap says whether char-level typos are already folded by the
+    token-level linker or form a disjoint alias class.  One exact-count
+    row: pairs-by-cmap, pairs-by-editdist, both, and the agreement
+    Jaccard (one rounded division).
+
+    Scale shape: both pair sets live on the surface VOCABULARY
+    (broadcast-sized; the linking fast-path argument); the venn is a
+    full-outer join of two thin pair tables."""
+    cmap = q_kg_canonical_map(spark, sf_dir)
+    v = cmap.filter(F.length("text") >= 4)
+    cpairs = (
+        v.alias("a")
+        .join(v.alias("b"), F.col("a.canonical_id") == F.col("b.canonical_id"))
+        .filter(
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.text") < F.col("b.text"))
+        )
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.text").alias("text_a"),
+            F.col("b.text").alias("text_b"),
+        )
+        .distinct()
+        .withColumn("by_cmap", F.lit(1))
+    )
+    lpairs = q_mention_fuzzy_aliases(spark, sf_dir).select(
+        "label", "text_a", "text_b"
+    ).withColumn("by_lev", F.lit(1))
+    venn = cpairs.join(lpairs, ["label", "text_a", "text_b"], "full_outer")
+    return venn.agg(
+        F.sum(F.coalesce("by_cmap", F.lit(0))).cast("bigint").alias("n_cmap"),
+        F.sum(F.coalesce("by_lev", F.lit(0))).cast("bigint").alias("n_lev"),
+        F.sum(
+            F.when(F.col("by_cmap").isNotNull() & F.col("by_lev").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_both"),
+        F.count("*").cast("bigint").alias("n_union"),
+    ).selectExpr(
+        "n_cmap", "n_lev", "n_both", "n_union",
+        "ROUND(CAST(n_both AS DOUBLE) / n_union, 6) AS agreement_jaccard",
+    )
+
+
+def _linking_method_venn_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+lv_v AS (SELECT text, label, canonical_id FROM cmap WHERE length(text) >= 4),
+lv_c AS (
+  SELECT DISTINCT a.label, a.text AS text_a, b.text AS text_b
+  FROM lv_v a JOIN lv_v b
+    ON a.canonical_id = b.canonical_id AND a.label = b.label AND a.text < b.text
+),
+lv_fv AS (SELECT DISTINCT text, label FROM mentions WHERE length(text) >= 4),
+lv_l AS (
+  SELECT a.label, a.text AS text_a, b.text AS text_b
+  FROM lv_fv a JOIN lv_fv b ON a.label = b.label AND a.text < b.text
+  WHERE abs(length(a.text) - length(b.text)) <= 2
+    AND levenshtein(a.text, b.text) <= 2
+),
+lv_venn AS (
+  SELECT coalesce(c.label, l.label) AS label,
+         CASE WHEN c.text_a IS NOT NULL THEN 1 ELSE 0 END AS by_cmap,
+         CASE WHEN l.text_a IS NOT NULL THEN 1 ELSE 0 END AS by_lev
+  FROM lv_c c FULL OUTER JOIN lv_l l
+    ON l.label = c.label AND l.text_a = c.text_a AND l.text_b = c.text_b
+)
+SELECT CAST(sum(by_cmap) AS BIGINT) AS n_cmap,
+       CAST(sum(by_lev) AS BIGINT) AS n_lev,
+       CAST(sum(CASE WHEN by_cmap = 1 AND by_lev = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(count(*) AS BIGINT) AS n_union,
+       ROUND(CAST(sum(CASE WHEN by_cmap = 1 AND by_lev = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS agreement_jaccard
+FROM lv_venn
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8364,6 +8579,9 @@ SPARK_QUERIES = {
     "mention_fuzzy_aliases": q_mention_fuzzy_aliases,
     "multimodal_audio_decode": q_multimodal_audio_decode,
     "hll_type_distinct": q_hll_type_distinct,
+    "kg_ego_net": q_kg_ego_net,
+    "event_mad_anomalies": q_event_mad_anomalies,
+    "linking_method_venn": q_linking_method_venn,
 }
 
 ORACLE_SQL = {
@@ -8571,4 +8789,7 @@ ORACLE_SQL = {
     "mention_fuzzy_aliases": _mention_fuzzy_aliases_sql(),
     "multimodal_audio_decode": SQL_MM_AUDIO_DECODE,
     "hll_type_distinct": SQL_HLL_TYPE_DISTINCT,
+    "kg_ego_net": _kg_ego_net_sql(),
+    "event_mad_anomalies": SQL_EVENT_MAD_ANOMALIES,
+    "linking_method_venn": _linking_method_venn_sql(),
 }

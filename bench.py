@@ -418,6 +418,9 @@ HEADLINE = [
     "kg_ego_net",
     "event_mad_anomalies",
     "linking_method_venn",
+    # round-4 batch 26: HITS, session engagement profile
+    "graph_hits",
+    "session_stats",
 ]
 
 

@@ -8322,6 +8322,132 @@ FROM lv_venn
 """
 
 
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg, JACM'99) over the directed
+    entity co-occurrence graph, 2 full mutual-reinforcement rounds —
+    the directed complement to PageRank (pagerank ranks endorsement
+    flow; HITS separates pointers-to-good from pointed-at-by-good).
+
+    Exactness: per-iteration NORMALIZATION IS OMITTED (fixed iteration
+    count ⇒ rankings identical), which keeps every score an exact
+    BIGINT sum of integer degrees — no float accumulates anywhere, the
+    trick that makes an iterative spectral method value-oracle-able:
+    h¹ = outdeg; a¹(v) = Σ_{u→v} h¹(u); h²(u) = Σ_{u→v} a¹(v);
+    a²(v) = Σ_{u→v} h²(u).
+
+    Scale shape: each round is one equi-join of the edge list against
+    the node-sized score table + one hash agg — the pagerank loop
+    shape; 2 rounds, no driver action between them."""
+    t = q_kg_triples(spark, sf_dir)
+    e = (
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()  # the entity graph convention every graph read shares (eg_e)
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node")).union(e.select("dst")).distinct()
+    )
+    h1 = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("h1")
+    )
+    a1 = (
+        e.join(h1.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("h1").cast("bigint").alias("a1"))
+    )
+    h2 = (
+        e.join(a1.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.sum("a1").cast("bigint").alias("h2"))
+    )
+    a2 = (
+        e.join(h2.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("h2").cast("bigint").alias("a2"))
+    )
+    return (
+        nodes.join(h2, "node", "left")
+        .join(a2, "node", "left")
+        .selectExpr(
+            "node",
+            "CAST(coalesce(h2, 0) AS BIGINT) AS hub_score",
+            "CAST(coalesce(a2, 0) AS BIGINT) AS auth_score",
+        )
+    )
+
+
+def _graph_hits_sql() -> str:
+    return f"""
+{_entity_graph_prefix()},
+ht_n AS (SELECT src AS node FROM eg_e UNION SELECT dst FROM eg_e),
+ht_h1 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS h1 FROM eg_e GROUP BY 1),
+ht_a1 AS (
+  SELECT e.dst AS node, CAST(sum(h.h1) AS BIGINT) AS a1
+  FROM eg_e e JOIN ht_h1 h ON h.node = e.src GROUP BY 1
+),
+ht_h2 AS (
+  SELECT e.src AS node, CAST(sum(a.a1) AS BIGINT) AS h2
+  FROM eg_e e JOIN ht_a1 a ON a.node = e.dst GROUP BY 1
+),
+ht_a2 AS (
+  SELECT e.dst AS node, CAST(sum(h.h2) AS BIGINT) AS a2
+  FROM eg_e e JOIN ht_h2 h ON h.node = e.src GROUP BY 1
+)
+SELECT n.node,
+       CAST(coalesce(h.h2, 0) AS BIGINT) AS hub_score,
+       CAST(coalesce(a.a2, 0) AS BIGINT) AS auth_score
+FROM ht_n n
+LEFT JOIN ht_h2 h ON h.node = n.node
+LEFT JOIN ht_a2 a ON a.node = n.node
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    """Session-grain corpus profile in one row: session count, median
+    events per session, median and p90 session duration (exact integer
+    seconds, interpolated per-group percentiles — quantile_cont
+    parity) — the engagement summary read off the sessionizer.
+
+    Scale shape: composes the user-bounded sessionizer; one
+    (user, session) hash agg to |sessions| rows, then a 1-row
+    order-statistics aggregate."""
+    s = q_sessionize(spark, sf_dir)
+    e = _t(spark, sf_dir, "events").select("event_id", "ts")
+    per = (
+        s.join(e, "event_id")
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+            .cast("bigint")
+            .alias("dur_s"),
+        )
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.round(F.expr("percentile(n_events, 0.5)"), 6).alias("med_events"),
+        F.round(F.expr("percentile(dur_s, 0.5)"), 6).alias("med_dur_s"),
+        F.round(F.expr("percentile(dur_s, 0.9)"), 6).alias("p90_dur_s"),
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH ss_s AS ({SQL_SESSIONIZE}),
+ss_p AS (
+  SELECT s.user_id, s.session_idx,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(epoch(max(e.ts)) - epoch(min(e.ts)) AS BIGINT) AS dur_s
+  FROM ss_s s JOIN events e USING (event_id)
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       ROUND(quantile_cont(n_events, 0.5), 6) AS med_events,
+       ROUND(quantile_cont(dur_s, 0.5), 6) AS med_dur_s,
+       ROUND(quantile_cont(dur_s, 0.9), 6) AS p90_dur_s
+FROM ss_p
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8582,6 +8708,8 @@ SPARK_QUERIES = {
     "kg_ego_net": q_kg_ego_net,
     "event_mad_anomalies": q_event_mad_anomalies,
     "linking_method_venn": q_linking_method_venn,
+    "graph_hits": q_graph_hits,
+    "session_stats": q_session_stats,
 }
 
 ORACLE_SQL = {
@@ -8792,4 +8920,6 @@ ORACLE_SQL = {
     "kg_ego_net": _kg_ego_net_sql(),
     "event_mad_anomalies": SQL_EVENT_MAD_ANOMALIES,
     "linking_method_venn": _linking_method_venn_sql(),
+    "graph_hits": _graph_hits_sql(),
+    "session_stats": SQL_SESSION_STATS,
 }

@@ -421,6 +421,12 @@ HEADLINE = [
     # round-4 batch 26: HITS, session engagement profile
     "graph_hits",
     "session_stats",
+    # round-4 batch 27: curation funnel, order-3 paths, repurchase
+    # cadence, blocking-cost profile
+    "dedup_funnel",
+    "event_trigrams",
+    "order_gap_stats",
+    "shingle_df_profile",
 ]
 
 

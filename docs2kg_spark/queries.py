@@ -8448,6 +8448,221 @@ FROM ss_p
 """
 
 
+def q_dedup_funnel(spark, sf_dir):
+    """The curation funnel in 4 exact rows: raw docs → exact-dedup
+    survivors → near-dup (MinHash transitive) survivors → quality-gate
+    keepers among those — the one-glance answer to "how much corpus
+    survives each stage and what does each stage uniquely remove".
+    Composes the memoized dedup map and the Gopher/C4 gate.
+
+    Scale shape: three thin aggregates over already-reduced tables +
+    one broadcast semi-join for the composed stage; output is 4 rows."""
+    d = _t(spark, sf_dir, "documents")
+    from docs2kg_spark.operators.text import fingerprint
+
+    n_raw = d.agg(F.count("*").cast("bigint").alias("n"))
+    n_exact = d.select(fingerprint(F.col("text")).alias("fp")).distinct().agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    cmap = _doc_dedup_map_memo(spark, sf_dir)
+    survivors = cmap.filter(F.col("doc_id") == F.col("canonical_id")).select("doc_id")
+    n_near = survivors.agg(F.count("*").cast("bigint").alias("n"))
+    kept = q_corpus_filter(spark, sf_dir).filter("kept = 1").select("doc_id")
+    n_quality = survivors.join(kept, "doc_id", "left_semi").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    stages = [
+        ("1_raw", n_raw),
+        ("2_exact_dedup", n_exact),
+        ("3_near_dedup", n_near),
+        ("4_quality_gate", n_quality),
+    ]
+    out = None
+    for name, agg in stages:
+        row = agg.select(F.lit(name).alias("stage"), F.col("n").alias("n_docs"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _dedup_funnel_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import doc_dedup_map_sql
+
+    return (
+        r"""
+WITH df_map AS ("""
+        + doc_dedup_map_sql()
+        + r"""),
+df_surv AS (SELECT doc_id FROM df_map WHERE doc_id = canonical_id),
+df_kept AS (SELECT doc_id FROM ("""
+        + SQL_CORPUS_FILTER
+        + r""") WHERE kept = 1)
+SELECT '1_raw' AS stage, (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+UNION ALL
+SELECT '2_exact_dedup',
+       (SELECT CAST(count(DISTINCT trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS BIGINT)
+        FROM documents)
+UNION ALL
+SELECT '3_near_dedup', (SELECT CAST(count(*) AS BIGINT) FROM df_surv)
+UNION ALL
+SELECT '4_quality_gate',
+       (SELECT CAST(count(*) AS BIGINT) FROM df_surv s
+        WHERE EXISTS (SELECT 1 FROM df_kept k WHERE k.doc_id = s.doc_id))
+"""
+    )
+
+
+def q_event_trigrams(spark, sf_dir):
+    """Top-20 three-step event paths per user stream (double-lag
+    window) — the order-3 extension of event_transitions, the pattern
+    read behind funnel hypothesis generation.  Exact counts; ties
+    break on the path triple.
+
+    Scale shape: ONE user-partitioned window provides both lags;
+    a (t1,t2,t3) hash agg; TakeOrdered 20."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.lag("event_type", 2).over(w).alias("t1"),
+            F.lag("event_type", 1).over(w).alias("t2"),
+            F.col("event_type").alias("t3"),
+        )
+        .filter("t1 IS NOT NULL")
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )
+
+
+SQL_EVENT_TRIGRAMS = """
+WITH tg AS (
+  SELECT lag(event_type, 2) OVER w AS t1,
+         lag(event_type, 1) OVER w AS t2,
+         event_type AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM tg WHERE t1 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n DESC, t1, t2, t3
+LIMIT 20
+"""
+
+
+def q_order_gap_stats(spark, sf_dir):
+    """Inter-order gap profile per market segment: median and p90 days
+    between a customer's consecutive orders — the repurchase-cadence
+    read.  Gaps are exact integer day deltas from a customer-
+    partitioned lag; percentiles interpolate per group
+    (quantile_cont parity).
+
+    Scale shape: one customer-partitioned lag window, a broadcast
+    segment join, and a per-segment order-statistics agg."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.datediff("o_orderdate", F.lag("o_orderdate", 1).over(w))
+            .cast("bigint")
+            .alias("gap_d"),
+        )
+        .filter("gap_d IS NOT NULL")
+    )
+    return (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.round(F.expr("percentile(gap_d, 0.5)"), 6).alias("med_gap_d"),
+            F.round(F.expr("percentile(gap_d, 0.9)"), 6).alias("p90_gap_d"),
+        )
+    )
+
+
+SQL_ORDER_GAP_STATS = """
+WITH og AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', lag(o_orderdate, 1) OVER w, o_orderdate) AS BIGINT) AS gap_d
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(g.gap_d, 0.5), 6) AS med_gap_d,
+       ROUND(quantile_cont(g.gap_d, 0.9), 6) AS p90_gap_d
+FROM og g JOIN customer c ON c.c_custkey = g.o_custkey
+WHERE g.gap_d IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_shingle_df_profile(spark, sf_dir):
+    """Document-frequency histogram of 3-token shingles (log2 buckets)
+    — the blocking-cost profile behind every shingle-keyed join
+    (PPJoin prefixes, n-gram Jaccard, winnowing): the bucket tail IS
+    the worst-case per-key fanout those joins must cap.  Exact counts;
+    floor(log2) on integers is engine-stable.
+
+    Scale shape: one (shingle) hash agg over the row-local shingle
+    stream, then a second agg to O(log max_df) rows."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "doc_id",
+            F.expr(
+                "filter(split(lower(text), '[^a-z0-9]+'), x -> x != '')"
+            ).alias("w"),
+        )
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(w) - 3), "
+                        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    dfreq = grams.groupBy("g").agg(F.count("*").cast("bigint").alias("df"))
+    return dfreq.groupBy(
+        F.floor(F.log2("df")).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.min("df").cast("bigint").alias("min_df"),
+        F.max("df").cast("bigint").alias("max_df"),
+    )
+
+
+SQL_SHINGLE_DF_PROFILE = """
+WITH sp_w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+),
+sp_i AS (
+  SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+  FROM sp_w WHERE len(w) >= 3
+),
+sp_g AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM sp_i),
+sp_df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM sp_g GROUP BY 1)
+SELECT CAST(floor(log2(df)) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(min(df) AS BIGINT) AS min_df,
+       CAST(max(df) AS BIGINT) AS max_df
+FROM sp_df GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -8710,6 +8925,10 @@ SPARK_QUERIES = {
     "linking_method_venn": q_linking_method_venn,
     "graph_hits": q_graph_hits,
     "session_stats": q_session_stats,
+    "dedup_funnel": q_dedup_funnel,
+    "event_trigrams": q_event_trigrams,
+    "order_gap_stats": q_order_gap_stats,
+    "shingle_df_profile": q_shingle_df_profile,
 }
 
 ORACLE_SQL = {
@@ -8922,4 +9141,8 @@ ORACLE_SQL = {
     "linking_method_venn": _linking_method_venn_sql(),
     "graph_hits": _graph_hits_sql(),
     "session_stats": SQL_SESSION_STATS,
+    "dedup_funnel": _dedup_funnel_sql(),
+    "event_trigrams": SQL_EVENT_TRIGRAMS,
+    "order_gap_stats": SQL_ORDER_GAP_STATS,
+    "shingle_df_profile": SQL_SHINGLE_DF_PROFILE,
 }

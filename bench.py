@@ -424,6 +424,7 @@ HEADLINE = [
     # round-4 batch 27: curation funnel, order-3 paths, repurchase
     # cadence, blocking-cost profile
     "dedup_funnel",
+    "multimodal_video_decode",
     "event_trigrams",
     "order_gap_stats",
     "shingle_df_profile",

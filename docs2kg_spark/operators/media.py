@@ -330,3 +330,147 @@ def media_features(payload: bytes, kind: str = ""):
     from docs2kg_spark.operators.multimodal import FEATURE_DIM
 
     return (f + [0.0] * FEATURE_DIM)[:FEATURE_DIM]
+
+
+# ---------------------------------------------------------------------------
+# APNG (animated PNG) — the VIDEO leg of the media family
+# ---------------------------------------------------------------------------
+
+
+def encode_apng(frames, delay_num: int = 1, delay_den: int = 10) -> bytes:
+    """List of H×W×3 uint8 RGB frames → APNG bytes (acTL/fcTL/fdAT per
+    the public APNG spec; every frame full-canvas, dispose NONE, blend
+    SOURCE — the subset decode_apng_frames handles).  Frame 0 rides in
+    the default-image IDAT, later frames in fdAT chunks."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w, _ = frames[0].shape
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def raw(px):
+        return zlib.compress(b"".join(b"\x00" + px[y].tobytes() for y in range(px.shape[0])))
+
+    out = bytearray(_PNG_SIG)
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+    out += chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, px in enumerate(frames):
+        fh, fw, _ = px.shape
+        if (fh, fw) != (h, w):
+            raise ValueError("all frames must be canvas-sized")
+        out += chunk(
+            b"fcTL",
+            struct.pack(">IIIIIHHBB", seq, fw, fh, 0, 0, delay_num, delay_den, 0, 0),
+        )
+        seq += 1
+        if i == 0:
+            out += chunk(b"IDAT", raw(px))
+        else:
+            out += chunk(b"fdAT", struct.pack(">I", seq) + raw(px))
+            seq += 1
+    out += chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def decode_apng_frames(payload: bytes):
+    """APNG bytes → list of H×W×3 uint8 RGB frames.  Handles the
+    full-canvas dispose-NONE blend-SOURCE subset (what encode_apng
+    emits and what frame-dump tools commonly produce); sub-region
+    frames, dispose/blend compositing, and palette color need a real
+    media library and raise NotImplementedError — the honest boundary.
+    A plain PNG (no acTL) decodes as a single frame."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, n = len(_PNG_SIG), len(payload)
+    w = h = nch = None
+    frames_meta = []  # (is_default_image, fcTL fields)
+    cur = None
+    idat = bytearray()
+    animated = False
+    while i + 8 <= n:
+        clen, tag = struct.unpack_from(">I4s", payload, i)
+        body = payload[i + 8 : i + 8 + clen]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack_from(">IIBB", body, 0)
+            if depth != 8 or body[12] != 0:
+                raise NotImplementedError("only 8-bit non-interlaced APNG supported")
+            nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            if nch is None:
+                raise NotImplementedError(f"APNG color type {ctype} not supported")
+        elif tag == b"acTL":
+            animated = True
+        elif tag == b"fcTL":
+            _, fw, fh, fx, fy, _, _, dispose, blend = struct.unpack_from(">IIIIIHHBB", body, 0)
+            if (fw, fh, fx, fy) != (w, h, 0, 0) or dispose != 0 or blend != 0:
+                raise NotImplementedError(
+                    "sub-region/disposed/blended APNG frames need a media library"
+                )
+            if cur is not None:
+                frames_meta.append(bytes(cur))
+            cur = bytearray()
+        elif tag == b"IDAT":
+            if cur is None:
+                cur = bytearray()
+            cur += body
+        elif tag == b"fdAT":
+            if cur is None:
+                cur = bytearray()
+            cur += body[4:]  # strip the sequence number
+        elif tag == b"IEND":
+            break
+        i += 12 + clen
+    if cur:
+        frames_meta.append(bytes(cur))
+    if not animated and len(frames_meta) > 1:
+        frames_meta = [b"".join(frames_meta)]
+
+    def defilter(data):
+        rawb = zlib.decompress(data)
+        stride = w * nch
+        out = np.zeros((h, stride), dtype=np.uint8)
+        pos = 0
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(h):
+            f = rawb[pos]
+            row = bytearray(rawb[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if f == 1:
+                for x in range(nch, stride):
+                    row[x] = (row[x] + row[x - nch]) & 0xFF
+            elif f == 2:
+                for x in range(stride):
+                    row[x] = (row[x] + prev[x]) & 0xFF
+            elif f == 3:
+                for x in range(stride):
+                    left = row[x - nch] if x >= nch else 0
+                    row[x] = (row[x] + ((left + int(prev[x])) >> 1)) & 0xFF
+            elif f == 4:
+                for x in range(stride):
+                    left = row[x - nch] if x >= nch else 0
+                    ul = int(prev[x - nch]) if x >= nch else 0
+                    row[x] = (row[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+            elif f != 0:
+                raise ValueError(f"bad PNG filter {f}")
+            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+            prev = out[y]
+        px = out.reshape(h, w, nch)
+        if nch == 1:
+            return np.repeat(px, 3, axis=2)
+        if nch == 2:
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        return px[:, :, :3]
+
+    return [defilter(d) for d in frames_meta]
+
+
+def frame_sample(payload: bytes, every_k: int = 2):
+    """Frame sampling over an APNG 'video': decode, keep frames
+    0, k, 2k, … — the mapInPandas-side primitive a video-corpus
+    pipeline runs before per-frame featurization."""
+    frames = decode_apng_frames(payload)
+    return frames[:: max(1, int(every_k))]

@@ -2,7 +2,8 @@
 columns with typed metadata.
 
 Decode is REAL for uncompressed/deflate formats (BMP, PPM/PGM,
-WAV-PCM, PNG — pure-stdlib codecs in operators/media.py; see
+WAV-PCM, PNG, and APNG video with frame sampling — pure-stdlib
+codecs in operators/media.py; see
 real_decode / media.media_features, exercised end-to-end by the
 oracled `multimodal_real_decode` query).  Compressed codecs
 (JPEG/MP3/H.264) still need PIL/ffmpeg, absent in this container —

@@ -421,6 +421,9 @@ HEADLINE = [
     # round-4 batch 26: HITS, session engagement profile
     "graph_hits",
     "session_stats",
+    # round-4 batch 28: weighted endorsement flow, verbosity drift
+    "graph_pagerank_weighted",
+    "turn_length_drift",
     # round-4 batch 27: curation funnel, order-3 paths, repurchase
     # cadence, blocking-cost profile
     "dedup_funnel",

@@ -761,3 +761,56 @@ def sssp_bounded(
         )
         frontier = improved
     return dist
+
+
+def pagerank_weighted(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration WEIGHTED PageRank: contribution flows
+    proportionally to edge weight instead of 1/outdeg —
+    prⁱ(v) = (1-d) + d · Σ_{u→v} prⁱ⁻¹(u) · w(u,v) / W(u), with
+    W(u) = Σ_v w(u,v).  edges: (src, dst, w) with integer weights.
+    → (node, pr).  Same loop shape as pagerank (the per-edge share
+    w/W is pre-divided once and localCheckpointed; one equi-join +
+    one sum agg per iteration, node-sized frames only); deterministic
+    for a fixed iteration count."""
+    # weights stay BIGINT through the W(u) aggregation (a double SUM in
+    # a hash agg is accumulation-order-nondeterministic; integer sums
+    # are exact) — doubles appear only in the per-edge share division
+    e = edges.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    wout = e.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("bigint").alias("wsum")
+    )
+    shares = (
+        e.join(wout, e["src"] == wout["node"])
+        .select(
+            "src",
+            "dst",
+            (F.col("w").cast("double") / F.col("wsum").cast("double")).alias("share"),
+        )
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (
+            shares.join(ranks, shares["src"] == ranks["node"])
+            .select(F.col("dst"), (F.col("pr") * F.col("share")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce("s", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -8745,6 +8745,140 @@ FROM vd
 """
 
 
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank over the entity co-occurrence graph: edge
+    weight = co-occurrence multiplicity (how many triples connect the
+    pair), so endorsement flows along STRONG associations instead of
+    treating a one-off co-mention like a recurring one — the ranking a
+    KG consumer actually wants once edges carry counts.
+
+    Float discipline: W(u) aggregates as exact BIGINTs; doubles enter
+    only at the per-edge share division (operators/graphq.py::
+    pagerank_weighted), mirrored term-for-term in the twin.
+
+    Scale shape: the pagerank loop shape — shares pre-divided once and
+    checkpointed, one equi-join + one sum agg per iteration."""
+    from docs2kg_spark.operators.graphq import pagerank_weighted
+
+    t = q_kg_triples(spark, sf_dir)
+    dw = t.groupBy(F.col("subj").alias("src"), F.col("obj").alias("dst")).agg(
+        F.count("*").cast("bigint").alias("w")
+    )
+    und = (
+        dw.unionByName(
+            dw.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    return pagerank_weighted(und, iters=5, damping=0.85).select(
+        "node", F.round("pr", 6).alias("pr")
+    )
+
+
+def _graph_pagerank_weighted_sql(iters: int = 5, d: float = 0.85) -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    ctes = [
+        "wp_d AS (SELECT subj AS src, obj AS dst, CAST(count(*) AS BIGINT) AS w FROM triples GROUP BY 1, 2)",
+        """wp_u AS (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM wp_d UNION ALL SELECT dst, src, w FROM wp_d
+  ) GROUP BY 1, 2)""",
+        "wp_n AS (SELECT DISTINCT src AS node FROM wp_u)",
+        "wp_o AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS wsum FROM wp_u GROUP BY 1)",
+        """wp_s AS (
+  SELECT u.src, u.dst, CAST(u.w AS DOUBLE) / CAST(o.wsum AS DOUBLE) AS share
+  FROM wp_u u JOIN wp_o o ON o.node = u.src)""",
+        "wpr0 AS (SELECT node, 1.0::DOUBLE AS pr FROM wp_n)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""wpr{i} AS (
+  SELECT n.node, {1.0 - d!r}::DOUBLE + {d!r}::DOUBLE * coalesce(c.s, 0.0::DOUBLE) AS pr
+  FROM wp_n n LEFT JOIN (
+    SELECT s.dst AS node, sum(p.pr * s.share) AS s
+    FROM wp_s s JOIN wpr{i - 1} p ON p.node = s.src
+    GROUP BY s.dst) c ON c.node = n.node)"""
+        )
+    return (
+        f"WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, ROUND(pr, 6) AS pr FROM wpr{iters}"
+    )
+
+
+def q_turn_length_drift(spark, sf_dir):
+    """Does turn length drift over a conversation, per role?  Per
+    (conv, role) an exact integer least-squares slope of
+    length(text) over turn_idx (num = nΣxy − ΣxΣy, den = nΣx² − (Σx)²,
+    both BIGINT; conversations with < 2 turns of the role or zero
+    x-variance are excluded by den > 0), then per role the median
+    slope and the shares of rising vs falling conversations — the
+    discourse-progression read an SFT-curation pass checks (assistant
+    verbosity creep).
+
+    Scale shape: one (conv, role) hash agg of the five integer
+    moments; the per-role reduction is an order-statistics agg over
+    |convs|·|roles| rows."""
+    t = derive_transcripts(spark, sf_dir)
+    per = (
+        t.selectExpr(
+            "conv_id",
+            "role",
+            "CAST(turn_idx AS BIGINT) AS x",
+            "CAST(length(text) AS BIGINT) AS y",
+        )
+        .groupBy("conv_id", "role")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        )
+        .selectExpr(
+            "role",
+            "n * sxy - sx * sy AS num",
+            "n * sxx - sx * sx AS den",
+        )
+        .filter("den > 0")
+    )
+    return per.groupBy("role").agg(
+        F.count("*").cast("bigint").alias("n_convs"),
+        F.round(
+            F.expr("percentile(CAST(num AS DOUBLE) / den, 0.5)"), 6
+        ).alias("med_slope"),
+        F.sum(F.when(F.col("num") > 0, 1).otherwise(0)).cast("bigint").alias("n_rising"),
+        F.sum(F.when(F.col("num") < 0, 1).otherwise(0)).cast("bigint").alias("n_falling"),
+    )
+
+
+def _turn_length_drift_sql() -> str:
+    return f"""
+WITH {TRANSCRIPTS_CTE.strip()},
+td_m AS (
+  SELECT conv_id, role,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(turn_idx) AS BIGINT) AS sx,
+         CAST(sum(length(text)) AS BIGINT) AS sy,
+         CAST(sum(turn_idx * length(text)) AS BIGINT) AS sxy,
+         CAST(sum(turn_idx * turn_idx) AS BIGINT) AS sxx
+  FROM transcripts GROUP BY 1, 2
+),
+td_s AS (
+  SELECT role, n * sxy - sx * sy AS num, n * sxx - sx * sx AS den
+  FROM td_m
+)
+SELECT role, CAST(count(*) AS BIGINT) AS n_convs,
+       ROUND(quantile_cont(CAST(num AS DOUBLE) / den, 0.5), 6) AS med_slope,
+       CAST(count(*) FILTER (num > 0) AS BIGINT) AS n_rising,
+       CAST(count(*) FILTER (num < 0) AS BIGINT) AS n_falling
+FROM td_s WHERE den > 0
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9006,6 +9140,8 @@ SPARK_QUERIES = {
     "event_mad_anomalies": q_event_mad_anomalies,
     "linking_method_venn": q_linking_method_venn,
     "graph_hits": q_graph_hits,
+    "graph_pagerank_weighted": q_graph_pagerank_weighted,
+    "turn_length_drift": q_turn_length_drift,
     "session_stats": q_session_stats,
     "dedup_funnel": q_dedup_funnel,
     "multimodal_video_decode": q_multimodal_video_decode,
@@ -9223,6 +9359,8 @@ ORACLE_SQL = {
     "event_mad_anomalies": SQL_EVENT_MAD_ANOMALIES,
     "linking_method_venn": _linking_method_venn_sql(),
     "graph_hits": _graph_hits_sql(),
+    "graph_pagerank_weighted": _graph_pagerank_weighted_sql(),
+    "turn_length_drift": _turn_length_drift_sql(),
     "session_stats": SQL_SESSION_STATS,
     "dedup_funnel": _dedup_funnel_sql(),
     "multimodal_video_decode": SQL_MM_VIDEO_DECODE,

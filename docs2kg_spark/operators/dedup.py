@@ -865,11 +865,18 @@ def ppjoin_pairs(
         .filter(F.size("w") >= 3)
         .select(
             "id",
+            # shingles are hashed to 32-bit ints (md5 prefix — computable
+            # identically in the DuckDB twin) BEFORE the distinct: BIGINT
+            # keys make the rank window, the prefix self-join, and the
+            # verification arrays ~an order of magnitude lighter than
+            # 20-40-byte strings.  A hash collision merges two shingles in
+            # BOTH engines the same way, so engine parity stays exact; the
+            # effect on the Jaccard value itself is O(|set|^2 / 2^32).
             F.explode(
                 F.array_distinct(
                     F.expr(
                         "transform(sequence(0, size(w) - 3), "
-                        "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                        "i -> CAST(conv(substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2])), 1, 8), 16, 10) AS BIGINT))"
                     )
                 )
             ).alias("tok"),

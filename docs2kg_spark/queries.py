@@ -6765,7 +6765,8 @@ pj_idx AS (
   FROM pj_w WHERE len(w) >= 3
 ),
 pj_t AS (
-  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS tok
+  SELECT DISTINCT doc_id,
+         CAST(CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8)) AS UBIGINT) AS BIGINT) AS tok
   FROM pj_idx
 ),
 pj_n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM pj_t GROUP BY 1),

@@ -424,6 +424,10 @@ HEADLINE = [
     # round-4 batch 28: weighted endorsement flow, verbosity drift
     "graph_pagerank_weighted",
     "turn_length_drift",
+    # round-4 batch 29: KG growth curve, audience overlap, churn
+    "kg_entity_first_seen_hist",
+    "type_user_jaccard",
+    "user_churn",
     # round-4 batch 27: curation funnel, order-3 paths, repurchase
     # cadence, blocking-cost profile
     "dedup_funnel",

@@ -7456,9 +7456,9 @@ WITH pa AS (
   FROM events
 )
 SELECT CASE WHEN prior_view_ts IS NULL THEN 'none'
-            WHEN epoch(ts) - epoch(prior_view_ts) < 60 THEN 'lt_1m'
-            WHEN epoch(ts) - epoch(prior_view_ts) < 3600 THEN 'lt_1h'
-            WHEN epoch(ts) - epoch(prior_view_ts) < 86400 THEN 'lt_1d'
+            WHEN floor(epoch(ts)) - floor(epoch(prior_view_ts)) < 60 THEN 'lt_1m'
+            WHEN floor(epoch(ts)) - floor(epoch(prior_view_ts)) < 3600 THEN 'lt_1h'
+            WHEN floor(epoch(ts)) - floor(epoch(prior_view_ts)) < 86400 THEN 'lt_1d'
             ELSE 'older' END AS latency_bucket,
        CAST(count(*) AS BIGINT) AS n_purchases
 FROM pa WHERE event_type = 'purchase'
@@ -8437,7 +8437,7 @@ WITH ss_s AS ({SQL_SESSIONIZE}),
 ss_p AS (
   SELECT s.user_id, s.session_idx,
          CAST(count(*) AS BIGINT) AS n_events,
-         CAST(epoch(max(e.ts)) - epoch(min(e.ts)) AS BIGINT) AS dur_s
+         CAST(floor(epoch(max(e.ts))) - floor(epoch(min(e.ts))) AS BIGINT) AS dur_s
   FROM ss_s s JOIN events e USING (event_id)
   GROUP BY 1, 2
 )
@@ -8880,6 +8880,139 @@ GROUP BY 1
 """
 
 
+def q_kg_entity_first_seen_hist(spark, sf_dir):
+    """When do NEW entities stop appearing in a conversation?  The
+    histogram of each canonical entity's corpus-wide first turn index
+    (from the entity timeline) — front-loaded mass says a KG built
+    from conversation prefixes would already be nearly complete, the
+    sampling-policy read.  Exact counts over the composed timeline.
+
+    Scale shape: one (first_turn) hash agg over the already-reduced
+    per-entity table."""
+    tl = q_kg_entity_timeline(spark, sf_dir)
+    return tl.groupBy(F.col("first_turn").alias("first_turn")).agg(
+        F.count("*").cast("bigint").alias("n_entities"),
+        F.sum("n_mentions").cast("bigint").alias("total_mentions"),
+    )
+
+
+def _kg_entity_first_seen_hist_sql() -> str:
+    return f"""
+WITH fs AS ({_kg_entity_timeline_sql()})
+SELECT first_turn, CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(n_mentions) AS BIGINT) AS total_mentions
+FROM fs GROUP BY 1
+"""
+
+
+def q_type_user_jaccard(spark, sf_dir):
+    """User-audience overlap between event types: |users(A) ∩
+    users(B)| / |users(A) ∪ users(B)| for every type pair — the
+    set-based complement to event_lift's session co-occurrence (lift
+    says "do they happen together"; this says "are they the same
+    PEOPLE").  Exact integer set algebra, one rounded division.
+
+    Scale shape: reduces to distinct (type, user) first (≤
+    |types|·|users| rows), self-joins on user (per-key fanout ≤
+    |types|), and broadcasts the per-type set sizes onto the
+    ≤ |types|² pair rows."""
+    e = _t(spark, sf_dir, "events")
+    tu = e.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
+    sizes = tu.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_u"))
+    pairs = (
+        tu.alias("x")
+        .join(tu.alias("y"), "user_id")
+        .filter(F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_inter"))
+    )
+    return (
+        pairs.join(F.broadcast(sizes.selectExpr("event_type AS type_a", "n_u AS n_a")), "type_a")
+        .join(F.broadcast(sizes.selectExpr("event_type AS type_b", "n_u AS n_b")), "type_b")
+        .selectExpr(
+            "type_a", "type_b", "n_inter", "n_a", "n_b",
+            "ROUND(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jacc",
+        )
+    )
+
+
+SQL_TYPE_USER_JACCARD = """
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+tu_n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_u FROM tu GROUP BY 1),
+tu_p AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_inter
+  FROM tu x JOIN tu y ON x.user_id = y.user_id AND x.event_type < y.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_inter, a.n_u AS n_a, b.n_u AS n_b,
+       ROUND(CAST(p.n_inter AS DOUBLE) / (a.n_u + b.n_u - p.n_inter), 6) AS jacc
+FROM tu_p p
+JOIN tu_n a ON a.event_type = p.type_a
+JOIN tu_n b ON b.event_type = p.type_b
+"""
+
+
+def q_user_churn(spark, sf_dir):
+    """Churn cohort split at the corpus midpoint timestamp
+    ((min+max)/2 epoch — a deterministic policy cut, no global sort):
+    users active only early (churned), only late (new), both
+    (retained), with exact counts in one row — the lifecycle summary
+    behind user_retention's cohort curves.
+
+    Scale shape: the midpoint is a 1-row broadcast; the user split is
+    one (user) hash agg over row-local early/late flags."""
+    e = _t(spark, sf_dir, "events")
+    mid = e.agg(
+        F.expr(
+            "(unix_timestamp(min(ts)) + unix_timestamp(max(ts))) DIV 2"
+        ).alias("mid")
+    )
+    per_user = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.max(F.when(F.unix_timestamp("ts") <= F.col("mid"), 1).otherwise(0)).alias("early"),
+            F.max(F.when(F.unix_timestamp("ts") > F.col("mid"), 1).otherwise(0)).alias("late"),
+        )
+    )
+    return per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when((F.col("early") == 1) & (F.col("late") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(F.when((F.col("early") == 1) & (F.col("late") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_churned"),
+        F.sum(F.when((F.col("early") == 0) & (F.col("late") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+    )
+
+
+SQL_USER_CHURN = """
+WITH uc_m AS (
+  SELECT (CAST(floor(epoch(min(ts))) AS BIGINT) + CAST(floor(epoch(max(ts))) AS BIGINT)) // 2 AS mid
+  FROM events
+),
+uc_u AS (
+  SELECT user_id,
+         max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) <= m.mid THEN 1 ELSE 0 END) AS early,
+         max(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) > m.mid THEN 1 ELSE 0 END) AS late
+  FROM events CROSS JOIN uc_m m
+  GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+       CAST(sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+FROM uc_u
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9143,6 +9276,9 @@ SPARK_QUERIES = {
     "graph_hits": q_graph_hits,
     "graph_pagerank_weighted": q_graph_pagerank_weighted,
     "turn_length_drift": q_turn_length_drift,
+    "kg_entity_first_seen_hist": q_kg_entity_first_seen_hist,
+    "type_user_jaccard": q_type_user_jaccard,
+    "user_churn": q_user_churn,
     "session_stats": q_session_stats,
     "dedup_funnel": q_dedup_funnel,
     "multimodal_video_decode": q_multimodal_video_decode,
@@ -9362,6 +9498,9 @@ ORACLE_SQL = {
     "graph_hits": _graph_hits_sql(),
     "graph_pagerank_weighted": _graph_pagerank_weighted_sql(),
     "turn_length_drift": _turn_length_drift_sql(),
+    "kg_entity_first_seen_hist": _kg_entity_first_seen_hist_sql(),
+    "type_user_jaccard": SQL_TYPE_USER_JACCARD,
+    "user_churn": SQL_USER_CHURN,
     "session_stats": SQL_SESSION_STATS,
     "dedup_funnel": _dedup_funnel_sql(),
     "multimodal_video_decode": SQL_MM_VIDEO_DECODE,

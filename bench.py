@@ -432,6 +432,7 @@ HEADLINE = [
     # cadence, blocking-cost profile
     "dedup_funnel",
     "multimodal_video_decode",
+    "multimodal_gif_decode",
     "event_trigrams",
     "order_gap_stats",
     "shingle_df_profile",

@@ -9013,6 +9013,71 @@ FROM uc_u
 """
 
 
+def q_multimodal_gif_decode(spark, sf_dir):
+    """REAL decode of a genuinely COMPRESSED format with zero
+    libraries: each doc synthesizes its gradient image, encodes it to
+    GIF89a whose pixel stream is REAL LZW (operators/media.py —
+    variable-width codes, clear/EOI, table growth to 12 bits), decodes
+    it back, and emits exact integer stats of the decoded luminance
+    plane.  The DuckDB twin recomputes the palette luminance per pixel
+    arithmetically — any defect in the LZW bit reader, sub-block
+    reassembly, or palette mapping breaks the value hash.  This is the
+    one media leg where 'compressed needs a library' is shown false.
+
+    100 TB shape: one narrow Arrow pass, zero shuffle; ≤ 48 px/row."""
+    import numpy as np
+
+    from docs2kg_spark.operators import media
+
+    schema = "doc_id bigint, w bigint, h bigint, n_px bigint, sum_gray bigint, max_gray bigint"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ("doc_id", "w", "h", "n_px", "sum_gray", "max_gray")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 4 + did % 5, 3 + did % 4
+                b0, b1, b2 = did % 64, (did * 7) % 64, (did * 13) % 64
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [b0 + xs + 2 * ys, b1 + 3 * xs + ys, b2 + xs + ys], axis=2
+                ).astype(np.uint8)
+                dec = media.decode_gif(media.encode_gif(px))
+                gray = dec[:, :, 0].astype(np.int64)  # gray palette: R==G==B
+                cols["doc_id"].append(did)
+                cols["w"].append(int(dec.shape[1]))
+                cols["h"].append(int(dec.shape[0]))
+                cols["n_px"].append(int(gray.size))
+                cols["sum_gray"].append(int(gray.sum()))
+                cols["max_gray"].append(int(gray.max()))
+            yield pd.DataFrame(cols)
+
+    return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(gen, schema=schema)
+
+
+SQL_MM_GIF_DECODE = """
+WITH gd AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+         doc_id % 64 AS b0, (doc_id * 7) % 64 AS b1, (doc_id * 13) % 64 AS b2
+  FROM documents
+),
+gd_y AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM gd),
+gd_xy AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM gd_y),
+gd_px AS (
+  SELECT doc_id, w, h,
+         (299 * (b0 + x + 2*y) + 587 * (b1 + 3*x + y) + 114 * (b2 + x + y)) // 1000 AS gray
+  FROM gd_xy
+)
+SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(gray) AS BIGINT) AS sum_gray,
+       CAST(max(gray) AS BIGINT) AS max_gray
+FROM gd_px GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9282,6 +9347,7 @@ SPARK_QUERIES = {
     "session_stats": q_session_stats,
     "dedup_funnel": q_dedup_funnel,
     "multimodal_video_decode": q_multimodal_video_decode,
+    "multimodal_gif_decode": q_multimodal_gif_decode,
     "event_trigrams": q_event_trigrams,
     "order_gap_stats": q_order_gap_stats,
     "shingle_df_profile": q_shingle_df_profile,
@@ -9504,6 +9570,7 @@ ORACLE_SQL = {
     "session_stats": SQL_SESSION_STATS,
     "dedup_funnel": _dedup_funnel_sql(),
     "multimodal_video_decode": SQL_MM_VIDEO_DECODE,
+    "multimodal_gif_decode": SQL_MM_GIF_DECODE,
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "order_gap_stats": SQL_ORDER_GAP_STATS,
     "shingle_df_profile": SQL_SHINGLE_DF_PROFILE,

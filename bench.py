@@ -426,6 +426,9 @@ HEADLINE = [
     "turn_length_drift",
     # round-4 batch 29: KG growth curve, audience overlap, churn
     "kg_entity_first_seen_hist",
+    # round-4 batch 30: cross-language dup audit, hub eccentricity
+    "dup_lang_matrix",
+    "graph_ecc_hubs",
     "type_user_jaccard",
     "user_churn",
     # round-4 batch 27: curation funnel, order-3 paths, repurchase

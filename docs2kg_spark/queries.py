@@ -9078,6 +9078,124 @@ FROM gd_px GROUP BY 1, 2, 3
 """
 
 
+def q_dup_lang_matrix(spark, sf_dir):
+    """Language × language matrix of near-dup pairs: does duplication
+    stay within a language or cross it (template reuse / machine
+    translation traces)?  Composes the memoized MinHash pair table
+    with the documents' lang labels; exact counts + the min/max
+    similarity per cell (order-independent extremes, never a float
+    mean over a hash-partitioned group).
+
+    Scale shape: two broadcast-able doc-keyed joins onto the thin pair
+    table, one (lang, lang) hash agg."""
+    pairs = _minhash_pairs_memo(spark, sf_dir)
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = (
+        pairs.join(langs.selectExpr("doc_id AS a", "lang AS lang_raw_a"), "a")
+        .join(langs.selectExpr("doc_id AS b", "lang AS lang_raw_b"), "b")
+        .selectExpr(
+            "least(lang_raw_a, lang_raw_b) AS lang_a",
+            "greatest(lang_raw_a, lang_raw_b) AS lang_b",
+            "ROUND(sim, 6) AS sim",  # match the twin's rounded pair sim
+        )
+    )
+    return j.groupBy("lang_a", "lang_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.min("sim").alias("min_sim"),
+        F.max("sim").alias("max_sim"),
+    )
+
+
+def _dup_lang_matrix_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import minhash_near_dup_sql
+
+    return f"""
+WITH dl_p AS ({minhash_near_dup_sql()}),
+dl_j AS (
+  SELECT least(da.lang, db.lang) AS lang_a, greatest(da.lang, db.lang) AS lang_b, p.sim
+  FROM dl_p p
+  JOIN documents da ON da.doc_id = p.a
+  JOIN documents db ON db.doc_id = p.b
+)
+SELECT lang_a, lang_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       min(sim) AS min_sim, max(sim) AS max_sim
+FROM dl_j GROUP BY 1, 2
+"""
+
+
+def q_graph_ecc_hubs(spark, sf_dir):
+    """Bounded eccentricity of the top-3 degree hubs: per hub, the max
+    min-hop distance within 4 hops and the count of reached nodes —
+    the small-world check (a hub that reaches most of the graph in ≤4
+    hops certifies the KG is navigable).  Exact integer distances via
+    4 rounds of frontier relaxation; hubs tie-break on node id.
+
+    Scale shape: the degree agg + TakeOrdered picks the seeds; each
+    BFS round is one equi-join + min-agg over the (seed, node)
+    distance table (≤ 3·|V| rows), mirroring the khop loop."""
+    t = q_kg_triples(spark, sf_dir)
+    e = (
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = (
+        e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+        .filter("src != dst")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    hubs = (
+        deg.orderBy(F.col("d").desc(), "node").limit(3)
+        .select(F.col("node").alias("hub"))
+    )
+    dist = F.broadcast(hubs).select(
+        "hub", F.col("hub").alias("node"), F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(4):
+        nxt = (
+            dist.join(und, dist.node == und.src)
+            .select("hub", F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("hub", "node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.groupBy("hub").agg(
+        F.max("dist").cast("bigint").alias("ecc4"),
+        F.count("*").cast("bigint").alias("n_reached"),
+    )
+
+
+def _graph_ecc_hubs_sql(max_hops: int = 4) -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH RECURSIVE {kg_triples_ctes(TRANSCRIPTS_CTE)},
+ec_e AS (SELECT DISTINCT subj AS src, obj AS dst FROM triples),
+ec_u AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM ec_e UNION SELECT dst, src FROM ec_e
+  ) WHERE src <> dst
+),
+ec_d AS (SELECT src AS node, count(*) AS d FROM ec_u GROUP BY 1),
+ec_h AS (SELECT node AS hub FROM ec_d ORDER BY d DESC, node LIMIT 3),
+walk(hub, node, dist) AS (
+  SELECT hub, hub, CAST(0 AS BIGINT) FROM ec_h
+  UNION
+  SELECT w.hub, e.dst, w.dist + 1
+  FROM walk w JOIN ec_u e ON e.src = w.node WHERE w.dist < {max_hops}
+),
+ec_m AS (SELECT hub, node, MIN(dist) AS dist FROM walk GROUP BY 1, 2)
+SELECT hub, CAST(MAX(dist) AS BIGINT) AS ecc4,
+       CAST(COUNT(*) AS BIGINT) AS n_reached
+FROM ec_m GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9342,6 +9460,8 @@ SPARK_QUERIES = {
     "graph_pagerank_weighted": q_graph_pagerank_weighted,
     "turn_length_drift": q_turn_length_drift,
     "kg_entity_first_seen_hist": q_kg_entity_first_seen_hist,
+    "dup_lang_matrix": q_dup_lang_matrix,
+    "graph_ecc_hubs": q_graph_ecc_hubs,
     "type_user_jaccard": q_type_user_jaccard,
     "user_churn": q_user_churn,
     "session_stats": q_session_stats,
@@ -9565,6 +9685,8 @@ ORACLE_SQL = {
     "graph_pagerank_weighted": _graph_pagerank_weighted_sql(),
     "turn_length_drift": _turn_length_drift_sql(),
     "kg_entity_first_seen_hist": _kg_entity_first_seen_hist_sql(),
+    "dup_lang_matrix": _dup_lang_matrix_sql(),
+    "graph_ecc_hubs": _graph_ecc_hubs_sql(),
     "type_user_jaccard": SQL_TYPE_USER_JACCARD,
     "user_churn": SQL_USER_CHURN,
     "session_stats": SQL_SESSION_STATS,

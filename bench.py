@@ -429,6 +429,11 @@ HEADLINE = [
     # round-4 batch 30: cross-language dup audit, hub eccentricity
     "dup_lang_matrix",
     "graph_ecc_hubs",
+    # round-4 batch 31: supply concentration, calendar profile,
+    # layout position prior
+    "brand_concentration_hhi",
+    "weekday_order_profile",
+    "label_position_profile",
     "type_user_jaccard",
     "user_churn",
     # round-4 batch 27: curation funnel, order-3 paths, repurchase

@@ -9196,6 +9196,111 @@ FROM ec_m GROUP BY 1
 """
 
 
+def q_brand_concentration_hhi(spark, sf_dir):
+    """Supplier concentration per part brand: the Herfindahl-Hirschman
+    index of each supplier's revenue share within the brand, exactly —
+    shares integer-scaled to basis points BEFORE squaring (share_bp =
+    cents·10⁴ DIV total, identical truncation on both engines), so the
+    index is a BIGINT in [0, 10⁸] and never a float sum.  The
+    supply-chain-risk read (HHI → monopoly brand).
+
+    Scale shape: revenue reduces to (brand, supplier) cents first; the
+    brand totals broadcast back; the HHI is a second hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_suppkey")
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+            ).alias("cents")
+        )
+    )
+    tot = bs.groupBy("p_brand").agg(F.sum("cents").cast("bigint").alias("total"))
+    return (
+        bs.join(F.broadcast(tot), "p_brand")
+        .selectExpr("p_brand", "cents", "total", "(cents * 10000) DIV total AS share_bp")
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.max("total").cast("bigint").alias("total_cents"),
+            F.sum(F.expr("share_bp * share_bp")).cast("bigint").alias("hhi_bp2"),
+        )
+    )
+
+
+SQL_BRAND_HHI = """
+WITH bh_bs AS (
+  SELECT p.p_brand, l.l_suppkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+bh_t AS (SELECT p_brand, CAST(sum(cents) AS BIGINT) AS total FROM bh_bs GROUP BY 1)
+SELECT b.p_brand, CAST(count(*) AS BIGINT) AS n_suppliers,
+       CAST(max(t.total) AS BIGINT) AS total_cents,
+       CAST(sum(((b.cents * 10000) // t.total) * ((b.cents * 10000) // t.total)) AS BIGINT) AS hhi_bp2
+FROM bh_bs b JOIN bh_t t USING (p_brand)
+GROUP BY 1
+"""
+
+
+def q_weekday_order_profile(spark, sf_dir):
+    """Order volume and revenue by day-of-week (0 = Sunday, aligning
+    Spark's 1-based dayofweek with DuckDB's 0-based) — the calendar
+    seasonality read at week grain.  Exact counts and cents.
+
+    Scale shape: row-local dow + one ≤7-row hash agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.selectExpr(
+            "CAST(dayofweek(o_orderdate) - 1 AS INT) AS dow",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("dow")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+
+
+SQL_WEEKDAY_ORDER_PROFILE = """
+SELECT CAST(dayofweek(o_orderdate) AS INT) AS dow,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1
+"""
+
+
+def q_label_position_profile(spark, sf_dir):
+    """Where in a conversation does each segment label live?  Per
+    label: segment count, median and p90 of the turn position —
+    the layout prior a chunking policy reads (CODE clustering late
+    means tail-truncation drops code).  Percentiles interpolate over
+    exact integer positions (quantile_cont parity).
+
+    Scale shape: one per-label order-statistics agg over the memoized
+    segment table."""
+    s = q_kg_segments(spark, sf_dir)
+    return s.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.round(F.expr("percentile(seg_idx, 0.5)"), 6).alias("med_pos"),
+        F.round(F.expr("percentile(seg_idx, 0.9)"), 6).alias("p90_pos"),
+    )
+
+
+def _label_position_profile_sql() -> str:
+    return f"""
+WITH lp_s AS ({SQL_KG_SEGMENTS})
+SELECT label, CAST(count(*) AS BIGINT) AS n_segments,
+       ROUND(quantile_cont(seg_idx, 0.5), 6) AS med_pos,
+       ROUND(quantile_cont(seg_idx, 0.9), 6) AS p90_pos
+FROM lp_s GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9462,6 +9567,9 @@ SPARK_QUERIES = {
     "kg_entity_first_seen_hist": q_kg_entity_first_seen_hist,
     "dup_lang_matrix": q_dup_lang_matrix,
     "graph_ecc_hubs": q_graph_ecc_hubs,
+    "brand_concentration_hhi": q_brand_concentration_hhi,
+    "weekday_order_profile": q_weekday_order_profile,
+    "label_position_profile": q_label_position_profile,
     "type_user_jaccard": q_type_user_jaccard,
     "user_churn": q_user_churn,
     "session_stats": q_session_stats,
@@ -9687,6 +9795,9 @@ ORACLE_SQL = {
     "kg_entity_first_seen_hist": _kg_entity_first_seen_hist_sql(),
     "dup_lang_matrix": _dup_lang_matrix_sql(),
     "graph_ecc_hubs": _graph_ecc_hubs_sql(),
+    "brand_concentration_hhi": SQL_BRAND_HHI,
+    "weekday_order_profile": SQL_WEEKDAY_ORDER_PROFILE,
+    "label_position_profile": _label_position_profile_sql(),
     "type_user_jaccard": SQL_TYPE_USER_JACCARD,
     "user_churn": SQL_USER_CHURN,
     "session_stats": SQL_SESSION_STATS,

@@ -432,6 +432,10 @@ HEADLINE = [
     # round-4 batch 31: supply concentration, calendar profile,
     # layout position prior
     "brand_concentration_hhi",
+    # round-4 batch 32: status pivot, header boilerplate, type cooc
+    "status_month_mix",
+    "doc_prefix_groups",
+    "kg_label_cooc",
     "weekday_order_profile",
     "label_position_profile",
     "type_user_jaccard",

@@ -9301,6 +9301,113 @@ FROM lp_s GROUP BY 1
 """
 
 
+def q_status_month_mix(spark, sf_dir):
+    """Order-status mix per month, PIVOTED to fixed columns by
+    conditional aggregation (n_open/n_fulfilled/n_partial) — the
+    wide-format trend table a BI layer reads directly; conditional-agg
+    pivot keeps the schema static however statuses skew.  Exact
+    counts.
+
+    Scale shape: one (month) hash agg with map-side combine; the pivot
+    is row-local CASE arithmetic inside the agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_open"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fulfilled"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_partial"),
+        )
+    )
+
+
+SQL_STATUS_MONTH_MIX = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+FROM orders GROUP BY 1
+"""
+
+
+def q_doc_prefix_groups(spark, sf_dir):
+    """Header-boilerplate discovery: documents sharing an identical
+    normalized 120-char PREFIX (the template-stamped opening
+    dup_sentences can miss when bodies diverge after the header) —
+    groups of ≥ 2 with exact member counts and the min doc id as the
+    exemplar.
+
+    Scale shape: the prefix is a row-local projection; ONE (prefix)
+    hash agg; no pairwise join anywhere (group-by beats self-join for
+    exact-key duplicate discovery at any scale)."""
+    d = _t(spark, sf_dir, "documents")
+    prefix = F.substring(
+        F.trim(F.regexp_replace(F.lower("text"), WS_RE, " ")), 1, 120
+    )
+    return (
+        d.select(prefix.alias("prefix"), "doc_id")
+        .groupBy("prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("exemplar"),
+        )
+        .filter("n_docs >= 2")
+    )
+
+
+SQL_DOC_PREFIX_GROUPS = r"""
+SELECT substr(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), 1, 120) AS prefix,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS exemplar
+FROM documents
+GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_kg_label_cooc(spark, sf_dir):
+    """Mention-LABEL co-occurrence within a segment: how often do two
+    entity types share a turn (PERSON+ORG in one utterance ⇒ a
+    relation candidate) — the type-level prior behind the
+    entity-level kg_cooc_window.  Exact counts; unordered label pairs
+    (least/greatest), same-label pairs counted when ≥ 2 distinct
+    mentions share the segment.
+
+    Scale shape: distinct (segment, label) first, then a seg-keyed
+    self-join whose per-key fanout is ≤ |labels|; one pair agg."""
+    m = q_kg_mentions(spark, sf_dir)
+    sl = m.select("seg_id", "label").distinct().localCheckpoint(eager=False)
+    pairs = (
+        sl.alias("x")
+        .join(sl.alias("y"), "seg_id")
+        .filter(F.col("x.label") < F.col("y.label"))
+        .selectExpr("x.label AS label_a", "y.label AS label_b")
+    )
+    return pairs.groupBy("label_a", "label_b").agg(
+        F.count("*").cast("bigint").alias("n_segments")
+    )
+
+
+def _kg_label_cooc_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+lc_sl AS (SELECT DISTINCT seg_id, label FROM mentions)
+SELECT x.label AS label_a, y.label AS label_b,
+       CAST(count(*) AS BIGINT) AS n_segments
+FROM lc_sl x JOIN lc_sl y ON x.seg_id = y.seg_id AND x.label < y.label
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9568,6 +9675,9 @@ SPARK_QUERIES = {
     "dup_lang_matrix": q_dup_lang_matrix,
     "graph_ecc_hubs": q_graph_ecc_hubs,
     "brand_concentration_hhi": q_brand_concentration_hhi,
+    "status_month_mix": q_status_month_mix,
+    "doc_prefix_groups": q_doc_prefix_groups,
+    "kg_label_cooc": q_kg_label_cooc,
     "weekday_order_profile": q_weekday_order_profile,
     "label_position_profile": q_label_position_profile,
     "type_user_jaccard": q_type_user_jaccard,
@@ -9796,6 +9906,9 @@ ORACLE_SQL = {
     "dup_lang_matrix": _dup_lang_matrix_sql(),
     "graph_ecc_hubs": _graph_ecc_hubs_sql(),
     "brand_concentration_hhi": SQL_BRAND_HHI,
+    "status_month_mix": SQL_STATUS_MONTH_MIX,
+    "doc_prefix_groups": SQL_DOC_PREFIX_GROUPS,
+    "kg_label_cooc": _kg_label_cooc_sql(),
     "weekday_order_profile": SQL_WEEKDAY_ORDER_PROFILE,
     "label_position_profile": _label_position_profile_sql(),
     "type_user_jaccard": SQL_TYPE_USER_JACCARD,

@@ -434,6 +434,10 @@ HEADLINE = [
     "brand_concentration_hhi",
     # round-4 batch 32: status pivot, header boilerplate, type cooc
     "status_month_mix",
+    # round-4 batch 33: threshold policy sweep, outlier fence, KG yield
+    "dedup_threshold_sweep",
+    "event_outlier_profile",
+    "kg_yield_corr",
     "doc_prefix_groups",
     "kg_label_cooc",
     "weekday_order_profile",

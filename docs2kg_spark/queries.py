@@ -9408,6 +9408,148 @@ GROUP BY 1, 2
 """
 
 
+_SWEEP_T = (30, 40, 50, 60, 70)
+
+
+def q_dedup_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold policy sweep over the banded candidate pairs:
+    for each Jaccard cutoff, how many pairs the TRUE shingle Jaccard
+    admits vs how many the 32-perm ESTIMATE admits — the
+    threshold-setting read (where does the estimator over/under-admit)
+    with every comparison an exact integer cross-multiplication
+    (inter·100 ≥ t·union; agree·100 ≥ t·32).
+
+    Scale shape: one pass over the already-thin audit pair table,
+    5 conditional sums → 5 rows."""
+    audit = SPARK_QUERIES["minhash_estimator_audit"](spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    out = None
+    for t in _SWEEP_T:
+        row = audit.agg(
+            F.lit(t).cast("int").alias("t_pct"),
+            F.sum(
+                F.when(F.col("n_inter") * 100 >= t * F.col("n_union"), 1).otherwise(0)
+            ).cast("bigint").alias("n_true"),
+            F.sum(
+                F.when(F.col("n_agree") * 100 >= t * 32, 1).otherwise(0)
+            ).cast("bigint").alias("n_est"),
+        ).select("t_pct", "n_true", "n_est")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _dedup_threshold_sweep_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import minhash_estimator_audit_sql
+
+    parts = []
+    for t in _SWEEP_T:
+        parts.append(f"""
+SELECT CAST({t} AS INT) AS t_pct,
+       CAST(sum(CASE WHEN n_inter * 100 >= {t} * n_union THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN n_agree * 100 >= {t} * 32 THEN 1 ELSE 0 END) AS BIGINT) AS n_est
+FROM ts_audit""")
+    return (
+        f"WITH ts_audit AS ({minhash_estimator_audit_sql()})"
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+def q_event_outlier_profile(spark, sf_dir):
+    """Tukey boxplot profile per event type: q1/q3/IQR of value and
+    the count above the 1.5·IQR fence — the robust outlier read
+    (winsorize's diagnostic sibling).  Quartiles interpolate per group
+    (quantile_cont parity); the fence comparison uses the identical
+    doubles on both engines.
+
+    Scale shape: two per-group passes over the events projection (one
+    order-statistics agg, one fence count with the quartiles broadcast
+    back)."""
+    e = _t(spark, sf_dir, "events").select("event_type", "value")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.max("q1"), 6).alias("q1"),
+            F.round(F.max("q3"), 6).alias("q3"),
+            F.sum(
+                F.when(
+                    F.col("value") > F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
+
+
+SQL_EVENT_OUTLIER_PROFILE = """
+WITH eo_q AS (
+  SELECT event_type, quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+       ROUND(max(q.q1), 6) AS q1, ROUND(max(q.q3), 6) AS q3,
+       CAST(sum(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN eo_q q USING (event_type)
+GROUP BY 1
+"""
+
+
+def q_kg_yield_corr(spark, sf_dir):
+    """Does a longer conversation yield proportionally more KG? Exact
+    Pearson moments between per-conversation segment count and triple
+    count (quality_length_corr's KG sibling): all five moments are
+    BIGINT sums over the density profile; one float correlation at the
+    end with a zero-variance guard.
+
+    Scale shape: one 1-row moment agg over the memoized density
+    table."""
+    d = q_kg_conv_density(spark, sf_dir).selectExpr(
+        "n_segments AS x", "n_triples AS y"
+    )
+    m = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.selectExpr(
+        "n",
+        "n * sxy - sx * sy AS cov_num",
+        "CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 "
+        "THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) "
+        "ELSE NULL END AS pearson",
+    )
+
+
+def _kg_yield_corr_sql() -> str:
+    return f"""
+WITH yc_d AS ({_kg_conv_density_sql()}),
+yc_m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(n_segments) AS BIGINT) AS sx,
+         CAST(sum(n_triples) AS BIGINT) AS sy,
+         CAST(sum(n_segments * n_triples) AS BIGINT) AS sxy,
+         CAST(sum(n_segments * n_segments) AS BIGINT) AS sxx,
+         CAST(sum(n_triples * n_triples) AS BIGINT) AS syy
+  FROM yc_d
+)
+SELECT n, n * sxy - sx * sy AS cov_num,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE NULL END AS pearson
+FROM yc_m
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9676,6 +9818,9 @@ SPARK_QUERIES = {
     "graph_ecc_hubs": q_graph_ecc_hubs,
     "brand_concentration_hhi": q_brand_concentration_hhi,
     "status_month_mix": q_status_month_mix,
+    "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "event_outlier_profile": q_event_outlier_profile,
+    "kg_yield_corr": q_kg_yield_corr,
     "doc_prefix_groups": q_doc_prefix_groups,
     "kg_label_cooc": q_kg_label_cooc,
     "weekday_order_profile": q_weekday_order_profile,
@@ -9907,6 +10052,9 @@ ORACLE_SQL = {
     "graph_ecc_hubs": _graph_ecc_hubs_sql(),
     "brand_concentration_hhi": SQL_BRAND_HHI,
     "status_month_mix": SQL_STATUS_MONTH_MIX,
+    "dedup_threshold_sweep": _dedup_threshold_sweep_sql(),
+    "event_outlier_profile": SQL_EVENT_OUTLIER_PROFILE,
+    "kg_yield_corr": _kg_yield_corr_sql(),
     "doc_prefix_groups": SQL_DOC_PREFIX_GROUPS,
     "kg_label_cooc": _kg_label_cooc_sql(),
     "weekday_order_profile": SQL_WEEKDAY_ORDER_PROFILE,

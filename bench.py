@@ -436,6 +436,8 @@ HEADLINE = [
     "status_month_mix",
     # round-4 batch 33: threshold policy sweep, outlier fence, KG yield
     "dedup_threshold_sweep",
+    # round-4: real baseline JPEG codec (rows-only leg; no SQL twin)
+    "multimodal_jpeg_decode",
     "event_outlier_profile",
     "kg_yield_corr",
     "doc_prefix_groups",

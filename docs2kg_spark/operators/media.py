@@ -16,6 +16,8 @@ round-3 verdict called "the one honest stub" is now REAL for:
 - GIF  (87a/89a, REAL LZW decompression implemented here — a genuinely
         compressed format with no library at all; non-interlaced,
         global or local palette)
+- JPEG (baseline sequential, REAL Huffman + IDCT in operators/jpeg.py —
+        4:4:4 and 4:2:0; progressive/arithmetic raise NotImplementedError)
 - APNG (animated PNG video frames, full-canvas subset, frame sampling)
 
 Compressed codecs that genuinely need external libraries (JPEG, MP3,
@@ -268,6 +270,8 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 def sniff(payload: bytes) -> str:
+    if payload[:2] == b"\xFF\xD8":
+        return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if payload[:2] == b"BM":
@@ -287,6 +291,10 @@ def media_decode(payload: bytes, kind: str = ""):
     samples).  Formats needing external codec libraries raise
     NotImplementedError (the honest boundary)."""
     fmt = sniff(payload or b"")
+    if fmt == "jpeg":
+        from docs2kg_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if fmt == "gif":
         return decode_gif(payload)
     if fmt == "bmp":
@@ -298,8 +306,8 @@ def media_decode(payload: bytes, kind: str = ""):
     if fmt == "wav":
         return decode_wav(payload)
     raise NotImplementedError(
-        "unrecognized/compressed media format — JPEG/MP3/H.264 decode needs "
-        "PIL/ffmpeg, not present in this container"
+        "unrecognized media format — MP3/H.264 decode needs ffmpeg, "
+        "not present in this container"
     )
 
 
@@ -309,7 +317,7 @@ def media_features(payload: bytes, kind: str = ""):
     per-channel means…]; audio → [sr, nch, n, rms, peak, zcr…]; padded
     with zeros."""
     fmt = sniff(payload or b"")
-    if fmt in ("bmp", "pnm", "png", "gif"):
+    if fmt in ("bmp", "pnm", "png", "gif", "jpeg"):
         px = media_decode(payload)
         f = [
             float(px.shape[1]),

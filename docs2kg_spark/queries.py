@@ -9550,6 +9550,56 @@ FROM yc_m
 """
 
 
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG encode→decode per document (operators/
+    jpeg.py: Huffman entropy coding, quantized DCT, 4:2:0 when doc_id
+    is odd) with exact roundtrip-error stats against the source
+    gradient.  JPEG's float DCT is not SQL-expressible, so this is the
+    one media leg WITHOUT a DuckDB twin — the driver records the
+    weaker rows-only check, and tests/test_media_jpeg.py pins the
+    codec behavior (determinism, error bounds, honest SOF2/DRI
+    rejections).
+
+    100 TB shape: one narrow Arrow pass, zero shuffle."""
+    import numpy as np
+
+    from docs2kg_spark.operators import jpeg
+
+    schema = (
+        "doc_id bigint, w bigint, h bigint, subsampled int, n_bytes bigint, "
+        "max_err bigint, mean_err_x1000 bigint"
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            cols = {k: [] for k in ("doc_id", "w", "h", "subsampled", "n_bytes",
+                                    "max_err", "mean_err_x1000")}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 12 + did % 9, 10 + did % 7
+                ys, xs = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [did % 64 + 2 * xs + ys, (did * 7) % 64 + xs + 2 * ys,
+                     (did * 13) % 64 + xs], axis=2
+                ).astype(np.uint8)
+                sub = bool(did % 2)
+                data = jpeg.encode_jpeg(px, quality=90, subsample=sub)
+                dec = jpeg.decode_jpeg(data)
+                err = np.abs(dec.astype(np.int64) - px.astype(np.int64))
+                cols["doc_id"].append(did)
+                cols["w"].append(w)
+                cols["h"].append(h)
+                cols["subsampled"].append(int(sub))
+                cols["n_bytes"].append(len(data))
+                cols["max_err"].append(int(err.max()))
+                cols["mean_err_x1000"].append(int(err.sum() * 1000 // err.size))
+            yield pd.DataFrame(cols)
+
+    return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(gen, schema=schema)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9819,6 +9869,7 @@ SPARK_QUERIES = {
     "brand_concentration_hhi": q_brand_concentration_hhi,
     "status_month_mix": q_status_month_mix,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "event_outlier_profile": q_event_outlier_profile,
     "kg_yield_corr": q_kg_yield_corr,
     "doc_prefix_groups": q_doc_prefix_groups,

@@ -438,6 +438,10 @@ HEADLINE = [
     "dedup_threshold_sweep",
     # round-4: real baseline JPEG codec (rows-only leg; no SQL twin)
     "multimodal_jpeg_decode",
+    # round-4 batch 34: brand quality, JSON field profile, KG QA
+    "brand_return_rate",
+    "props_value_stats",
+    "kg_isolated_entity_share",
     "event_outlier_profile",
     "kg_yield_corr",
     "doc_prefix_groups",

@@ -9600,6 +9600,169 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select("doc_id").mapInPandas(gen, schema=schema)
 
 
+def q_brand_return_rate(spark, sf_dir):
+    """Return rate per part brand: returned line items (l_returnflag =
+    'R') over all line items, with exact counts and returned revenue
+    share in cents — the product-quality read by brand.  Ratios are
+    one rounded division over exact BIGINTs.
+
+    Scale shape: one broadcast part join + one (brand) hash agg with
+    conditional sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_returned"),
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+            ).cast("bigint").alias("total_cents"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"),
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("returned_cents"),
+        )
+        .selectExpr(
+            "p_brand", "n_lines", "n_returned", "total_cents", "returned_cents",
+            "ROUND(CAST(n_returned AS DOUBLE) / n_lines, 6) AS return_rate",
+        )
+    )
+
+
+SQL_BRAND_RETURN_RATE = """
+WITH br AS (
+  SELECT p.p_brand,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+         CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                       THEN CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS returned_cents
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+)
+SELECT p_brand, n_lines, n_returned, total_cents, returned_cents,
+       ROUND(CAST(n_returned AS DOUBLE) / n_lines, 6) AS return_rate
+FROM br
+"""
+
+
+def q_props_value_stats(spark, sf_dir):
+    """Semi-structured payload profile: the JSON `k` field extracted
+    per event and summarized per type (n_present, exact sum, min/max,
+    interpolated median) — the schema-on-read pass every event
+    pipeline runs before promoting a JSON field to a column.  The
+    extraction is get_json_object ≡ json_extract; integers stay
+    BIGINT.
+
+    Scale shape: row-local JSON parse + one per-type order-statistics
+    agg."""
+    e = _t(spark, sf_dir, "events")
+    k = F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_present"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.round(F.expr("percentile(k, 0.5)"), 6).alias("med_k"),
+        )
+    )
+
+
+SQL_PROPS_VALUE_STATS = """
+WITH pv AS (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT event_type, CAST(count(k) AS BIGINT) AS n_present,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+       ROUND(quantile_cont(k, 0.5), 6) AS med_k
+FROM pv GROUP BY 1
+"""
+
+
+def q_kg_isolated_entity_share(spark, sf_dir):
+    """KG connectivity QA per conversation: how many of a conv's
+    distinct canonical entities appear in NO triple of that conv
+    (mention extracted, relation never formed) — a high isolated share
+    flags conversations whose graph is just a bag of nodes.  Exact
+    set counts; one rounded share.
+
+    Scale shape: two conv-keyed distinct reductions (entities from
+    mentions via the broadcast canonical map; endpoints from triples)
+    and a left-anti-style join before the per-conv agg."""
+    m = q_kg_mentions(spark, sf_dir)
+    cmap = q_kg_canonical_map(spark, sf_dir)
+    ents = (
+        m.join(F.broadcast(cmap.select("text", "label", "canonical_id")), ["text", "label"])
+        .select("conv_id", "canonical_id")
+        .distinct()
+    )
+    t = q_kg_triples(spark, sf_dir)
+    cm = F.broadcast(cmap.select("text", "label", "canonical_id"))
+    used = (
+        t.selectExpr("conv_id", "subj AS text", "subj_label AS label")
+        .unionByName(t.selectExpr("conv_id", "obj AS text", "obj_label AS label"))
+        .join(cm, ["text", "label"])
+        .select("conv_id", "canonical_id")
+        .distinct()
+    )
+    flagged = ents.join(used.withColumn("in_triple", F.lit(1)), ["conv_id", "canonical_id"], "left")
+    return (
+        flagged.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_entities"),
+            F.sum(F.when(F.col("in_triple").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_isolated"),
+        )
+        .selectExpr(
+            "conv_id", "n_entities", "n_isolated",
+            "ROUND(CAST(n_isolated AS DOUBLE) / n_entities, 6) AS isolated_share",
+        )
+    )
+
+
+def _kg_isolated_entity_share_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_full_ctes
+
+    return f"""
+{kg_full_ctes(TRANSCRIPTS_CTE)},
+ie_ent AS (
+  SELECT DISTINCT m.conv_id, c.canonical_id
+  FROM mentions m JOIN cmap c ON c.text = m.text AND c.label = m.label
+),
+ie_sub AS (
+  SELECT t.conv_id, cs.canonical_id
+  FROM triples t JOIN cmap cs ON cs.text = t.subj AND cs.label = t.subj_label
+),
+ie_obj AS (
+  SELECT t.conv_id, co.canonical_id
+  FROM triples t JOIN cmap co ON co.text = t.obj AND co.label = t.obj_label
+),
+ie_used AS (
+  SELECT DISTINCT conv_id, canonical_id
+  FROM (SELECT * FROM ie_sub UNION ALL SELECT * FROM ie_obj)
+)
+SELECT e.conv_id, CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(CASE WHEN u.canonical_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_isolated,
+       ROUND(CAST(sum(CASE WHEN u.canonical_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS isolated_share
+FROM ie_ent e
+LEFT JOIN ie_used u ON u.conv_id = e.conv_id AND u.canonical_id = e.canonical_id
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -9870,6 +10033,9 @@ SPARK_QUERIES = {
     "status_month_mix": q_status_month_mix,
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "brand_return_rate": q_brand_return_rate,
+    "props_value_stats": q_props_value_stats,
+    "kg_isolated_entity_share": q_kg_isolated_entity_share,
     "event_outlier_profile": q_event_outlier_profile,
     "kg_yield_corr": q_kg_yield_corr,
     "doc_prefix_groups": q_doc_prefix_groups,
@@ -10104,6 +10270,9 @@ ORACLE_SQL = {
     "brand_concentration_hhi": SQL_BRAND_HHI,
     "status_month_mix": SQL_STATUS_MONTH_MIX,
     "dedup_threshold_sweep": _dedup_threshold_sweep_sql(),
+    "brand_return_rate": SQL_BRAND_RETURN_RATE,
+    "props_value_stats": SQL_PROPS_VALUE_STATS,
+    "kg_isolated_entity_share": _kg_isolated_entity_share_sql(),
     "event_outlier_profile": SQL_EVENT_OUTLIER_PROFILE,
     "kg_yield_corr": _kg_yield_corr_sql(),
     "doc_prefix_groups": SQL_DOC_PREFIX_GROUPS,

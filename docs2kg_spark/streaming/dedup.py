@@ -93,3 +93,61 @@ def incremental_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming sketch state: a count-min sketch maintained across batches
+# ---------------------------------------------------------------------------
+
+
+def _cms_batch(store: TableStore, batch_df: DataFrame, batch_id: int,
+               key_col: str = "user_id") -> dict:
+    """foreachBatch body for incremental_cms: write the BATCH's delta
+    sketch keyed by batch id (append_batch overwrites its own delta on
+    replay — re-delivered batches can never double-count, the same
+    idempotence contract as the dedup sink); the merged sketch is
+    cms_merged()'s sum over deltas, valid because CMS cells are
+    mergeable by addition.  Exposed for direct batch-parity tests."""
+    from docs2kg_spark.operators.sketches import cms_build
+
+    delta = cms_build(batch_df, key_col).localCheckpoint()
+    n_cells = delta.count()
+    store.append_batch(delta, "cms_deltas", batch_id)
+    return {"batch_id": batch_id, "n_cells": n_cells}
+
+
+def cms_merged(store: TableStore) -> DataFrame:
+    """The up-to-date sketch: Σ cells over every batch delta — a
+    constant d×w result however many batches landed (compact the
+    delta directory with TableStore.compact when batch count grows)."""
+    return (
+        store.read("cms_deltas")
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def incremental_cms(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    key_col: str = "user_id",
+    available_now: bool = True,
+):
+    """readStream(parquet dir) → per-batch CMS merge into a persisted
+    constant-size sketch table.  Query the final sketch with
+    operators/sketches.cms_estimate.  Returns the StreamingQuery."""
+    store = TableStore(spark, output_dir)
+    stream = (
+        spark.readStream.schema(schema or DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: _cms_batch(store, df, bid, key_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -9763,6 +9763,155 @@ GROUP BY 1
 """
 
 
+def q_length_lang_eta(spark, sf_dir):
+    """One-way variance decomposition of document length by language:
+    η² = SSB/SST (how much of length variance language explains) — the
+    stratification-decision read (η² ≈ 0 ⇒ per-language length
+    policies are pointless).  Group sums stay exact BIGINTs; the
+    Σ S_g²/n_g fold runs over a SORTED in-row array (the
+    label_centroid_cos discipline), never a float SUM across a
+    hash-partitioned group.
+
+    Scale shape: one (lang) hash agg to |langs| rows collected into a
+    single in-row array; SST from the same exact moments."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "lang", "CAST(n_chars AS BIGINT) AS y"
+    )
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("y").cast("bigint").alias("s_g"),
+    )
+    packed = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sort_array(
+            F.collect_list(F.struct("lang", "s_g", "n_g"))
+        ).alias("groups"),
+    )
+    ss = d.agg(F.sum(F.expr("y * y")).cast("bigint").alias("syy"))
+    ssb_between = F.aggregate(
+        F.col("groups"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + (x["s_g"].cast("double") * x["s_g"].cast("double")) / x["n_g"].cast("double"),
+    )
+    return (
+        packed.crossJoin(F.broadcast(ss))
+        .withColumn(
+            "ssb",
+            ssb_between - F.col("s").cast("double") * F.col("s") / F.col("n"),
+        )
+        .withColumn(
+            "sst",
+            F.col("syy").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n"),
+        )
+        .selectExpr(
+            "n", "n_groups",
+            "CASE WHEN sst > 0 THEN ROUND(ssb / sst, 6) ELSE NULL END AS eta2",
+        )
+    )
+
+
+SQL_LENGTH_LANG_ETA = """
+WITH le_d AS (SELECT lang, CAST(n_chars AS BIGINT) AS y FROM documents),
+le_g AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_g, CAST(sum(y) AS BIGINT) AS s_g
+  FROM le_d GROUP BY 1
+),
+le_p AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n_groups,
+         list_sum(list_transform(
+           list(ROW(s_g, n_g) ORDER BY lang),
+           t -> CAST(t.s_g AS DOUBLE) * t.s_g / t.n_g
+         )) AS sum_sg2
+  FROM le_g
+),
+le_s AS (SELECT CAST(sum(y * y) AS BIGINT) AS syy FROM le_d)
+SELECT p.n, p.n_groups,
+       CASE WHEN (s.syy - CAST(p.s AS DOUBLE) * p.s / p.n) > 0
+            THEN ROUND((p.sum_sg2 - CAST(p.s AS DOUBLE) * p.s / p.n)
+                       / (s.syy - CAST(p.s AS DOUBLE) * p.s / p.n), 6)
+            ELSE NULL END AS eta2
+FROM le_p p CROSS JOIN le_s s
+"""
+
+
+def q_cms_merge_audit(spark, sf_dir):
+    """Self-certifying mergeability audit of the count-min sketch:
+    sketch the event stream split in half by event_id parity, SUM the
+    two half-sketches cell-by-cell, and compare against the one-pass
+    sketch — n_mismatch MUST be 0 (cells are counters; merging IS
+    addition), and total_mass = depth · |events| exactly.  This is the
+    property the streaming CMS sink (streaming/dedup.py::
+    incremental_cms) relies on, value-oracled.
+
+    Scale shape: three constant-size d×w sketch builds + one
+    full-outer cell join; output is ONE row."""
+    from docs2kg_spark.operators.sketches import CMS_DEPTH, cms_build
+
+    e = _t(spark, sf_dir, "events")
+    whole = cms_build(e, "user_id")
+    h0 = cms_build(e.filter("event_id % 2 = 0"), "user_id")
+    h1 = cms_build(e.filter("event_id % 2 = 1"), "user_id")
+    merged = (
+        h0.unionByName(h1)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    cmp = whole.withColumnRenamed("cnt", "cnt_direct").join(
+        merged.withColumnRenamed("cnt", "cnt_merged"), ["seed", "bucket"], "full_outer"
+    )
+    n_events = e.count()
+    return cmp.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum(
+            F.when(
+                F.coalesce("cnt_direct", F.lit(0)) != F.coalesce("cnt_merged", F.lit(0)),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_mismatch"),
+        F.sum(F.coalesce("cnt_direct", F.lit(0))).cast("bigint").alias("total_mass"),
+        F.lit(CMS_DEPTH * n_events).cast("bigint").alias("expected_mass"),
+    )
+
+
+SQL_CMS_MERGE_AUDIT = """
+WITH ca_seeds AS (SELECT CAST(unnest(generate_series(0, 3)) AS VARCHAR) AS seed),
+ca_cells AS (
+  SELECT seed,
+         CAST(CAST(('0x' || substr(md5(seed || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN ca_seeds GROUP BY 1, 2
+),
+ca_half AS (
+  SELECT seed,
+         CAST(CAST(('0x' || substr(md5(seed || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN ca_seeds
+  WHERE event_id % 2 = 0 GROUP BY 1, 2
+),
+ca_half2 AS (
+  SELECT seed,
+         CAST(CAST(('0x' || substr(md5(seed || '|' || CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 256 AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events CROSS JOIN ca_seeds
+  WHERE event_id % 2 = 1 GROUP BY 1, 2
+),
+ca_merged AS (
+  SELECT seed, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+  FROM (SELECT * FROM ca_half UNION ALL SELECT * FROM ca_half2)
+  GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN coalesce(d.cnt, 0) != coalesce(m.cnt, 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+       CAST(sum(coalesce(d.cnt, 0)) AS BIGINT) AS total_mass,
+       (SELECT CAST(4 * count(*) AS BIGINT) FROM events) AS expected_mass
+FROM ca_cells d FULL OUTER JOIN ca_merged m USING (seed, bucket)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------

@@ -208,9 +208,11 @@ def test_sniff_and_dispatch():
     assert media.sniff(media.encode_png(px)) == "png"
     assert media.sniff(media.encode_ppm(px)) == "pnm"
     assert media.sniff(media.encode_wav(np.zeros(4, np.int16))) == "wav"
-    assert media.sniff(b"\xff\xd8\xff\xe0 jpeg") == "unknown"
+    assert media.sniff(b"\xff\xd8\xff\xe0 jpeg") == "jpeg"  # real since operators/jpeg.py
+    with pytest.raises(ValueError):
+        media.media_decode(b"\xff\xd8\xff\xe0 jpeg")  # truncated stream, not a codec gap
     with pytest.raises(NotImplementedError):
-        media.media_decode(b"\xff\xd8\xff\xe0 jpeg")
+        media.media_decode(b"\x00\x01 not a known container")
 
 
 def test_media_features_image_and_audio():

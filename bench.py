@@ -440,6 +440,9 @@ HEADLINE = [
     "multimodal_jpeg_decode",
     # round-4 batch 34: brand quality, JSON field profile, KG QA
     "brand_return_rate",
+    # round-4 batch 35: variance decomposition, sketch merge audit
+    "length_lang_eta",
+    "cms_merge_audit",
     "props_value_stats",
     "kg_isolated_entity_share",
     "event_outlier_profile",

@@ -9823,7 +9823,7 @@ le_p AS (
   SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
          CAST(count(*) AS BIGINT) AS n_groups,
          list_sum(list_transform(
-           list(ROW(s_g, n_g) ORDER BY lang),
+           list(struct_pack(s_g := s_g, n_g := n_g) ORDER BY lang),
            t -> CAST(t.s_g AS DOUBLE) * t.s_g / t.n_g
          )) AS sum_sg2
   FROM le_g
@@ -10183,6 +10183,8 @@ SPARK_QUERIES = {
     "dedup_threshold_sweep": q_dedup_threshold_sweep,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "brand_return_rate": q_brand_return_rate,
+    "length_lang_eta": q_length_lang_eta,
+    "cms_merge_audit": q_cms_merge_audit,
     "props_value_stats": q_props_value_stats,
     "kg_isolated_entity_share": q_kg_isolated_entity_share,
     "event_outlier_profile": q_event_outlier_profile,
@@ -10420,6 +10422,8 @@ ORACLE_SQL = {
     "status_month_mix": SQL_STATUS_MONTH_MIX,
     "dedup_threshold_sweep": _dedup_threshold_sweep_sql(),
     "brand_return_rate": SQL_BRAND_RETURN_RATE,
+    "length_lang_eta": SQL_LENGTH_LANG_ETA,
+    "cms_merge_audit": SQL_CMS_MERGE_AUDIT,
     "props_value_stats": SQL_PROPS_VALUE_STATS,
     "kg_isolated_entity_share": _kg_isolated_entity_share_sql(),
     "event_outlier_profile": SQL_EVENT_OUTLIER_PROFILE,

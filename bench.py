@@ -443,6 +443,10 @@ HEADLINE = [
     # round-4 batch 35: variance decomposition, sketch merge audit
     "length_lang_eta",
     "cms_merge_audit",
+    # round-4 batch 36: casing hygiene, balance-activity, density QA
+    "doc_casing_profile",
+    "balance_activity_matrix",
+    "mention_density_by_label",
     "props_value_stats",
     "kg_isolated_entity_share",
     "event_outlier_profile",

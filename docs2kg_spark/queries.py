@@ -9912,6 +9912,162 @@ FROM ca_cells d FULL OUTER JOIN ca_merged m USING (seed, bucket)
 """
 
 
+def q_doc_casing_profile(spark, sf_dir):
+    """Casing hygiene per source: uppercase-letter share (scaled to
+    basis points by integer division), ALL-CAPS token count, and
+    TitleCase token count — the shouting/template detector a curation
+    pass runs per provenance.  All counts exact BIGINTs.
+
+    Scale shape: row-local regexp counts folded into one (source)
+    hash agg."""
+    d = _t(spark, sf_dir, "documents")
+    upper = F.size(F.expr("regexp_extract_all(text, '[A-Z]', 0)")).cast("bigint")
+    letters = F.size(F.expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("bigint")
+    allcaps = F.size(
+        F.expr(r"regexp_extract_all(text, '\\b[A-Z]{2,}\\b', 0)")
+    ).cast("bigint")
+    title = F.size(
+        F.expr(r"regexp_extract_all(text, '\\b[A-Z][a-z]+', 0)")
+    ).cast("bigint")
+    return (
+        d.select(
+            "source",
+            upper.alias("u"),
+            letters.alias("l"),
+            allcaps.alias("ac"),
+            title.alias("tc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("u").cast("bigint").alias("n_upper"),
+            F.sum("l").cast("bigint").alias("n_letters"),
+            F.sum("ac").cast("bigint").alias("n_allcaps_tokens"),
+            F.sum("tc").cast("bigint").alias("n_title_tokens"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_upper", "n_letters",
+            "n_allcaps_tokens", "n_title_tokens",
+            "CASE WHEN n_letters > 0 THEN n_upper * 10000 DIV n_letters ELSE 0 END AS upper_bp",
+        )
+    )
+
+
+SQL_DOC_CASING_PROFILE = r"""
+WITH cp AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS u,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS l,
+         CAST(len(regexp_extract_all(text, '\b[A-Z]{2,}\b')) AS BIGINT) AS ac,
+         CAST(len(regexp_extract_all(text, '\b[A-Z][a-z]+')) AS BIGINT) AS tc
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(u) AS BIGINT) AS n_upper,
+       CAST(sum(l) AS BIGINT) AS n_letters,
+       CAST(sum(ac) AS BIGINT) AS n_allcaps_tokens,
+       CAST(sum(tc) AS BIGINT) AS n_title_tokens,
+       CASE WHEN sum(l) > 0 THEN CAST(sum(u) AS BIGINT) * 10000 // CAST(sum(l) AS BIGINT) ELSE 0 END AS upper_bp
+FROM cp GROUP BY 1
+"""
+
+
+def q_balance_activity_matrix(spark, sf_dir):
+    """Customer account-balance band × order-activity matrix: do
+    negative-balance customers still order?  Bands are fixed policy
+    cuts (no quantile sort); activity is a left-semi-shaped flag.
+    Exact counts per cell.
+
+    Scale shape: the activity flag is one left join against the
+    distinct order custkeys (a semi-join in disguise that keeps the
+    row for the 'inactive' count); one ≤6-row hash agg."""
+    c = _t(spark, sf_dir, "customer")
+    active = _t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    return (
+        c.join(
+            active.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+                "is_active", F.lit(1)
+            ),
+            "c_custkey",
+            "left",
+        )
+        .selectExpr(
+            "CASE WHEN c_acctbal < 0 THEN 'negative' "
+            "WHEN c_acctbal < 5000 THEN 'low' ELSE 'high' END AS balance_band",
+            "CASE WHEN is_active IS NULL THEN 'inactive' ELSE 'active' END AS activity",
+            "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents",
+        )
+        .groupBy("balance_band", "activity")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
+        )
+    )
+
+
+SQL_BALANCE_ACTIVITY_MATRIX = """
+WITH ba AS (
+  SELECT CASE WHEN c.c_acctbal < 0 THEN 'negative'
+              WHEN c.c_acctbal < 5000 THEN 'low' ELSE 'high' END AS balance_band,
+         CASE WHEN o.o_custkey IS NULL THEN 'inactive' ELSE 'active' END AS activity,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer c
+  LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON o.o_custkey = c.c_custkey
+)
+SELECT balance_band, activity, CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+FROM ba GROUP BY 1, 2
+"""
+
+
+def q_mention_density_by_label(spark, sf_dir):
+    """Extraction density per entity label: mentions per 1000 segment
+    tokens (integer-scaled DIV), with segment and mention counts — the
+    extractor-health read (a label whose density collapses after a
+    prompt change is a regression).
+
+    Scale shape: token counts are row-local on the memoized segments;
+    mentions reduce per label; one small join of two thin aggregates
+    against the 1-row token total."""
+    segs = q_kg_segments(spark, sf_dir)
+    toks = segs.agg(
+        F.sum(
+            F.size(F.expr("filter(split(text, '[ \\t\\n\\r]+'), x -> x != '')"))
+        ).cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_segments"),
+    )
+    m = q_kg_mentions(spark, sf_dir)
+    per_label = m.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_mentions")
+    )
+    return (
+        per_label.crossJoin(F.broadcast(toks))
+        .selectExpr(
+            "label", "n_mentions", "n_segments", "n_tokens",
+            "n_mentions * 1000 DIV n_tokens AS per_1k_tokens",
+        )
+    )
+
+
+def _mention_density_by_label_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+md_t AS (
+  SELECT CAST(sum(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\r]+'), x -> x <> ''))) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_segments
+  FROM segs
+),
+md_m AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_mentions FROM mentions GROUP BY 1
+)
+SELECT m.label, m.n_mentions, t.n_segments, t.n_tokens,
+       m.n_mentions * 1000 // t.n_tokens AS per_1k_tokens
+FROM md_m m CROSS JOIN md_t t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10185,6 +10341,9 @@ SPARK_QUERIES = {
     "brand_return_rate": q_brand_return_rate,
     "length_lang_eta": q_length_lang_eta,
     "cms_merge_audit": q_cms_merge_audit,
+    "doc_casing_profile": q_doc_casing_profile,
+    "balance_activity_matrix": q_balance_activity_matrix,
+    "mention_density_by_label": q_mention_density_by_label,
     "props_value_stats": q_props_value_stats,
     "kg_isolated_entity_share": q_kg_isolated_entity_share,
     "event_outlier_profile": q_event_outlier_profile,
@@ -10424,6 +10583,9 @@ ORACLE_SQL = {
     "brand_return_rate": SQL_BRAND_RETURN_RATE,
     "length_lang_eta": SQL_LENGTH_LANG_ETA,
     "cms_merge_audit": SQL_CMS_MERGE_AUDIT,
+    "doc_casing_profile": SQL_DOC_CASING_PROFILE,
+    "balance_activity_matrix": SQL_BALANCE_ACTIVITY_MATRIX,
+    "mention_density_by_label": _mention_density_by_label_sql(),
     "props_value_stats": SQL_PROPS_VALUE_STATS,
     "kg_isolated_entity_share": _kg_isolated_entity_share_sql(),
     "event_outlier_profile": SQL_EVENT_OUTLIER_PROFILE,

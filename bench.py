@@ -445,6 +445,10 @@ HEADLINE = [
     "cms_merge_audit",
     # round-4 batch 36: casing hygiene, balance-activity, density QA
     "doc_casing_profile",
+    # round-4 batch 37: KG density, numeric payloads, contrastive pairs
+    "kg_conv_graph_density",
+    "doc_numeric_density",
+    "contrastive_triplets",
     "balance_activity_matrix",
     "mention_density_by_label",
     "props_value_stats",

@@ -10068,6 +10068,230 @@ FROM md_m m CROSS JOIN md_t t
 """
 
 
+def q_kg_conv_graph_density(spark, sf_dir):
+    """Per-conversation entity-graph density: distinct co-occurrence
+    pairs over C(n_entities, 2) — 1.0 means every entity pair
+    connected (relation extraction saturated), near-0 means a sparse
+    thread.  Exact integers with the density as num/den BIGINT columns
+    plus one rounded division; conversations with < 2 entities are
+    excluded (den 0).
+
+    Scale shape: two conv-keyed distinct reductions over the memoized
+    chain; no pair materialization beyond the already-thin distinct
+    (subj, obj) projection."""
+    t = q_kg_triples(spark, sf_dir)
+    cmap = q_kg_canonical_map(spark, sf_dir)
+    cm = F.broadcast(cmap.select("text", "label", "canonical_id"))
+    ents = (
+        q_kg_mentions(spark, sf_dir)
+        .join(cm, ["text", "label"])
+        .select("conv_id", "canonical_id")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("bigint").alias("n_entities"))
+    )
+    pairs = (
+        t.join(
+            cm.selectExpr("text AS subj", "label AS subj_label", "canonical_id AS ca"),
+            ["subj", "subj_label"],
+        )
+        .join(
+            cm.selectExpr("text AS obj", "label AS obj_label", "canonical_id AS cb"),
+            ["obj", "obj_label"],
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .selectExpr("conv_id", "least(ca, cb) AS a", "greatest(ca, cb) AS b")
+        .distinct()
+        .groupBy("conv_id")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+    )
+    return (
+        ents.join(pairs, "conv_id", "left")
+        .filter("n_entities >= 2")
+        .selectExpr(
+            "conv_id",
+            "n_entities",
+            "CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs",
+            "n_entities * (n_entities - 1) DIV 2 AS n_possible",
+            "ROUND(CAST(coalesce(n_pairs, 0) AS DOUBLE) / (n_entities * (n_entities - 1) DIV 2), 6) AS density",
+        )
+    )
+
+
+def _kg_conv_graph_density_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_full_ctes
+
+    return f"""
+{kg_full_ctes(TRANSCRIPTS_CTE)},
+cg_e AS (
+  SELECT m.conv_id, CAST(count(DISTINCT c.canonical_id) AS BIGINT) AS n_entities
+  FROM mentions m JOIN cmap c ON c.text = m.text AND c.label = m.label
+  GROUP BY 1
+),
+cg_p AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_pairs FROM (
+    SELECT DISTINCT t.conv_id,
+           least(cs.canonical_id, co.canonical_id) AS a,
+           greatest(cs.canonical_id, co.canonical_id) AS b
+    FROM triples t
+    JOIN cmap cs ON cs.text = t.subj AND cs.label = t.subj_label
+    JOIN cmap co ON co.text = t.obj AND co.label = t.obj_label
+    WHERE cs.canonical_id != co.canonical_id
+  ) GROUP BY 1
+)
+SELECT e.conv_id, e.n_entities,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+       e.n_entities * (e.n_entities - 1) // 2 AS n_possible,
+       ROUND(CAST(coalesce(p.n_pairs, 0) AS DOUBLE)
+             / (e.n_entities * (e.n_entities - 1) // 2), 6) AS density
+FROM cg_e e LEFT JOIN cg_p p USING (conv_id)
+WHERE e.n_entities >= 2
+"""
+
+
+def q_doc_numeric_density(spark, sf_dir):
+    """Numeric payload share per source: digit-character basis points
+    and numeric-token counts — tables and logs masquerading as prose
+    show up here first.  Exact integers; one integer-scaled share.
+
+    Scale shape: row-local regexp counts into one (source) hash agg."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)")).cast("bigint").alias("dg"),
+            F.length("text").cast("bigint").alias("ch"),
+            F.size(
+                F.expr(r"regexp_extract_all(text, '\\b[0-9]+(\\.[0-9]+)?\\b', 0)")
+            ).cast("bigint").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dg").cast("bigint").alias("n_digits"),
+            F.sum("ch").cast("bigint").alias("n_chars"),
+            F.sum("nt").cast("bigint").alias("n_numeric_tokens"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_digits", "n_chars", "n_numeric_tokens",
+            "CASE WHEN n_chars > 0 THEN n_digits * 10000 DIV n_chars ELSE 0 END AS digit_bp",
+        )
+    )
+
+
+SQL_DOC_NUMERIC_DENSITY = r"""
+WITH nd AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dg,
+         CAST(length(text) AS BIGINT) AS ch,
+         CAST(len(regexp_extract_all(text, '\b[0-9]+(\.[0-9]+)?\b')) AS BIGINT) AS nt
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(dg) AS BIGINT) AS n_digits,
+       CAST(sum(ch) AS BIGINT) AS n_chars,
+       CAST(sum(nt) AS BIGINT) AS n_numeric_tokens,
+       CASE WHEN sum(ch) > 0 THEN CAST(sum(dg) AS BIGINT) * 10000 // CAST(sum(ch) AS BIGINT) ELSE 0 END AS digit_bp
+FROM nd GROUP BY 1
+"""
+
+
+def q_contrastive_triplets(spark, sf_dir):
+    """Deterministic contrastive-training triplet assembly: every 10th
+    doc anchors a (anchor, positive, negative) example — positive =
+    the hash-nearest OTHER doc in the same language, negative = the
+    hash-nearest doc in a different language — the SFT/embedding
+    training-pair generator, reproducible across runs (md5 order, no
+    RNG).
+
+    Scale shape: candidates reduce per (anchor-bucket, lang) via
+    min-hash-key aggregations — the positive pick is one lang-keyed
+    min-struct agg joined back, never an all-pairs join; the negative
+    pick reuses one global-by-lang ranking of hash keys."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hkey = F.md5(F.concat_ws("|", F.lit("ctr-v1"), F.col("doc_id").cast("string")))
+    keyed = d.select("doc_id", "lang", hkey.alias("hk")).localCheckpoint(eager=False)
+    anchors = keyed.filter(F.col("doc_id") % 10 == 0).selectExpr(
+        "doc_id AS anchor", "lang AS a_lang", "hk AS a_hk"
+    )
+    # positive: min hash key within the anchor's language, excluding self —
+    # take the two smallest per lang so every anchor (even the min-key
+    # holder) has a distinct candidate
+    from pyspark.sql import Window
+
+    wl = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    top2 = (
+        keyed.withColumn("r", F.row_number().over(wl))
+        .filter("r <= 2")
+        .groupBy("lang")
+        .agg(
+            F.min(F.when(F.col("r") == 1, F.col("doc_id"))).alias("p1"),
+            F.min(F.when(F.col("r") == 2, F.col("doc_id"))).alias("p2"),
+        )
+    )
+    # negative: the globally hash-smallest doc of each OTHER language;
+    # pick the smallest-keyed language != anchor's
+    lang_min = (
+        keyed.withColumn("r", F.row_number().over(wl))
+        .filter("r = 1")
+        .selectExpr("lang AS n_lang", "doc_id AS n_doc", "hk AS n_hk")
+    )
+    wneg = Window.partitionBy("anchor").orderBy("n_hk", "n_lang")
+    neg = (
+        anchors.join(F.broadcast(lang_min), F.col("a_lang") != F.col("n_lang"))
+        .withColumn("r", F.row_number().over(wneg))
+        .filter("r = 1")
+        .selectExpr("anchor", "n_doc AS negative")
+    )
+    return (
+        anchors.join(F.broadcast(top2), anchors.a_lang == top2.lang)
+        .selectExpr(
+            "anchor",
+            "CASE WHEN p1 = anchor THEN p2 ELSE p1 END AS positive",
+        )
+        .join(neg, "anchor")
+        .filter(F.col("positive").isNotNull())
+        .select(
+            F.col("anchor").cast("long"),
+            F.col("positive").cast("long"),
+            F.col("negative").cast("long"),
+        )
+    )
+
+
+SQL_CONTRASTIVE_TRIPLETS = """
+WITH ct_k AS (
+  SELECT doc_id, lang, md5('ctr-v1' || '|' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+ct_r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS r FROM ct_k
+),
+ct_top2 AS (
+  SELECT lang,
+         min(CASE WHEN r = 1 THEN doc_id END) AS p1,
+         min(CASE WHEN r = 2 THEN doc_id END) AS p2
+  FROM ct_r WHERE r <= 2 GROUP BY 1
+),
+ct_lmin AS (SELECT lang AS n_lang, doc_id AS n_doc, hk AS n_hk FROM ct_r WHERE r = 1),
+ct_a AS (SELECT doc_id AS anchor, lang AS a_lang FROM ct_k WHERE doc_id % 10 = 0),
+ct_neg AS (
+  SELECT anchor, n_doc AS negative FROM (
+    SELECT a.anchor, l.n_doc,
+           ROW_NUMBER() OVER (PARTITION BY a.anchor ORDER BY l.n_hk, l.n_lang) AS r
+    FROM ct_a a JOIN ct_lmin l ON l.n_lang != a.a_lang
+  ) WHERE r = 1
+)
+SELECT CAST(a.anchor AS BIGINT) AS anchor,
+       CAST(CASE WHEN t.p1 = a.anchor THEN t.p2 ELSE t.p1 END AS BIGINT) AS positive,
+       CAST(n.negative AS BIGINT) AS negative
+FROM ct_a a
+JOIN ct_top2 t ON t.lang = a.a_lang
+JOIN ct_neg n ON n.anchor = a.anchor
+WHERE (CASE WHEN t.p1 = a.anchor THEN t.p2 ELSE t.p1 END) IS NOT NULL
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10342,6 +10566,9 @@ SPARK_QUERIES = {
     "length_lang_eta": q_length_lang_eta,
     "cms_merge_audit": q_cms_merge_audit,
     "doc_casing_profile": q_doc_casing_profile,
+    "kg_conv_graph_density": q_kg_conv_graph_density,
+    "doc_numeric_density": q_doc_numeric_density,
+    "contrastive_triplets": q_contrastive_triplets,
     "balance_activity_matrix": q_balance_activity_matrix,
     "mention_density_by_label": q_mention_density_by_label,
     "props_value_stats": q_props_value_stats,
@@ -10584,6 +10811,9 @@ ORACLE_SQL = {
     "length_lang_eta": SQL_LENGTH_LANG_ETA,
     "cms_merge_audit": SQL_CMS_MERGE_AUDIT,
     "doc_casing_profile": SQL_DOC_CASING_PROFILE,
+    "kg_conv_graph_density": _kg_conv_graph_density_sql(),
+    "doc_numeric_density": SQL_DOC_NUMERIC_DENSITY,
+    "contrastive_triplets": SQL_CONTRASTIVE_TRIPLETS,
     "balance_activity_matrix": SQL_BALANCE_ACTIVITY_MATRIX,
     "mention_density_by_label": _mention_density_by_label_sql(),
     "props_value_stats": SQL_PROPS_VALUE_STATS,

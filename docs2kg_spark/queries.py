@@ -10292,6 +10292,247 @@ WHERE (CASE WHEN t.p1 = a.anchor THEN t.p2 ELSE t.p1 END) IS NOT NULL
 """
 
 
+_EMB_DIM = 64
+_EMB_Q = 10_000  # quantization scale; n*S stays < 2^63 for n ≤ ~3.6e8 rows
+
+
+def q_embedding_second_moment(spark, sf_dir):
+    """Top-20 off-diagonal covariance pairs of the embedding matrix —
+    the redundancy probe run before PCA/whitening a corpus's vectors
+    (two dims that co-vary strongly carry duplicated signal and shrink
+    the effective dimensionality a retrieval index can use).
+
+    Exactness: each float is quantized to floor(v·1e4) (floor, not
+    round — identical in IEEE double on both engines), so every sum
+    and the scaled covariance n·S_ij − m_i·m_j are BIGINT-exact and
+    independent of accumulation order.
+
+    Scale shape: ONE Arrow pass — each batch emits its d×d partial
+    Gram (X^T X via one int64 matmul) plus the d linear sums, so the
+    shuffle moving to the final agg is O(partitions · d²) rows of
+    three ints, never O(n·d²); the mean-vector join is a broadcast of
+    d+1 rows.  At 100 TB the d² fanout is per-batch constant and the
+    reduce tree is a plain hash agg."""
+    import numpy as np
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "embeddings").select("embedding")
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _EMB_Q
+            ).astype(np.int64)
+            if M.shape[1] != _EMB_DIM:
+                raise ValueError(f"expected dim {_EMB_DIM}, got {M.shape[1]}")
+            S = M.T @ M
+            ii, jj = np.triu_indices(_EMB_DIM)
+            out = pd.DataFrame({"i": ii, "j": jj, "s": S[ii, jj]})
+            lin = pd.DataFrame(
+                {"i": np.arange(_EMB_DIM), "j": -1, "s": M.sum(axis=0)}
+            )
+            cnt = pd.DataFrame({"i": [-1], "j": [-1], "s": [len(pdf)]})
+            yield pd.concat([out, lin, cnt], ignore_index=True)
+
+    moments = (
+        e.mapInPandas(part, "i int, j int, s long")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    n = moments.filter("i = -1 AND j = -1").selectExpr("s AS n_rows")
+    lin = moments.filter("j = -1 AND i >= 0").selectExpr("i AS d", "s AS m")
+    cross = moments.filter("i >= 0 AND j > i")
+    return (
+        cross.crossJoin(F.broadcast(n))
+        .join(F.broadcast(lin).selectExpr("d AS i", "m AS m_i"), "i")
+        .join(F.broadcast(lin).selectExpr("d AS j", "m AS m_j"), "j")
+        .selectExpr(
+            "i", "j", "n_rows",
+            "n_rows * s - m_i * m_j AS cov_scaled",
+        )
+        .orderBy(F.abs(F.col("cov_scaled")).desc(), "i", "j")
+        .limit(20)
+        .select("i", "j", "n_rows", "cov_scaled")
+    )
+
+
+SQL_EMBEDDING_SECOND_MOMENT = f"""
+WITH esm_q AS (
+  SELECT vec_id, gs.i - 1 AS d,
+         CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * {_EMB_Q}) AS BIGINT) AS v
+  FROM embeddings, generate_series(1, {_EMB_DIM}) AS gs(i)
+),
+esm_s AS (
+  SELECT a.d AS i, b.d AS j, CAST(sum(a.v * b.v) AS BIGINT) AS s
+  FROM esm_q a JOIN esm_q b ON a.vec_id = b.vec_id AND b.d > a.d
+  GROUP BY 1, 2
+),
+esm_m AS (SELECT d, CAST(sum(v) AS BIGINT) AS m FROM esm_q GROUP BY 1),
+esm_n AS (SELECT CAST(count(DISTINCT vec_id) AS BIGINT) AS n_rows FROM esm_q)
+SELECT i, j, n_rows, n_rows * s - mi.m * mj.m AS cov_scaled
+FROM esm_s
+CROSS JOIN esm_n
+JOIN esm_m mi ON mi.d = esm_s.i
+JOIN esm_m mj ON mj.d = esm_s.j
+ORDER BY abs(n_rows * s - mi.m * mj.m) DESC, i, j
+LIMIT 20
+"""
+
+
+_METAPATH_MID_CAP = 256
+
+
+def q_kg_metapath_counts(spark, sf_dir):
+    """2-hop metapath census over the canonicalized triple graph:
+    counts of (subj_label)-[p1]->(mid_label)-[p2]->(obj_label) chains
+    — the schema-level connectivity read KG consumers use to pick
+    traversal plans and to spot ontology drift (a metapath that
+    appears between rounds means the extractor started linking two
+    types it never linked before).
+
+    Mid nodes with total degree > _METAPATH_MID_CAP on the DISTINCT
+    edge table are excluded (counted hubs would otherwise contribute
+    deg_in·deg_out pairs each — the exact quadratic blowup a hub cap
+    exists to stop); the cap is applied identically in the twin so the
+    census stays value-exact.
+
+    Scale shape: the 2-hop join runs on the DISTINCT canonical edge
+    table (far smaller than raw triples), keyed on the mid canonical
+    id after the degree filter — an equi-join whose per-key fanout is
+    bounded by cap², then one hash agg to at most |labels|²·|preds|²
+    rows."""
+    t = q_kg_triples(spark, sf_dir)
+    cm = q_kg_canonical_map(spark, sf_dir)
+    e = (
+        t.join(
+            cm.selectExpr("text AS subj", "label AS subj_label", "canonical_id AS ca"),
+            ["subj", "subj_label"],
+        )
+        .join(
+            cm.selectExpr("text AS obj", "label AS obj_label", "canonical_id AS cb"),
+            ["obj", "obj_label"],
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .select("ca", "subj_label", "pred", "cb", "obj_label")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.selectExpr("ca AS node").unionAll(e.selectExpr("cb AS node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") <= _METAPATH_MID_CAP)
+        .select("node")
+    )
+    lhs = e.join(deg, e.cb == deg.node).select(
+        F.col("subj_label").alias("src_label"),
+        F.col("pred").alias("p1"),
+        F.col("cb").alias("mid"),
+        F.col("obj_label").alias("mid_label"),
+    )
+    rhs = e.selectExpr(
+        "ca AS mid", "subj_label AS mid_label2", "pred AS p2", "obj_label AS dst_label"
+    )
+    return (
+        lhs.join(rhs, "mid")
+        .filter(F.col("mid_label") == F.col("mid_label2"))
+        .groupBy("src_label", "p1", "mid_label", "p2", "dst_label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_paths"),
+            F.countDistinct("mid").cast("bigint").alias("n_mids"),
+        )
+    )
+
+
+def _kg_metapath_counts_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_full_ctes
+
+    return f"""
+{kg_full_ctes(TRANSCRIPTS_CTE)},
+mp_e AS (
+  SELECT DISTINCT cs.canonical_id AS ca, t.subj_label, t.pred,
+         co.canonical_id AS cb, t.obj_label
+  FROM triples t
+  JOIN cmap cs ON cs.text = t.subj AND cs.label = t.subj_label
+  JOIN cmap co ON co.text = t.obj AND co.label = t.obj_label
+  WHERE cs.canonical_id != co.canonical_id
+),
+mp_deg AS (
+  SELECT node FROM (
+    SELECT node, count(*) AS deg FROM (
+      SELECT ca AS node FROM mp_e UNION ALL SELECT cb AS node FROM mp_e
+    ) GROUP BY 1
+  ) WHERE deg <= {_METAPATH_MID_CAP}
+)
+SELECT a.subj_label AS src_label, a.pred AS p1, a.obj_label AS mid_label,
+       b.pred AS p2, b.obj_label AS dst_label,
+       CAST(count(*) AS BIGINT) AS n_paths,
+       CAST(count(DISTINCT a.cb) AS BIGINT) AS n_mids
+FROM mp_e a
+JOIN mp_deg d ON d.node = a.cb
+JOIN mp_e b ON b.ca = a.cb AND b.subj_label = a.obj_label
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+def q_tool_usage_profile(spark, sf_dir):
+    """Per-tool usage profile over the agent transcripts: call volume,
+    conversation spread, payload size, and the share of calls whose
+    NEXT turn is an assistant turn (a tool call the assistant never
+    reads back is a broken agent loop) — the first QA read over an
+    agent-trajectory corpus.
+
+    Scale shape: one lead window partitioned by conv_id (turn-bounded
+    partitions, shared shape with role_transitions), then a hash agg
+    to |tools| rows; integer basis points, no float accumulation."""
+    t = derive_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = (
+        t.select(
+            "conv_id",
+            "tool",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.lead("role").over(w).alias("next_role"),
+        )
+        .filter(F.col("tool").isNotNull())
+    )
+    return (
+        calls.groupBy("tool")
+        .agg(
+            F.count("*").cast("bigint").alias("n_calls"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum(F.when(F.col("next_role") == "assistant", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_read_back"),
+        )
+        .selectExpr(
+            "tool", "n_calls", "n_convs", "n_chars",
+            "n_read_back * 10000 DIV n_calls AS read_back_bp",
+        )
+    )
+
+
+SQL_TOOL_USAGE_PROFILE = f"""
+WITH {TRANSCRIPTS_CTE},
+tu AS (
+  SELECT conv_id, tool, CAST(length(text) AS BIGINT) AS n_chars,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_role
+  FROM transcripts
+)
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(CASE WHEN next_role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // CAST(count(*) AS BIGINT) AS read_back_bp
+FROM tu WHERE tool IS NOT NULL GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10588,6 +10829,9 @@ SPARK_QUERIES = {
     "event_trigrams": q_event_trigrams,
     "order_gap_stats": q_order_gap_stats,
     "shingle_df_profile": q_shingle_df_profile,
+    "embedding_second_moment": q_embedding_second_moment,
+    "kg_metapath_counts": q_kg_metapath_counts,
+    "tool_usage_profile": q_tool_usage_profile,
 }
 
 ORACLE_SQL = {
@@ -10833,4 +11077,7 @@ ORACLE_SQL = {
     "event_trigrams": SQL_EVENT_TRIGRAMS,
     "order_gap_stats": SQL_ORDER_GAP_STATS,
     "shingle_df_profile": SQL_SHINGLE_DF_PROFILE,
+    "embedding_second_moment": SQL_EMBEDDING_SECOND_MOMENT,
+    "kg_metapath_counts": _kg_metapath_counts_sql(),
+    "tool_usage_profile": SQL_TOOL_USAGE_PROFILE,
 }

@@ -931,3 +931,120 @@ def ppjoin_pairs(
             ).alias("jacc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# exact-substring scrub (the removal stage of suffix-array dedup)
+# --------------------------------------------------------------------------
+
+def exact_substr_scrub(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """→ (doc_id, n_toks, n_removed, scrubbed_text): the REMOVAL stage
+    of exact-substring deduplication — every token position covered by
+    a word-``n``-gram that occurs in ≥ ``min_df`` DISTINCT documents is
+    deleted, and the survivors are re-joined with single spaces.  This
+    is the "dedup the corpus, not just score it" step of Lee et al.,
+    *Deduplicating Training Data Makes Language Models Better*
+    (arXiv:2107.06499), scored at fixed-length windows so it
+    distributes (a maximal duplicated substring of ≥ n tokens is
+    exactly an interval union of duplicated n-grams, so fixed windows
+    lose nothing but sub-``n`` tails); all occurrences are removed,
+    which the paper reports is indistinguishable from keep-one in
+    downstream loss.  Within-doc-only repeats are NOT removed
+    (``min_df`` counts distinct documents — same convention as
+    :func:`dup_span_profile`, whose profile is this operator's
+    threshold-picking input).
+
+    Tokenization is byte-identical to :func:`dup_span_profile`
+    (lower + trim + ``WS_RE`` split), so the scrubbed text is exact and
+    cross-engine reproducible — the DuckDB twin reproduces it
+    char-for-char.
+
+    Scale shape (100 TB):
+    - gram generation and interval expansion are narrow (explode over
+      the pruned scan, no raw text in any shuffle key);
+    - duplicated-gram detection reuses the (doc, gram)-deduped relation
+      + per-gram count window (shuffles move (gram, doc) pairs only);
+    - covered positions collapse to one array per doc (one doc-keyed
+      shuffle of int offsets, ≤ |tokens| per doc);
+    - reassembly is ROW-LOCAL: the covered-index array joins back to
+      the tokenized doc and a transform/filter/concat_ws rebuilds the
+      text without exploding tokens through a shuffle.  Per-doc state
+      is O(tokens), the same bound the tokenizer already needs.
+    """
+    from pyspark.sql import Window
+
+    toks = ensure_min_parallelism(documents).select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), WS_RE),
+            lambda t: F.length(t) > 0,
+        ).alias("toks"),
+    )
+    grams = (
+        toks.select(
+            "id",
+            F.size("toks").alias("len"),
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0)))
+            ).alias("i"),
+        )
+        .select(
+            "id",
+            "len",
+            "i",
+            F.concat_ws(" ", F.slice("toks", F.col("i") + 1, n)).alias("gram"),
+        )
+        .filter(F.length("gram") > 0)
+    )
+    dup_grams = (
+        grams.select("id", "gram")
+        .distinct()
+        .withColumn("df", F.count("*").over(Window.partitionBy("gram")))
+        .filter(F.col("df") >= min_df)
+        .select("id", "gram")
+    )
+    covered = (
+        grams.join(dup_grams, ["id", "gram"])
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.col("i"), F.least(F.col("i") + n - 1, F.col("len") - 1)
+                )
+            ).alias("t"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("t").alias("cov"))
+    )
+    return (
+        toks.join(covered, "id", "left")
+        .withColumn("cov", F.coalesce("cov", F.array().cast("array<int>")))
+        .select(
+            F.col("id").alias(id_col),
+            F.size("toks").cast("bigint").alias("n_toks"),
+            F.size("cov").cast("bigint").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    # surviving indices, ascending (array_except keeps
+                    # first-array order and is hash-based — O(len+|cov|)
+                    # row-local, never len·|cov|)
+                    F.array_except(
+                        F.when(
+                            F.size("toks") > 0,
+                            F.sequence(F.lit(0), F.size("toks") - 1),
+                        ).otherwise(F.array().cast("array<int>")),
+                        "cov",
+                    ),
+                    lambda j: F.element_at("toks", j + 1),
+                ),
+            ).alias("scrubbed_text"),
+        )
+    )

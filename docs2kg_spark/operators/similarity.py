@@ -448,3 +448,82 @@ def quantize_embeddings_int8(
         .cast("int")
         .alias("n_sat"),
     )
+
+
+def jl_plane_ints(dim: int = 64, n_planes: int = 16, scale: int = 1000) -> list[list[int]]:
+    """The seeded Gaussian hyperplanes quantized to integers (×scale,
+    round-half-even via Python round on the already-6dp-rounded coeffs)
+    — computed ONCE in Python and baked as literals into BOTH the Spark
+    expressions and the DuckDB twin, so no cross-engine float rounding
+    exists anywhere in the JL audit."""
+    return [
+        [int(round(c * scale)) for c in plane]
+        for plane in hyperplanes(dim, n_planes)
+    ]
+
+
+def jl_distortion_audit(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pair_step: int = 17,
+    q_scale: int = 1000,
+) -> DataFrame:
+    """Johnson–Lindenstrauss projection audit: project the 64-dim
+    vectors onto 16 seeded Gaussian hyperplanes and measure, on a
+    deterministic pair sample (i, i+step), how well squared Euclidean
+    distance survives the projection — the go/no-go check before
+    swapping full-dim distances for projected ones in a 100 TB ANN or
+    clustering pass (E[‖P·x‖²] = m·scale²·‖x‖² for Gaussian planes, so
+    distortion_bp ≈ 10000 means the projection is honest).
+
+    Exactness: vectors quantize to floor(v·1e3) BIGINT, planes are
+    pre-baked integer literals (:func:`jl_plane_ints`), so every dot
+    product, squared distance, and the basis-point ratio
+    dy² DIV (m·scale²·dx²/1e4) is integer arithmetic — bit-identical
+    across engines and partitionings (bounds: |q|≤580·√, dy²≤2.2e18 <
+    2⁶³).  Output: distortion histogram (bp DIV 500 buckets).
+
+    Scale shape: the pair sample is an equi-join on a shifted id (no
+    sampling shuffle), the projection is row-local fold arithmetic over
+    the 64-element arrays, and the histogram is one hash agg to ≤ a few
+    dozen rows."""
+    planes = jl_plane_ints()
+    m = len(planes)
+    q = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * q_scale).cast("long")
+    )
+    a = embeddings.select(F.col(id_col).alias("ia"), q.alias("qa"))
+    b = embeddings.select((F.col(id_col) - pair_step).alias("ia"), q.alias("qb"))
+    paired = a.join(b, "ia").withColumn(
+        "dq", F.zip_with("qa", "qb", lambda x, y: x - y)
+    )
+    zero = F.lit(0).cast("long")
+    dx2 = F.aggregate("dq", zero, lambda acc, x: acc + x * x)
+    dyjs = [
+        F.aggregate(
+            F.zip_with(
+                "dq",
+                F.array(*[F.lit(p).cast("long") for p in plane]),
+                lambda x, y: x * y,
+            ),
+            zero,
+            lambda acc, x: acc + x,
+        )
+        for plane in planes
+    ]
+    dy2 = sum((d * d for d in dyjs), start=zero)
+    denom_unit = m * 100  # m · scale² / 1e4 with scale=1000
+    return (
+        paired.select(dx2.alias("dx2"), dy2.alias("dy2"))
+        .filter(F.col("dx2") > 0)
+        .select(
+            F.expr(f"dy2 DIV ({denom_unit} * dx2)").alias("bp"),
+        )
+        .groupBy(F.expr("bp DIV 500").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("bp").cast("bigint").alias("min_bp"),
+            F.max("bp").cast("bigint").alias("max_bp"),
+        )
+    )

@@ -10533,6 +10533,108 @@ FROM tu WHERE tool IS NOT NULL GROUP BY 1
 """
 
 
+def q_doc_scrub(spark, sf_dir):
+    """Exact-substring scrub (Lee et al. arXiv:2107.06499 removal
+    stage): delete every token position covered by a word-8-gram that
+    appears in ≥2 distinct documents and return the char-exact
+    scrubbed text — the strongest cross-engine statement in the dedup
+    family (the twin must reproduce the rebuilt string byte-for-byte,
+    not just counts)."""
+    from docs2kg_spark.operators.dedup import exact_substr_scrub
+
+    return exact_substr_scrub(_t(spark, sf_dir, "documents"), n=8, min_df=2)
+
+
+SQL_DOC_SCRUB = r"""
+WITH sc_toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+'),
+                     t -> len(t) > 0) AS w
+  FROM documents
+), sc_g AS (
+  SELECT doc_id, len(w) AS length, i, array_to_string(w[i+1:i+8], ' ') AS gram
+  FROM sc_toks, unnest(range(0, greatest(len(w) - 8, 0) + 1)) t(i)
+  WHERE len(array_to_string(w[i+1:i+8], ' ')) > 0
+), sc_dup AS (
+  SELECT doc_id, gram FROM (
+    SELECT doc_id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+    FROM (SELECT DISTINCT doc_id, gram FROM sc_g)
+  ) WHERE df >= 2
+), sc_cov AS (
+  SELECT DISTINCT g.doc_id, j
+  FROM sc_g g JOIN sc_dup d ON d.doc_id = g.doc_id AND d.gram = g.gram,
+       unnest(range(g.i, least(g.i + 8, g.length))) t(j)
+), sc_keep AS (
+  SELECT t.doc_id, p.j - 1 AS j, t.w[p.j] AS tok
+  FROM sc_toks t, unnest(range(1, len(t.w) + 1)) p(j)
+), sc_out AS (
+  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.j) AS scrubbed
+  FROM sc_keep k LEFT JOIN sc_cov c ON c.doc_id = k.doc_id AND c.j = k.j
+  WHERE c.j IS NULL GROUP BY 1
+), sc_rm AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM sc_cov GROUP BY 1
+)
+SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_toks,
+       COALESCE(r.n_removed, 0) AS n_removed,
+       COALESCE(o.scrubbed, '') AS scrubbed_text
+FROM sc_toks t
+LEFT JOIN sc_rm r USING (doc_id)
+LEFT JOIN sc_out o USING (doc_id)
+"""
+
+
+def q_jl_distortion(spark, sf_dir):
+    """JL random-projection distance-preservation audit, integer-exact
+    (pre-baked integer planes shared with the twin)."""
+    from docs2kg_spark.operators.similarity import jl_distortion_audit
+
+    return jl_distortion_audit(_t(spark, sf_dir, "embeddings"))
+
+
+def _jl_distortion_sql() -> str:
+    from docs2kg_spark.operators.similarity import jl_plane_ints
+
+    planes = jl_plane_ints()
+    m = len(planes)
+    vals = ", ".join(
+        f"({j}, {d}, {p})"
+        for j, plane in enumerate(planes)
+        for d, p in enumerate(plane)
+    )
+    return f"""
+WITH jl_planes(j, d, p) AS (VALUES {vals}),
+jl_q AS (
+  SELECT vec_id, gs.d,
+         CAST(floor(CAST(embedding[gs.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, generate_series(0, 63) gs(d)
+),
+jl_pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 17
+),
+jl_dq AS (
+  SELECT p.ia, p.ib, qa.d, qa.q - qb.q AS dq
+  FROM jl_pairs p
+  JOIN jl_q qa ON qa.vec_id = p.ia
+  JOIN jl_q qb ON qb.vec_id = p.ib AND qb.d = qa.d
+),
+jl_dx AS (SELECT ia, ib, CAST(sum(dq * dq) AS BIGINT) AS dx2 FROM jl_dq GROUP BY 1, 2),
+jl_dy AS (
+  SELECT d.ia, d.ib, pp.j, CAST(sum(d.dq * pp.p) AS BIGINT) AS dyj
+  FROM jl_dq d JOIN jl_planes pp ON pp.d = d.d GROUP BY 1, 2, 3
+),
+jl_dy2 AS (SELECT ia, ib, CAST(sum(dyj * dyj) AS BIGINT) AS dy2 FROM jl_dy GROUP BY 1, 2),
+jl_bp AS (
+  SELECT y.dy2 // ({m * 100} * x.dx2) AS bp
+  FROM jl_dx x JOIN jl_dy2 y ON y.ia = x.ia AND y.ib = x.ib
+  WHERE x.dx2 > 0
+)
+SELECT bp // 500 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(bp) AS BIGINT) AS min_bp, CAST(max(bp) AS BIGINT) AS max_bp
+FROM jl_bp GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10832,6 +10934,8 @@ SPARK_QUERIES = {
     "embedding_second_moment": q_embedding_second_moment,
     "kg_metapath_counts": q_kg_metapath_counts,
     "tool_usage_profile": q_tool_usage_profile,
+    "doc_scrub": q_doc_scrub,
+    "jl_distortion": q_jl_distortion,
 }
 
 ORACLE_SQL = {
@@ -11080,4 +11184,6 @@ ORACLE_SQL = {
     "embedding_second_moment": SQL_EMBEDDING_SECOND_MOMENT,
     "kg_metapath_counts": _kg_metapath_counts_sql(),
     "tool_usage_profile": SQL_TOOL_USAGE_PROFILE,
+    "doc_scrub": SQL_DOC_SCRUB,
+    "jl_distortion": _jl_distortion_sql(),
 }

@@ -469,6 +469,13 @@ HEADLINE = [
     "event_trigrams",
     "order_gap_stats",
     "shingle_df_profile",
+    # round-4 batch 38/39: covariance pairs, metapath census, tool
+    # usage, exact-substring scrub, JL distortion audit
+    "embedding_second_moment",
+    "kg_metapath_counts",
+    "tool_usage_profile",
+    "doc_scrub",
+    "jl_distortion",
 ]
 
 

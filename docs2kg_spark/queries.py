@@ -10635,6 +10635,232 @@ FROM jl_bp GROUP BY 1
 """
 
 
+def q_kg_ontology_coverage(spark, sf_dir):
+    """Ontology domain/range coverage audit over the emitted triples:
+    per (subj_label, pred, obj_label) pattern, whether the pattern is a
+    declared ontology connection, the REVERSE of one (a RELATES_TO
+    fallback whose flipped endpoints ARE declared — i.e. the extractor
+    ordered the pair against the schema's direction, the first thing an
+    ontology curator fixes), or a plain fallback — Docs2KG's
+    ontology-guided construction turned into a conformance report.
+
+    Scale shape: one pattern-grain hash agg over the memoized triples
+    (≤ |labels|²·|preds| rows), then a broadcast left join against the
+    5-row connections table."""
+    from docs2kg_spark.config import DEFAULT_ONTOLOGY
+
+    t = q_kg_triples(spark, sf_dir)
+    pat = t.groupBy("subj_label", "pred", "obj_label").agg(
+        F.count("*").cast("bigint").alias("n_triples"),
+        F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+    )
+    rev = (
+        spark.createDataFrame(
+            [(s, d) for _, s, d in DEFAULT_ONTOLOGY.connections],
+            "csrc string, cdst string",
+        )
+        .distinct()
+    )
+    return (
+        pat.join(
+            F.broadcast(rev),
+            (F.col("csrc") == F.col("obj_label"))
+            & (F.col("cdst") == F.col("subj_label")),
+            "left",
+        )
+        .select(
+            "subj_label",
+            "pred",
+            "obj_label",
+            F.when(F.col("pred") != "RELATES_TO", "declared")
+            .when(F.col("csrc").isNotNull(), "reverse_declared")
+            .otherwise("fallback")
+            .alias("status"),
+            "n_triples",
+            "n_convs",
+        )
+    )
+
+
+def _kg_ontology_coverage_sql() -> str:
+    from docs2kg_spark.config import DEFAULT_ONTOLOGY
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    vals = ", ".join(
+        f"('{s}', '{d}')" for _, s, d in DEFAULT_ONTOLOGY.connections
+    )
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+oc_pat AS (
+  SELECT subj_label, pred, obj_label,
+         CAST(count(*) AS BIGINT) AS n_triples,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM triples GROUP BY 1, 2, 3
+),
+oc_conn(csrc, cdst) AS (VALUES {vals}),
+oc_rev AS (SELECT DISTINCT csrc, cdst FROM oc_conn)
+SELECT p.subj_label, p.pred, p.obj_label,
+       CASE WHEN p.pred != 'RELATES_TO' THEN 'declared'
+            WHEN r.csrc IS NOT NULL THEN 'reverse_declared'
+            ELSE 'fallback' END AS status,
+       p.n_triples, p.n_convs
+FROM oc_pat p
+LEFT JOIN oc_rev r ON r.csrc = p.obj_label AND r.cdst = p.subj_label
+"""
+
+
+def q_doc_script_mismatch(spark, sf_dir):
+    """Script-vs-language QA: per (lang, dominant_script) cell, doc
+    counts and whether the cell contradicts the language's expected
+    script (a 'zh' document whose characters are all Latin is either a
+    mislabeled row or romanized text — both need routing before
+    tokenizer training).  Explicit codepoint ranges (not named Unicode
+    classes) so the Java and RE2 regex engines count identically.
+
+    Scale shape: three row-local regexp counts + a greatest()-argmax,
+    then one hash agg to ≤ |langs|·4 cells."""
+    d = _t(spark, sf_dir, "documents")
+    lat = F.size(F.expr("regexp_extract_all(text, '[A-Za-z]', 0)")).cast("bigint")
+    cyr = F.size(
+        F.expr("regexp_extract_all(text, '[\\u0400-\\u04FF]', 0)")
+    ).cast("bigint")
+    cjk = F.size(
+        F.expr("regexp_extract_all(text, '[\\u4E00-\\u9FFF]', 0)")
+    ).cast("bigint")
+    dom = (
+        F.when((lat >= cyr) & (lat >= cjk) & (lat > 0), "latin")
+        .when((cyr >= cjk) & (cyr > 0), "cyrillic")
+        .when(cjk > 0, "cjk")
+        .otherwise("none")
+    )
+    expected = (
+        F.when(F.col("lang").isin("en", "es", "fr", "de"), "latin")
+        .when(F.col("lang") == "zh", "cjk")
+        .when(F.col("lang") == "ru", "cyrillic")
+        .otherwise("any")
+    )
+    return (
+        d.select(
+            "lang",
+            dom.alias("dominant_script"),
+            expected.alias("exp_script"),
+            lat.alias("lat"),
+            cjk.alias("cjk"),
+        )
+        .groupBy("lang", "dominant_script")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("lat").cast("bigint").alias("latin_chars"),
+            F.sum("cjk").cast("bigint").alias("cjk_chars"),
+            F.max(
+                F.when(
+                    (F.col("exp_script") != "any")
+                    & (F.col("exp_script") != F.col("dominant_script")),
+                    1,
+                ).otherwise(0)
+            ).cast("boolean").alias("mismatch"),
+        )
+    )
+
+
+SQL_DOC_SCRIPT_MISMATCH = r"""
+WITH sm AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS lat,
+         CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS cyr,
+         CAST(len(regexp_extract_all(text, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS cjk
+  FROM documents
+), sm_c AS (
+  SELECT lang, lat, cjk,
+         CASE WHEN lat >= cyr AND lat >= cjk AND lat > 0 THEN 'latin'
+              WHEN cyr >= cjk AND cyr > 0 THEN 'cyrillic'
+              WHEN cjk > 0 THEN 'cjk'
+              ELSE 'none' END AS dominant_script,
+         CASE WHEN lang IN ('en', 'es', 'fr', 'de') THEN 'latin'
+              WHEN lang = 'zh' THEN 'cjk'
+              WHEN lang = 'ru' THEN 'cyrillic'
+              ELSE 'any' END AS exp_script
+  FROM sm
+)
+SELECT lang, dominant_script,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(lat) AS BIGINT) AS latin_chars,
+       CAST(sum(cjk) AS BIGINT) AS cjk_chars,
+       CAST(max(CASE WHEN exp_script != 'any' AND exp_script != dominant_script
+                     THEN 1 ELSE 0 END) AS BOOLEAN) AS mismatch
+FROM sm_c GROUP BY 1, 2
+"""
+
+
+def q_dup_cluster_purity(spark, sf_dir):
+    """Near-dup cluster composition: per cluster-size band, how many
+    clusters span multiple sources (mirror/syndication dups) vs stay
+    within one source (template/boilerplate dups), and the same for
+    languages — the triage read that decides whether dedup should run
+    global or per-source at the next scale-up.
+
+    Scale shape: one doc-keyed join of the memoized survivor map onto
+    the thin (doc, source, lang) projection, a cluster-grain agg, then
+    a ≤4-row band rollup."""
+    cmap = _doc_dedup_map_memo(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "lang"
+    )
+    per = (
+        cmap.join(d, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.countDistinct("source").alias("ns"),
+            F.countDistinct("lang").alias("nl"),
+        )
+        .filter(F.col("sz") >= 2)
+    )
+    band = (
+        F.when(F.col("sz") <= 2, "2")
+        .when(F.col("sz") <= 4, "3-4")
+        .when(F.col("sz") <= 8, "5-8")
+        .otherwise("9+")
+    )
+    return (
+        per.groupBy(band.alias("size_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_clusters"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_multi_source"),
+            F.sum(F.when(F.col("nl") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_multi_lang"),
+        )
+    )
+
+
+def _dup_cluster_purity_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import doc_dedup_map_sql
+
+    return f"""
+WITH dcp_map AS ({doc_dedup_map_sql()}),
+dcp_j AS (
+  SELECT m.canonical_id, d.source, d.lang
+  FROM dcp_map m JOIN documents d ON CAST(d.doc_id AS VARCHAR) = m.doc_id
+),
+dcp_per AS (
+  SELECT canonical_id, count(*) AS sz,
+         count(DISTINCT source) AS ns, count(DISTINCT lang) AS nl
+  FROM dcp_j GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT CASE WHEN sz <= 2 THEN '2' WHEN sz <= 4 THEN '3-4'
+            WHEN sz <= 8 THEN '5-8' ELSE '9+' END AS size_band,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_source,
+       CAST(sum(CASE WHEN nl > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_lang
+FROM dcp_per GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -10936,6 +11162,9 @@ SPARK_QUERIES = {
     "tool_usage_profile": q_tool_usage_profile,
     "doc_scrub": q_doc_scrub,
     "jl_distortion": q_jl_distortion,
+    "kg_ontology_coverage": q_kg_ontology_coverage,
+    "doc_script_mismatch": q_doc_script_mismatch,
+    "dup_cluster_purity": q_dup_cluster_purity,
 }
 
 ORACLE_SQL = {
@@ -11186,4 +11415,7 @@ ORACLE_SQL = {
     "tool_usage_profile": SQL_TOOL_USAGE_PROFILE,
     "doc_scrub": SQL_DOC_SCRUB,
     "jl_distortion": _jl_distortion_sql(),
+    "kg_ontology_coverage": _kg_ontology_coverage_sql(),
+    "doc_script_mismatch": SQL_DOC_SCRIPT_MISMATCH,
+    "dup_cluster_purity": _dup_cluster_purity_sql(),
 }

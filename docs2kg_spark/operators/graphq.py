@@ -814,3 +814,42 @@ def pagerank_weighted(edges: DataFrame, iters: int = 5, damping: float = 0.85) -
             .localCheckpoint()
         )
     return ranks
+
+
+def adamic_adar(edges: DataFrame, min_common: int = 1) -> DataFrame:
+    """Adamic–Adar link-prediction scores over the undirected simple
+    graph → (a, b, common, aa_micro) with a < b: each shared neighbor w
+    contributes 1/ln(deg(w)), so rare shared neighbors count more than
+    hubs — the standard upgrade over raw common-neighbor counts
+    (neighbor_jaccard's read) for KG completion candidate ranking.
+
+    Integer discipline: the per-neighbor weight is frozen to
+    round(1e6/ln(deg)) BIGINT BEFORE summation (ln on a small exact
+    integer, rounded once — the repo's DSIR/lp_i convention), so the
+    aggregate is associative and engine/partitioning-independent; a
+    wedge neighbor always has deg ≥ 2, so ln ≥ ln 2 and the weight is
+    bounded by 1.44e6.
+
+    Scale shape: same wedge join as neighbor_jaccard (candidates only
+    from shared-neighbor keys, never all-pairs); the weight joins onto
+    the wedge stream by the SAME key w, so it rides the existing
+    partitioning; one (a,b) hash agg finishes it.  Hub caps upstream
+    bound the per-key fanout exactly as for the Jaccard read."""
+    nbr = undirect(edges).filter(F.col("src") != F.col("dst"))
+    deg = nbr.groupBy(F.col("src").alias("w")).agg(F.count("*").alias("deg"))
+    wdeg = deg.select(
+        "w", F.expr("CAST(round(1000000 / ln(deg)) AS BIGINT)").alias("wt")
+    )
+    n1 = nbr.select(F.col("dst").alias("w"), F.col("src").alias("a"))
+    n2 = nbr.select(F.col("dst").alias("w"), F.col("src").alias("b"))
+    return (
+        n1.join(wdeg, "w")
+        .join(n2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("common"),
+            F.sum("wt").cast("bigint").alias("aa_micro"),
+        )
+        .filter(F.col("common") >= min_common)
+    )

@@ -10861,6 +10861,152 @@ FROM dcp_per GROUP BY 1
 """
 
 
+def q_graph_adamic_adar(spark, sf_dir):
+    """Adamic–Adar KG-completion scores over the entity co-occurrence
+    graph (shared-neighbor weights down-weight hubs; integer micro
+    units frozen per neighbor so the sum is associative)."""
+    from docs2kg_spark.operators.graphq import adamic_adar
+
+    t = q_kg_triples(spark, sf_dir)
+    return adamic_adar(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        min_common=2,
+    )
+
+
+def _graph_adamic_adar_sql(min_common: int = 2) -> str:
+    return (
+        _entity_graph_prefix()
+        + f""",
+aa_und AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM eg_e UNION SELECT dst, src FROM eg_e
+  ) WHERE src <> dst
+),
+aa_deg AS (SELECT src AS w, COUNT(*) AS deg FROM aa_und GROUP BY 1),
+aa_w AS (SELECT w, CAST(round(1000000 / ln(deg)) AS BIGINT) AS wt FROM aa_deg)
+SELECT n1.src AS a, n2.src AS b,
+       CAST(COUNT(*) AS BIGINT) AS common,
+       CAST(SUM(aw.wt) AS BIGINT) AS aa_micro
+FROM aa_und n1
+JOIN aa_w aw ON aw.w = n1.dst
+JOIN aa_und n2 ON n2.dst = n1.dst AND n1.src < n2.src
+GROUP BY 1, 2 HAVING COUNT(*) >= {min_common}
+"""
+    )
+
+
+def q_customer_pareto(spark, sf_dir):
+    """Customer revenue concentration (Pareto curve) without a global
+    sort: customers band by floor(log2(revenue_cents)) — a row-local
+    key — so the curve is a ≤40-row cumulative over band aggregates,
+    not a percent_rank over every customer.  Exact BIGINT cents
+    throughout; the cumulative share is integer basis points.
+
+    Scale shape: one (custkey) cents agg, one ≤40-row band agg; the
+    cumulative window runs on the band rows only (bounded, driver-size)
+    — the partitioning-independent replacement for a global ORDER BY
+    revenue window."""
+    o = _t(spark, sf_dir, "orders")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents")
+        )
+    )
+    bands = (
+        cust.groupBy(F.expr("CAST(floor(log2(cents)) AS INT)").alias("band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, 0)
+    total = cust.agg(F.sum("cents").alias("total_cents"))
+    return (
+        bands.crossJoin(F.broadcast(total))
+        .withColumn("cum_cents", F.sum("revenue_cents").over(w))
+        .selectExpr(
+            "band",
+            "n_customers",
+            "revenue_cents",
+            "cum_cents * 10000 DIV total_cents AS cum_share_bp",
+        )
+    )
+
+
+SQL_CUSTOMER_PARETO = """
+WITH cp_c AS (
+  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+),
+cp_b AS (
+  SELECT CAST(floor(log2(cents)) AS INT) AS band,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM cp_c GROUP BY 1
+),
+cp_t AS (SELECT SUM(cents) AS total_cents FROM cp_c)
+SELECT band, n_customers, revenue_cents,
+       SUM(revenue_cents) OVER (ORDER BY band DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+         // total_cents AS cum_share_bp
+FROM cp_b CROSS JOIN cp_t
+"""
+
+
+def q_embedding_norm_profile(spark, sf_dir):
+    """Embedding-norm sanity profile per label: log2 bands of the
+    quantized squared norm, with zero-vector counts — the broken-row
+    detector run before any ANN/centroid pass (zero or tiny vectors
+    poison cosine math silently).  floor(v·1e4) quantization keeps
+    every sum BIGINT-exact.
+
+    Scale shape: one row-local array fold + one (label, band) hash
+    agg."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 10000).cast("long")
+    )
+    norm2 = F.aggregate(
+        q, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    return (
+        e.select("label", norm2.alias("norm2"))
+        .groupBy(
+            "label",
+            F.expr("CAST(floor(log2(norm2 + 1)) AS INT)").alias("norm_band"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.min("norm2").cast("bigint").alias("min_norm2"),
+            F.max("norm2").cast("bigint").alias("max_norm2"),
+            F.sum(F.when(F.col("norm2") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+        )
+    )
+
+
+SQL_EMBEDDING_NORM_PROFILE = """
+WITH enp AS (
+  SELECT label, vec_id,
+         CAST(sum(q * q) AS BIGINT) AS norm2
+  FROM (
+    SELECT label, vec_id,
+           CAST(floor(CAST(embedding[gs.i] AS DOUBLE) * 10000) AS BIGINT) AS q
+    FROM embeddings, generate_series(1, 64) gs(i)
+  ) GROUP BY 1, 2
+)
+SELECT label, CAST(floor(log2(norm2 + 1)) AS INT) AS norm_band,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(norm2) AS BIGINT) AS min_norm2,
+       CAST(max(norm2) AS BIGINT) AS max_norm2,
+       CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+FROM enp GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11165,6 +11311,9 @@ SPARK_QUERIES = {
     "kg_ontology_coverage": q_kg_ontology_coverage,
     "doc_script_mismatch": q_doc_script_mismatch,
     "dup_cluster_purity": q_dup_cluster_purity,
+    "graph_adamic_adar": q_graph_adamic_adar,
+    "customer_pareto": q_customer_pareto,
+    "embedding_norm_profile": q_embedding_norm_profile,
 }
 
 ORACLE_SQL = {
@@ -11418,4 +11567,7 @@ ORACLE_SQL = {
     "kg_ontology_coverage": _kg_ontology_coverage_sql(),
     "doc_script_mismatch": SQL_DOC_SCRIPT_MISMATCH,
     "dup_cluster_purity": _dup_cluster_purity_sql(),
+    "graph_adamic_adar": _graph_adamic_adar_sql(),
+    "customer_pareto": SQL_CUSTOMER_PARETO,
+    "embedding_norm_profile": SQL_EMBEDDING_NORM_PROFILE,
 }

@@ -11007,6 +11007,228 @@ FROM enp GROUP BY 1, 2
 """
 
 
+# (word, score) — a small fixed polarity lexicon (AFINN-style integer
+# weights), baked identically into the Spark broadcast and the twin's
+# VALUES so the scores are engine-exact.
+_POLARITY_LEXICON: tuple[tuple[str, int], ...] = (
+    ("good", 2), ("great", 3), ("excellent", 3), ("love", 2),
+    ("happy", 2), ("fixed", 1), ("works", 1), ("thanks", 2),
+    ("resolved", 2), ("fast", 1),
+    ("bad", -2), ("terrible", -3), ("broken", -2), ("fails", -2),
+    ("error", -1), ("bug", -1), ("hate", -3), ("slow", -1),
+    ("outage", -2), ("blocked", -1),
+)
+
+
+def q_mention_polarity(spark, sf_dir):
+    """Entity-mention polarity enrichment: for each (mention surface,
+    label), the summed lexicon polarity of the segments it appears in —
+    the sentiment-edge weighting a KG consumer wants next to raw
+    co-occurrence (which entities show up in complaint contexts vs
+    praise contexts).  Fixed integer lexicon, identical in the twin.
+
+    Scale shape: segment tokens explode once and semi-join the 20-row
+    broadcast lexicon immediately (everything downstream is lexicon
+    hits only); one seg-grain agg, one mention-keyed join, one
+    (text, label) hash agg."""
+    lex = spark.createDataFrame(
+        list(_POLARITY_LEXICON), "word string, score int"
+    )
+    segs, m = _kg_stack(spark, sf_dir)
+    seg_pol = (
+        segs.select(
+            "seg_id",
+            F.explode(F.split(F.lower(F.col("text")), WS_RE)).alias("rawtok"),
+        )
+        .select(
+            "seg_id",
+            F.regexp_replace("rawtok", r"^[^a-z0-9]+|[^a-z0-9]+$", "").alias("tok"),
+        )
+        .join(F.broadcast(lex), F.col("tok") == F.col("word"))
+        .groupBy("seg_id")
+        .agg(F.sum("score").cast("bigint").alias("pol"))
+    )
+    return (
+        m.select("seg_id", "text", "label")
+        .join(seg_pol, "seg_id", "left")
+        .groupBy("text", "label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.countDistinct("seg_id").cast("bigint").alias("n_segs"),
+            F.sum(F.coalesce("pol", F.lit(0))).cast("bigint").alias("pol_sum"),
+        )
+        .selectExpr(
+            "text", "label", "n_mentions", "n_segs", "pol_sum",
+            "pol_sum * 1000 DIV n_mentions AS pol_milli",
+        )
+    )
+
+
+def _mention_polarity_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    vals = ", ".join(f"('{w}', {s})" for w, s in _POLARITY_LEXICON)
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+mp_lex(word, score) AS (VALUES {vals}),
+mp_tok AS (
+  SELECT seg_id,
+         regexp_replace(t.tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS tok
+  FROM segs, unnest(regexp_split_to_array(lower(segs.text), '[ \\t\\n\\r\\f\\x0B]+')) t(tok)
+),
+mp_seg AS (
+  SELECT seg_id, CAST(sum(l.score) AS BIGINT) AS pol
+  FROM mp_tok k JOIN mp_lex l ON l.word = k.tok GROUP BY 1
+)
+SELECT m.text, m.label,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT m.seg_id) AS BIGINT) AS n_segs,
+       CAST(sum(COALESCE(s.pol, 0)) AS BIGINT) AS pol_sum,
+       CAST(sum(COALESCE(s.pol, 0)) AS BIGINT) * 1000
+         // CAST(count(*) AS BIGINT) AS pol_milli
+FROM mentions m LEFT JOIN mp_seg s ON s.seg_id = m.seg_id
+GROUP BY 1, 2
+"""
+
+
+def q_graph_tie_strength(spark, sf_dir):
+    """Tie-strength (embeddedness) profile of the entity co-occurrence
+    graph: every undirected edge with its common-neighbor count and
+    endpoint degrees, flagged weak when the endpoints share ≤1 other
+    neighbor — Granovetter's weak ties, the links community detection
+    splits along and the true local bridges when common = 0.  (On a
+    clique-heavy co-occurrence graph a strict common=0 filter is
+    near-empty, so the full per-edge profile is the useful read.)
+
+    Scale shape: the same wedge join neighbor similarity uses (shared
+    neighbor keys only, never all-pairs) aggregated to per-pair counts,
+    left-joined onto the edge list; degrees join by node key."""
+    from docs2kg_spark.operators.graphq import undirect
+
+    t = q_kg_triples(spark, sf_dir)
+    e = undirect(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    canon = e.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("deg")
+    )
+    n1 = e.select(F.col("dst").alias("w"), F.col("src").alias("a"))
+    n2 = e.select(F.col("dst").alias("w"), F.col("src").alias("b"))
+    wedged = (
+        n1.join(n2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    return (
+        canon.join(wedged, ["a", "b"], "left")
+        .withColumn("common", F.coalesce("common", F.lit(0)).cast("bigint"))
+        .join(deg.selectExpr("node AS a", "deg AS deg_a"), "a")
+        .join(deg.selectExpr("node AS b", "deg AS deg_b"), "b")
+        .select(
+            "a",
+            "b",
+            "common",
+            "deg_a",
+            "deg_b",
+            (F.col("common") <= 1).alias("is_weak"),
+        )
+    )
+
+
+def _graph_tie_strength_sql() -> str:
+    return (
+        _entity_graph_prefix()
+        + """,
+lb_und AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM eg_e UNION SELECT dst, src FROM eg_e
+  ) WHERE src <> dst
+),
+lb_canon AS (SELECT src AS a, dst AS b FROM lb_und WHERE src < dst),
+lb_deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM lb_und GROUP BY 1),
+lb_wedge AS (
+  SELECT n1.src AS a, n2.src AS b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM lb_und n1 JOIN lb_und n2 ON n1.dst = n2.dst AND n1.src < n2.src
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b,
+       CAST(COALESCE(w.common, 0) AS BIGINT) AS common,
+       da.deg AS deg_a, db.deg AS deg_b,
+       COALESCE(w.common, 0) <= 1 AS is_weak
+FROM lb_canon c
+LEFT JOIN lb_wedge w ON w.a = c.a AND w.b = c.b
+JOIN lb_deg da ON da.node = c.a
+JOIN lb_deg db ON db.node = c.b
+"""
+    )
+
+
+def q_turn_loop_detector(spark, sf_dir):
+    """Agent-loop detector over the transcripts: per conversation, how
+    many ADJACENT turn pairs are near-identical (levenshtein on the
+    first 200 lowered chars ≤ 10% of the longer prefix) — the
+    stuck-assistant / retry-storm signature, the first failure QA an
+    agent-trajectory corpus needs.  Integer threshold cross-multiplied
+    (dist·1000 ≤ 100·maxlen), no float comparison.
+
+    Scale shape: one conv-keyed lag window (turn-bounded partitions);
+    levenshtein runs on capped 200-char prefixes so per-row cost is
+    bounded at 200² regardless of turn length; one conv-grain agg."""
+    t = derive_transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    prev = F.lag(F.lower(F.substring("text", 1, 200))).over(w)
+    cur = F.lower(F.substring("text", 1, 200))
+    pairs = t.select(
+        "conv_id",
+        prev.alias("pa"),
+        cur.alias("pb"),
+    ).filter(F.col("pa").isNotNull())
+    d = F.levenshtein("pa", "pb")
+    mx = F.greatest(F.length("pa"), F.length("pb"))
+    return (
+        pairs.select(
+            "conv_id",
+            d.alias("dist"),
+            mx.alias("mx"),
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.when((F.col("dist") * 1000) <= 100 * F.col("mx"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_loops"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+        )
+    )
+
+
+SQL_TURN_LOOP_DETECTOR = f"""
+WITH {TRANSCRIPTS_CTE},
+tl_p AS (
+  SELECT conv_id,
+         lag(lower(substr(text, 1, 200))) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pa,
+         lower(substr(text, 1, 200)) AS pb
+  FROM transcripts
+),
+tl_d AS (
+  SELECT conv_id, levenshtein(pa, pb) AS dist,
+         greatest(length(pa), length(pb)) AS mx
+  FROM tl_p WHERE pa IS NOT NULL
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN dist * 1000 <= 100 * mx THEN 1 ELSE 0 END) AS BIGINT) AS n_loops,
+       CAST(min(dist) AS BIGINT) AS min_dist
+FROM tl_d GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11314,6 +11536,9 @@ SPARK_QUERIES = {
     "graph_adamic_adar": q_graph_adamic_adar,
     "customer_pareto": q_customer_pareto,
     "embedding_norm_profile": q_embedding_norm_profile,
+    "mention_polarity": q_mention_polarity,
+    "graph_tie_strength": q_graph_tie_strength,
+    "turn_loop_detector": q_turn_loop_detector,
 }
 
 ORACLE_SQL = {
@@ -11570,4 +11795,7 @@ ORACLE_SQL = {
     "graph_adamic_adar": _graph_adamic_adar_sql(),
     "customer_pareto": SQL_CUSTOMER_PARETO,
     "embedding_norm_profile": SQL_EMBEDDING_NORM_PROFILE,
+    "mention_polarity": _mention_polarity_sql(),
+    "graph_tie_strength": _graph_tie_strength_sql(),
+    "turn_loop_detector": SQL_TURN_LOOP_DETECTOR,
 }

@@ -476,6 +476,18 @@ HEADLINE = [
     "tool_usage_profile",
     "doc_scrub",
     "jl_distortion",
+    # round-4 batch 40-42: ontology conformance, script QA, cluster
+    # purity, link scoring, Pareto bands, norm profile, polarity,
+    # tie strength, agent-loop detection
+    "kg_ontology_coverage",
+    "doc_script_mismatch",
+    "dup_cluster_purity",
+    "graph_adamic_adar",
+    "customer_pareto",
+    "embedding_norm_profile",
+    "mention_polarity",
+    "graph_tie_strength",
+    "turn_loop_detector",
 ]
 
 

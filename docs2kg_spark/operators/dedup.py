@@ -33,6 +33,10 @@ from docs2kg_spark.operators.linking import make_minhash_udf
 from docs2kg_spark.operators.text import fingerprint
 
 
+# per-worker cache for minhash_estimator_audit's exact-Jaccard UDF
+_IU_SHINGLE_CACHE: dict = {}
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -743,18 +747,38 @@ def minhash_estimator_audit(
         )
     )
 
+    # exact truth via Python sets WITH a per-worker text→shingle-set
+    # cache: a doc appearing in p candidate pairs is shingled once per
+    # worker, not p times, and Python's str hash caching makes each
+    # per-pair intersection pure pre-hashed probes (the JVM
+    # array_intersect alternative re-hashes every element every row —
+    # measured slower at sf0.1).  Keyed by the text itself (dataset-safe
+    # within a shared session), bounded by a clear-at-128k guard; at
+    # audit scale beyond worker memory, audit a deterministic pair
+    # sample instead — an audit needs statistical power, not every
+    # pair.
     @pandas_udf(T.ArrayType(T.LongType()))
     def iu(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        def sh(s: str) -> set:
-            s = (s or "").lower()
-            if len(s) <= k:
-                return {s}
-            return {s[i : i + k] for i in range(len(s) - k + 1)}
+        cache: dict = _IU_SHINGLE_CACHE
+
+        def sh(s):
+            s = s or ""
+            got = cache.get(s)
+            if got is None:
+                if len(cache) > 131072:
+                    cache.clear()
+                t = s.lower()
+                got = {t} if len(t) <= k else {
+                    t[i : i + k] for i in range(len(t) - k + 1)
+                }
+                cache[s] = got
+            return got
 
         out = []
         for x, y in zip(xs, ys):
             a, b = sh(x), sh(y)
-            out.append([len(a & b), len(a | b)])
+            ni = len(a & b)
+            out.append([ni, len(a) + len(b) - ni])
         return pd.Series(out)
 
     ta = src.select(F.col("id").alias("a"), F.col("text").alias("text_a"))

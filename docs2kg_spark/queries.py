@@ -1141,11 +1141,15 @@ def q_minhash_estimator_audit(spark, sf_dir):
     banded candidate pair with the 32-perm agreement count (what the
     est-J prefilter thresholds on) beside the exact shingle
     intersection/union (what the verifier computes) — the estimator's
-    bias/variance is itself an oracled quantity.  All-integer output."""
+    bias/variance is itself an oracled quantity.  All-integer output.
+    Memoized: the threshold sweep consumes the same pair table, so the
+    signature + banding + exact-Jaccard work runs once per session."""
     from docs2kg_spark.operators.dedup import minhash_estimator_audit
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_estimator_audit(d)
+    return _kg_memo(
+        spark, sf_dir, "minhash_audit", lambda: minhash_estimator_audit(d)
+    )
 
 
 def q_doc_near_dup_simhash(spark, sf_dir):
@@ -9421,9 +9425,7 @@ def q_dedup_threshold_sweep(spark, sf_dir):
 
     Scale shape: one pass over the already-thin audit pair table,
     5 conditional sums → 5 rows."""
-    audit = SPARK_QUERIES["minhash_estimator_audit"](spark, sf_dir).localCheckpoint(
-        eager=False
-    )
+    audit = SPARK_QUERIES["minhash_estimator_audit"](spark, sf_dir)
     out = None
     for t in _SWEEP_T:
         row = audit.agg(

@@ -11231,6 +11231,92 @@ FROM tl_d GROUP BY 1
 """
 
 
+def q_mention_ambiguity(spark, sf_dir):
+    """Surface-form ambiguity census: every mention surface that
+    carries MORE than one entity label, with its label inventory — the
+    disambiguation workload estimate (every ambiguous surface needs a
+    context signal before linking; 'mercury' the Tool vs the Project
+    Code is this corpus's built-in example).
+
+    Scale shape: one (text) hash agg over the memoized mentions with a
+    bounded collect_set (|labels| ≤ ontology size)."""
+    _, m = _kg_stack(spark, sf_dir)
+    return (
+        m.groupBy("text")
+        .agg(
+            F.countDistinct("label").cast("bigint").alias("n_labels"),
+            F.count("*").cast("bigint").alias("n_mentions"),
+            F.array_join(F.array_sort(F.collect_set("label")), "|").alias("labels"),
+        )
+        .filter(F.col("n_labels") >= 2)
+    )
+
+
+def _mention_ambiguity_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)}
+SELECT text,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       string_agg(DISTINCT label, '|' ORDER BY label) AS labels
+FROM mentions GROUP BY 1 HAVING count(DISTINCT label) >= 2
+"""
+
+
+def q_split_balance_audit(spark, sf_dir):
+    """Stratification audit of the hash split: per (split, lang) cell,
+    observed count vs the independence expectation, with the relative
+    deviation in integer basis points — the check that the md5 bucket
+    split didn't correlate with language (it must not: any systematic
+    dev_bp at scale means the hash key leaks the stratum).
+
+    Scale shape: the split predicate is row-local; one (split, lang)
+    hash agg; the marginals join back as two broadcast aggregates."""
+    from docs2kg_spark.operators.sampling import hash_split
+
+    d = hash_split(_t(spark, sf_dir, "documents"), "doc_id").select("split", "lang")
+    cells = d.groupBy("split", "lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    ms = d.groupBy("split").agg(F.count("*").cast("bigint").alias("n_split"))
+    ml = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_lang"))
+    tot = d.agg(F.count("*").cast("bigint").alias("n_total"))
+    return (
+        cells.join(F.broadcast(ms), "split")
+        .join(F.broadcast(ml), "lang")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "split",
+            "lang",
+            "n_docs",
+            "n_split * n_lang * 1000 DIV n_total AS expected_milli",
+            "(n_docs * n_total - n_split * n_lang) * 10000 DIV (n_split * n_lang) AS dev_bp",
+        )
+    )
+
+
+def _split_balance_audit_sql() -> str:
+    from docs2kg_spark.operators.sampling import split_sql
+
+    return f"""
+WITH sb_s AS ({split_sql("documents", "doc_id", extra_cols=("lang",))}),
+sb_c AS (
+  SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs FROM sb_s GROUP BY 1, 2
+),
+sb_m AS (SELECT split, CAST(count(*) AS BIGINT) AS n_split FROM sb_s GROUP BY 1),
+sb_l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM sb_s GROUP BY 1),
+sb_t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM sb_s)
+SELECT c.split, c.lang, c.n_docs,
+       m.n_split * l.n_lang * 1000 // t.n_total AS expected_milli,
+       (c.n_docs * t.n_total - m.n_split * l.n_lang) * 10000
+         // (m.n_split * l.n_lang) AS dev_bp
+FROM sb_c c
+JOIN sb_m m USING (split)
+JOIN sb_l l USING (lang)
+CROSS JOIN sb_t t
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11541,6 +11627,8 @@ SPARK_QUERIES = {
     "mention_polarity": q_mention_polarity,
     "graph_tie_strength": q_graph_tie_strength,
     "turn_loop_detector": q_turn_loop_detector,
+    "mention_ambiguity": q_mention_ambiguity,
+    "split_balance_audit": q_split_balance_audit,
 }
 
 ORACLE_SQL = {
@@ -11800,4 +11888,6 @@ ORACLE_SQL = {
     "mention_polarity": _mention_polarity_sql(),
     "graph_tie_strength": _graph_tie_strength_sql(),
     "turn_loop_detector": SQL_TURN_LOOP_DETECTOR,
+    "mention_ambiguity": _mention_ambiguity_sql(),
+    "split_balance_audit": _split_balance_audit_sql(),
 }

@@ -99,6 +99,35 @@ def cms_estimate(
     )
 
 
+def hll_registers(df: DataFrame, key_col: str, m: int = HLL_M) -> DataFrame:
+    """The HLL MERGE form → (bucket, r): per-bucket max first-one
+    position — the register table hll_distinct's estimate reads.  Max
+    is the merge operator, so register tables from disjoint batches
+    combine by groupBy(bucket).max(r) (the streaming maintenance path
+    in streaming/dedup.py builds on exactly this)."""
+    if m != 64:
+        raise ValueError("m must be 64 (6 bucket bits; alpha constant is m-specific)")
+    k = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), k)), 1, 12), 16, 10
+    ).cast("long")
+    hashed = df.select(h.alias("h")).select(
+        F.col("h").bitwiseAND(m - 1).alias("bucket"),
+        F.shiftright(F.col("h"), 6).alias("h2"),
+    )
+    # 48-bit hash >> 6 ⇒ h2 in [0, 2^42); rho = first-one position from
+    # the left of the 42-bit window = 43 − length(bin(h2)) (bin() has no
+    # leading zeros); h2 = 0 ⇒ all zeros ⇒ rho = 43
+    rho = F.when(
+        F.col("h2") > 0, F.lit(43) - F.length(F.expr("bin(h2)"))
+    ).otherwise(F.lit(43))
+    return (
+        hashed.select("bucket", rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
 def hll_distinct(
     df: DataFrame, key_col: str, m: int = HLL_M, include_true: bool = False
 ) -> DataFrame:
@@ -118,27 +147,8 @@ def hll_distinct(
     scale S=50 (max register 43 ⇒ each term ≤ 2^50, m=64 terms ⇒ sum
     < 2^57): exact, associative, engine-identical; doubles appear only
     in the final division and ln, both rounded to 6dp."""
-    if m != 64:
-        raise ValueError("m must be 64 (6 bucket bits; alpha constant is m-specific)")
     k = F.col(key_col).cast("string")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit("hll|"), k)), 1, 12), 16, 10
-    ).cast("long")
-    hashed = df.select(h.alias("h")).select(
-        F.col("h").bitwiseAND(m - 1).alias("bucket"),
-        F.shiftright(F.col("h"), 6).alias("h2"),
-    )
-    # 48-bit hash >> 6 ⇒ h2 in [0, 2^42); rho = first-one position from
-    # the left of the 42-bit window = 43 − length(bin(h2)) (bin() has no
-    # leading zeros); h2 = 0 ⇒ all zeros ⇒ rho = 43
-    rho = F.when(
-        F.col("h2") > 0, F.lit(43) - F.length(F.expr("bin(h2)"))
-    ).otherwise(F.lit(43))
-    regs = (
-        hashed.select("bucket", rho.cast("int").alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("r"))
-    )
+    regs = hll_registers(df, key_col, m)
     s = HLL_SCALE
     combined = regs.agg(
         F.count("*").cast("bigint").alias("v_nonempty"),

@@ -151,3 +151,61 @@ def incremental_cms(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# streaming sketch state: HyperLogLog registers maintained across batches
+# ---------------------------------------------------------------------------
+
+
+def _hll_batch(store: TableStore, batch_df: DataFrame, batch_id: int,
+               key_col: str = "user_id") -> dict:
+    """foreachBatch body for incremental_hll: write the BATCH's register
+    delta keyed by batch id (append_batch overwrites its own delta on
+    replay, so re-delivered batches can never raise a register above
+    what the data supports — idempotent by the same contract as the CMS
+    deltas); hll_merged folds deltas with MAX, HLL's merge operator."""
+    from docs2kg_spark.operators.sketches import hll_registers
+
+    delta = hll_registers(batch_df, key_col).localCheckpoint()
+    n_regs = delta.count()
+    store.append_batch(delta, "hll_deltas", batch_id)
+    return {"batch_id": batch_id, "n_regs": n_regs}
+
+
+def hll_merged(store: TableStore) -> DataFrame:
+    """The up-to-date register table: max(r) per bucket over every batch
+    delta — ≤ m rows however many batches landed.  Feed to the same
+    harmonic-sum estimate as the batch path (register-exact parity is
+    the test contract)."""
+    return (
+        store.read("hll_deltas")
+        .groupBy("bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def incremental_hll(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    key_col: str = "user_id",
+    available_now: bool = True,
+):
+    """readStream(parquet dir) → per-batch HLL register merge into a
+    persisted ≤m-row register table — the streaming distinct-count
+    the batch query hll_user_distinct answers one-shot."""
+    store = TableStore(spark, output_dir)
+    stream = (
+        spark.readStream.schema(schema or DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(input_dir)
+    )
+    writer = stream.writeStream.foreachBatch(
+        lambda df, bid: _hll_batch(store, df, bid, key_col)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -11317,6 +11317,167 @@ CROSS JOIN sb_t t
 """
 
 
+def q_embedding_knn_purity(spark, sf_dir):
+    """k-NN label purity of the embedding space (k=3, cosine): for a
+    deterministic anchor sample (vec_id % 10 = 0), how often an
+    anchor's 3 nearest neighbors share its label — the
+    linear-probe-free eval of whether the embeddings separate classes
+    (complements label_centroid_cos, which only sees class means).
+
+    Exactness: vectors are normalized-then-quantized with the integer
+    discipline (q = floor(v·1e4); norm from BIGINT q²; nq =
+    floor(q·1e4/√norm²) — IEEE sqrt is correctly rounded, so nq is
+    engine-identical), making every dot product BIGINT and the top-3
+    ranking (dot DESC, id) a total order.
+
+    Scale shape: anchors are a row-local modulus sample, so the dot
+    table is |anchors|·n, not n²; ranking is an anchor-keyed window;
+    purity is one |labels|-row agg.  At larger n swap the all-others
+    leg for the IVF/LSH candidate tables the ANN family maintains."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 10000).cast("long")
+    )
+    norm2 = F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x)
+    base = e.select("vec_id", "label", q.alias("q"), norm2.alias("n2")).filter(
+        F.col("n2") > 0
+    )
+    nq = F.expr("transform(q, x -> CAST(floor(x * 10000 / sqrt(CAST(n2 AS DOUBLE))) AS BIGINT))")
+    tbl = base.select("vec_id", "label", nq.alias("nq")).localCheckpoint(eager=False)
+    anchors = tbl.filter(F.col("vec_id") % 10 == 0).selectExpr(
+        "vec_id AS a", "label AS la", "nq AS nqa"
+    )
+    others = tbl.selectExpr("vec_id AS b", "label AS lb", "nq AS nqb")
+    dots = (
+        anchors.crossJoin(others)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "la",
+            "b",
+            "lb",
+            F.aggregate(
+                F.zip_with("nqa", "nqb", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+        )
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("dot"), "b")
+    top = dots.withColumn("rk", F.row_number().over(w)).filter("rk <= 3")
+    return (
+        top.groupBy("la")
+        .agg(
+            F.countDistinct("a").cast("bigint").alias("n_anchors"),
+            F.sum(F.when(F.col("lb") == F.col("la"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_same"),
+        )
+        .selectExpr(
+            "la AS label",
+            "n_anchors",
+            "n_same",
+            "n_same * 10000 DIV (3 * n_anchors) AS purity_bp",
+        )
+    )
+
+
+SQL_EMBEDDING_KNN_PURITY = """
+WITH kp_q AS (
+  SELECT vec_id, label, gs.d,
+         CAST(floor(CAST(embedding[gs.d + 1] AS DOUBLE) * 10000) AS BIGINT) AS q
+  FROM embeddings, generate_series(0, 63) gs(d)
+),
+kp_n AS (
+  SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM kp_q GROUP BY 1
+),
+kp_nq AS (
+  SELECT q.vec_id, q.label, q.d,
+         CAST(floor(q.q * 10000 / sqrt(CAST(n.n2 AS DOUBLE))) AS BIGINT) AS nq
+  FROM kp_q q JOIN kp_n n ON n.vec_id = q.vec_id
+  WHERE n.n2 > 0
+),
+kp_lab AS (SELECT DISTINCT vec_id, label FROM kp_nq),
+kp_dot AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, CAST(sum(a.nq * b.nq) AS BIGINT) AS dot
+  FROM kp_nq a JOIN kp_nq b ON b.d = a.d AND b.vec_id != a.vec_id
+  WHERE a.vec_id % 10 = 0
+  GROUP BY 1, 2
+),
+kp_top AS (
+  SELECT a, b FROM (
+    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY dot DESC, b) AS rk
+    FROM kp_dot
+  ) WHERE rk <= 3
+)
+SELECT la.label,
+       CAST(count(DISTINCT t.a) AS BIGINT) AS n_anchors,
+       CAST(sum(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+       CAST(sum(CASE WHEN lb.label = la.label THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // (3 * CAST(count(DISTINCT t.a) AS BIGINT)) AS purity_bp
+FROM kp_top t
+JOIN kp_lab la ON la.vec_id = t.a
+JOIN kp_lab lb ON lb.vec_id = t.b
+GROUP BY 1
+"""
+
+
+def q_graph_jdd(spark, sf_dir):
+    """Joint degree distribution of the entity graph: edge counts per
+    ordered (log2-degree-band, log2-degree-band) cell — the detailed
+    read behind the single-number assortativity (which bands actually
+    wire to which; a hub-hub heavy JDD says the co-occurrence graph is
+    core-periphery, a diagonal JDD says it's banded).
+
+    Scale shape: degree agg, band projection (row-local), one
+    edge-keyed join of two broadcast-able band maps, ≤ bands² agg."""
+    from docs2kg_spark.operators.graphq import undirect
+
+    t = q_kg_triples(spark, sf_dir)
+    e = undirect(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+    deg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("deg"))
+        .selectExpr("node", "CAST(floor(log2(deg)) AS INT) AS band")
+    )
+    canon = e.filter(F.col("src") < F.col("dst"))
+    return (
+        canon.join(deg.selectExpr("node AS src", "band AS ba"), "src")
+        .join(deg.selectExpr("node AS dst", "band AS bb"), "dst")
+        .groupBy(
+            F.least("ba", "bb").alias("band_lo"),
+            F.greatest("ba", "bb").alias("band_hi"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_edges"))
+    )
+
+
+def _graph_jdd_sql() -> str:
+    return (
+        _entity_graph_prefix()
+        + """,
+jd_und AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM eg_e UNION SELECT dst, src FROM eg_e
+  ) WHERE src <> dst
+),
+jd_deg AS (
+  SELECT src AS node, CAST(floor(log2(count(*))) AS INT) AS band
+  FROM jd_und GROUP BY 1
+)
+SELECT least(da.band, db.band) AS band_lo,
+       greatest(da.band, db.band) AS band_hi,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM (SELECT src, dst FROM jd_und WHERE src < dst) c
+JOIN jd_deg da ON da.node = c.src
+JOIN jd_deg db ON db.node = c.dst
+GROUP BY 1, 2
+"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11629,6 +11790,8 @@ SPARK_QUERIES = {
     "turn_loop_detector": q_turn_loop_detector,
     "mention_ambiguity": q_mention_ambiguity,
     "split_balance_audit": q_split_balance_audit,
+    "embedding_knn_purity": q_embedding_knn_purity,
+    "graph_jdd": q_graph_jdd,
 }
 
 ORACLE_SQL = {
@@ -11890,4 +12053,6 @@ ORACLE_SQL = {
     "turn_loop_detector": SQL_TURN_LOOP_DETECTOR,
     "mention_ambiguity": _mention_ambiguity_sql(),
     "split_balance_audit": _split_balance_audit_sql(),
+    "embedding_knn_purity": SQL_EMBEDDING_KNN_PURITY,
+    "graph_jdd": _graph_jdd_sql(),
 }

@@ -488,6 +488,12 @@ HEADLINE = [
     "mention_polarity",
     "graph_tie_strength",
     "turn_loop_detector",
+    # round-4 batch 43/44: ambiguity census, split stratification,
+    # kNN purity, joint degree distribution
+    "mention_ambiguity",
+    "split_balance_audit",
+    "embedding_knn_purity",
+    "graph_jdd",
 ]
 
 

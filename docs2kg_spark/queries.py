@@ -11478,6 +11478,189 @@ GROUP BY 1, 2
     )
 
 
+_MARKOV_ITERS = 8
+
+
+def q_event_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain by
+    8 unrolled power iterations over the per-user transition counts —
+    where an agent-trace funnel settles if you let it run (the
+    long-run share of each event type under its own dynamics, vs the
+    empirical share that mixes user entry effects).
+
+    Integer discipline: π is carried in scaled units (start 10⁶ per
+    state) and each term is (π(s)·n(s,d)) DIV n_out(s) — the per-term
+    truncation is written identically in the twin, so after any fixed
+    iteration count the vector is BIGINT-exact (truncation loses a few
+    units of mass per step; the read is the RANKING and ratios, both
+    stable).
+
+    Scale shape: the transition table is |types|² rows after one lead
+    window + hash agg over the events scan; each iteration is a
+    |types|-row join — constant-size linear algebra expressed
+    declaratively, the same unrolled-fixed-iteration convention as
+    PageRank/LPA."""
+    trans = (
+        SPARK_QUERIES["event_transitions"](spark, sf_dir)
+        .select("src", "dst", "n")
+        .localCheckpoint(eager=False)
+    )
+    out_tot = trans.groupBy("src").agg(F.sum("n").alias("n_out"))
+    t = trans.join(out_tot, "src")
+    states = t.select(F.col("src").alias("state")).distinct()
+    pi = states.withColumn("p", F.lit(1_000_000).cast("bigint"))
+    for _ in range(_MARKOV_ITERS):
+        nxt = (
+            pi.join(t, pi.state == t.src)
+            .groupBy(F.col("dst").alias("state2"))
+            .agg(F.sum(F.expr("p * n DIV n_out")).cast("bigint").alias("p2"))
+        )
+        pi = (
+            states.join(nxt, states.state == nxt.state2, "left")
+            .select("state", F.coalesce("p2", F.lit(0)).cast("bigint").alias("p"))
+        )
+    return pi.selectExpr("state AS event_type", "p AS pi_scaled")
+
+
+def _event_markov_stationary_sql() -> str:
+    ctes = ["""
+mk_t AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+    FROM events
+  ) WHERE dst IS NOT NULL GROUP BY 1, 2
+),
+mk_o AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_out FROM mk_t GROUP BY 1),
+mk_s AS (SELECT DISTINCT src AS state FROM mk_t),
+mk_p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS p FROM mk_s)"""]
+    for i in range(_MARKOV_ITERS):
+        ctes.append(f"""
+mk_n{i} AS (
+  SELECT t.dst AS state, CAST(sum(p.p * t.n // o.n_out) AS BIGINT) AS p
+  FROM mk_p{i} p JOIN mk_t t ON t.src = p.state JOIN mk_o o ON o.src = p.state
+  GROUP BY 1
+),
+mk_p{i + 1} AS (
+  SELECT s.state, CAST(COALESCE(n.p, 0) AS BIGINT) AS p
+  FROM mk_s s LEFT JOIN mk_n{i} n USING (state)
+)""")
+    return (
+        "WITH " + ",".join(ctes)
+        + f"\nSELECT state AS event_type, p AS pi_scaled FROM mk_p{_MARKOV_ITERS}"
+    )
+
+
+def q_simhash_bit_balance(spark, sf_dir):
+    """Sketch-health QA: per SimHash bit position, how far the 0/1
+    split across documents deviates from 50/50 (imbalance in basis
+    points).  A biased bit weakens the Hamming-distance metric every
+    simhash query depends on — this is the estimator audit for the
+    simhash family (cf. minhash_estimator_audit).
+
+    Scale shape: the signature UDF runs once (Arrow pass); the 64-way
+    bit explode is row-local; one ≤64-row agg."""
+    from docs2kg_spark.operators.dedup import simhash64
+
+    d = _t(spark, sf_dir, "documents")
+    sig = d.filter(F.length(F.trim("text")) > 0).select(
+        simhash64(F.col("text")).alias("sig")
+    )
+    bits = sig.select(
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"), "sig"
+    ).select("bit", F.expr("shiftright(sig, bit) & 1").alias("b"))
+    return (
+        bits.groupBy("bit")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("b").cast("bigint").alias("n_set"),
+        )
+        .selectExpr(
+            "bit", "n_docs", "n_set",
+            "abs(2 * n_set - n_docs) * 10000 DIV n_docs AS imbalance_bp",
+        )
+    )
+
+
+SQL_SIMHASH_BIT_BALANCE = r"""
+WITH toks AS (
+  SELECT doc_id AS id, unnest(regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+), th AS (
+  SELECT id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks WHERE tok <> ''
+), bits AS (
+  SELECT id, i AS bit, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS c
+  FROM th, UNNEST(range(0, 64)) AS u(i) GROUP BY 1, 2
+), sb AS (
+  SELECT bit, CASE WHEN c > 0 THEN 1 ELSE 0 END AS b FROM bits
+)
+SELECT bit, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b) AS BIGINT) AS n_set,
+       abs(2 * CAST(sum(b) AS BIGINT) - CAST(count(*) AS BIGINT)) * 10000
+         // CAST(count(*) AS BIGINT) AS imbalance_bp
+FROM sb GROUP BY 1
+"""
+
+
+def q_event_value_benford(spark, sf_dir):
+    """Benford first-significant-digit profile of event values — the
+    classic fabricated-data / unit-mix smoke test: organic multi-scale
+    magnitudes follow log10(1+1/d); a flat or spiked profile means
+    synthetic values, unit collisions, or truncation upstream.
+    Observed counts are exact; the Benford expectation ships as
+    pre-computed integer milli-probabilities (identical literals in
+    the twin).
+
+    Scale shape: one row-local regexp digit extraction + a 9-row
+    agg."""
+    e = _t(spark, sf_dir, "events")
+    # first significant digit of the decimal rendering of a positive
+    # double: strip sign/zeros/dot — regexp '[1-9]' first match
+    d1 = F.regexp_extract(F.format_number(F.abs(F.col("value")), 6), "[1-9]", 0)
+    ben = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+    expect = F.create_map(
+        *[F.lit(x) for kv in ben.items() for x in (str(kv[0]), kv[1])]
+    )
+    rows = (
+        e.filter(F.abs(F.col("value")) > 0)
+        .select(d1.alias("d"))
+        .filter(F.col("d") != "")
+        .groupBy("d")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = rows.agg(F.sum("n").alias("n_tot"))
+    return (
+        rows.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("int").alias("digit"),
+            "n",
+            F.expr("n * 1000 DIV n_tot").alias("observed_milli"),
+            expect[F.col("d")].cast("bigint").alias("benford_milli"),
+        )
+    )
+
+
+def _event_value_benford_sql() -> str:
+    ben = {1: 301, 2: 176, 3: 125, 4: 97, 5: 79, 6: 67, 7: 58, 8: 51, 9: 46}
+    vals = ", ".join(f"({d}, {m})" for d, m in ben.items())
+    return f"""
+WITH bf_e(digit, benford_milli) AS (VALUES {vals}),
+bf_d AS (
+  SELECT regexp_extract(format('{{:.6f}}', abs(value)), '[1-9]') AS d
+  FROM events WHERE abs(value) > 0
+),
+bf_c AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS n FROM bf_d WHERE d != '' GROUP BY 1
+),
+bf_t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM bf_c)
+SELECT CAST(c.d AS INT) AS digit, c.n,
+       c.n * 1000 // t.n_tot AS observed_milli,
+       CAST(e.benford_milli AS BIGINT) AS benford_milli
+FROM bf_c c CROSS JOIN bf_t t
+JOIN bf_e e ON e.digit = CAST(c.d AS INT)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11792,6 +11975,9 @@ SPARK_QUERIES = {
     "split_balance_audit": q_split_balance_audit,
     "embedding_knn_purity": q_embedding_knn_purity,
     "graph_jdd": q_graph_jdd,
+    "event_markov_stationary": q_event_markov_stationary,
+    "simhash_bit_balance": q_simhash_bit_balance,
+    "event_value_benford": q_event_value_benford,
 }
 
 ORACLE_SQL = {
@@ -12055,4 +12241,7 @@ ORACLE_SQL = {
     "split_balance_audit": _split_balance_audit_sql(),
     "embedding_knn_purity": SQL_EMBEDDING_KNN_PURITY,
     "graph_jdd": _graph_jdd_sql(),
+    "event_markov_stationary": _event_markov_stationary_sql(),
+    "simhash_bit_balance": SQL_SIMHASH_BIT_BALANCE,
+    "event_value_benford": _event_value_benford_sql(),
 }

@@ -527,3 +527,124 @@ def jl_distortion_audit(
             F.max("bp").cast("bigint").alias("max_bp"),
         )
     )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> dict:
+    """Fit PCA over an embedding column the distributed way: ONE
+    mapInPandas pass accumulates each batch's (n, Σx, XᵀX) — the
+    sufficient statistics — as numpy float64 matmuls; the d×d
+    covariance eigendecomposition runs on the DRIVER (d² is tiny;
+    the data never leaves the executors).  Returns {n, mean, eigvals,
+    components} with eigvals descending and components row-major
+    (k-th row = k-th principal axis).
+
+    This is the whitening/compaction front-end an ANN or clustering
+    pass wants (cf. embedding_second_moment, the oracled integer
+    profile of the same sufficient statistics; the fit itself is
+    float — eigenvectors are not SQL-expressible, so this operator is
+    pytest-verified against numpy on crafted anisotropic data).
+
+    Scale shape: one narrow Arrow pass emitting d²+d+1 doubles per
+    batch; a single ≤(d²)-row collect; driver work is one d×d eigh."""
+    import numpy as np
+    import pandas as pd
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if M.shape[1] != dim:
+                raise ValueError(f"expected dim {dim}, got {M.shape[1]}")
+            g = M.T @ M
+            s = M.sum(axis=0)
+            ii, jj = np.indices((dim, dim))
+            out = pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "v": g.ravel()}
+            )
+            lin = pd.DataFrame({"i": np.arange(dim), "j": -1, "v": s})
+            cnt = pd.DataFrame({"i": [-1], "j": [-1], "v": [float(len(pdf))]})
+            yield pd.concat([out, lin, cnt], ignore_index=True)
+
+    rows = (
+        embeddings.select(vec_col)
+        .mapInPandas(part, "i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    import numpy as np
+
+    n = 0.0
+    mean = np.zeros(dim)
+    gram = np.zeros((dim, dim))
+    for r in rows:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            mean[r["i"]] = r["v"]
+        else:
+            gram[r["i"], r["j"]] = r["v"]
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 rows")
+    mean = mean / n
+    cov = gram / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1]
+    return {
+        "n": int(n),
+        "mean": mean,
+        "eigvals": np.clip(vals[order], 0.0, None),
+        "components": vecs[:, order].T.copy(),
+    }
+
+
+def pca_energy(fit: dict) -> list[float]:
+    """Cumulative explained-variance ratios of a pca_fit (the curve a
+    practitioner reads to pick k)."""
+    ev = fit["eigvals"]
+    tot = float(ev.sum()) or 1.0
+    acc, out = 0.0, []
+    for v in ev:
+        acc += float(v)
+        out.append(acc / tot)
+    return out
+
+
+def pca_project(
+    embeddings: DataFrame,
+    fit: dict,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project (and optionally whiten) the embedding column onto the
+    top-k principal axes → (id, proj array<double>).  The k×d
+    projection matrix and mean ship to executors as plain literals in
+    the UDF closure (k·d doubles — broadcast-free); the projection is
+    one Arrow pass, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    W = fit["components"][:k].copy()
+    mu = fit["mean"].copy()
+    if whiten:
+        scale = 1.0 / np.sqrt(np.maximum(fit["eigvals"][:k], 1e-12))
+        W = W * scale[:, None]
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = (M - mu) @ W.T
+            yield pd.DataFrame({"id": pdf[id_col], "proj": list(P)})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        part, f"id long, proj array<double>"
+    ).withColumnRenamed("id", id_col)

@@ -11661,6 +11661,60 @@ JOIN bf_e e ON e.digit = CAST(c.d AS INT)
 """
 
 
+def q_conv_label_purity(spark, sf_dir):
+    """Per-conversation entity-label purity: the dominant mention label
+    and its share — a conversation whose mentions are 90% Tool is a
+    build log; one spread evenly across labels is a meeting.  The
+    topicality router for downstream sampling.
+
+    Scale shape: (conv, label) hash agg → conv-keyed argmax window
+    (label-bounded partitions) + one conv totals join."""
+    _, m = _kg_stack(spark, sf_dir)
+    cl = m.groupBy("conv_id", "label").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n"), "label")
+    top = cl.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+    tot = cl.groupBy("conv_id").agg(
+        F.sum("n").alias("n_mentions"), F.count("*").alias("n_labels")
+    )
+    return (
+        top.join(tot, "conv_id")
+        .selectExpr(
+            "conv_id",
+            "label AS top_label",
+            "CAST(n_mentions AS BIGINT) AS n_mentions",
+            "CAST(n_labels AS BIGINT) AS n_labels",
+            "n * 10000 DIV n_mentions AS purity_bp",
+        )
+    )
+
+
+def _conv_label_purity_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+cp_cl AS (
+  SELECT conv_id, label, CAST(count(*) AS BIGINT) AS n
+  FROM mentions GROUP BY 1, 2
+),
+cp_top AS (
+  SELECT conv_id, label, n FROM (
+    SELECT conv_id, label, n,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY n DESC, label) AS rk
+    FROM cp_cl
+  ) WHERE rk = 1
+),
+cp_tot AS (
+  SELECT conv_id, CAST(sum(n) AS BIGINT) AS n_mentions,
+         CAST(count(*) AS BIGINT) AS n_labels
+  FROM cp_cl GROUP BY 1
+)
+SELECT t.conv_id, t.label AS top_label, o.n_mentions, o.n_labels,
+       t.n * 10000 // o.n_mentions AS purity_bp
+FROM cp_top t JOIN cp_tot o USING (conv_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -11978,6 +12032,7 @@ SPARK_QUERIES = {
     "event_markov_stationary": q_event_markov_stationary,
     "simhash_bit_balance": q_simhash_bit_balance,
     "event_value_benford": q_event_value_benford,
+    "conv_label_purity": q_conv_label_purity,
 }
 
 ORACLE_SQL = {
@@ -12244,4 +12299,5 @@ ORACLE_SQL = {
     "event_markov_stationary": _event_markov_stationary_sql(),
     "simhash_bit_balance": SQL_SIMHASH_BIT_BALANCE,
     "event_value_benford": _event_value_benford_sql(),
+    "conv_label_purity": _conv_label_purity_sql(),
 }

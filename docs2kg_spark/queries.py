@@ -11715,6 +11715,197 @@ FROM cp_top t JOIN cp_tot o USING (conv_id)
 """
 
 
+def q_vocab_coverage_curve(spark, sf_dir):
+    """Tokenizer-budget curve: corpus token coverage at vocabulary
+    cutoffs 100 / 1 000 / 10 000 (frequency-built, deterministic
+    (count DESC, token) boundary) — the read that prices a vocab size
+    before training a tokenizer (doc_oov_rate fixes N=1000; this is
+    the whole curve).
+
+    Scale shape: ONE (token) hash agg builds the vocabulary; the curve
+    is three conditional sums over the vocab table itself (ranked by a
+    window over |vocab| rows — at web scale substitute the two-phase
+    numbering; the token STREAM is never re-scanned)."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    ranked = vocab.withColumn("rk", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
+    tot = ranked.agg(
+        F.sum("cnt").alias("total_tokens"), F.count("*").alias("total_types")
+    )
+    out = None
+    for n in (100, 1000, 10000):
+        row = (
+            ranked.filter(F.col("rk") <= n)
+            .agg(
+                F.lit(n).cast("int").alias("cutoff"),
+                F.count("*").cast("bigint").alias("n_types"),
+                F.sum("cnt").cast("bigint").alias("n_covered"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "cutoff",
+                "n_types",
+                "n_covered",
+                "CAST(total_tokens AS BIGINT) AS total_tokens",
+                "n_covered * 10000 DIV total_tokens AS coverage_bp",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _vocab_coverage_curve_sql() -> str:
+    parts = []
+    for n in (100, 1000, 10000):
+        parts.append(f"""
+SELECT CAST({n} AS INT) AS cutoff,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS n_covered,
+       (SELECT CAST(sum(cnt) AS BIGINT) FROM vc_r) AS total_tokens,
+       CAST(sum(cnt) AS BIGINT) * 10000
+         // (SELECT CAST(sum(cnt) AS BIGINT) FROM vc_r) AS coverage_bp
+FROM vc_r WHERE rk <= {n}""")
+    return (
+        """
+WITH vc_v AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents
+  ) WHERE tok != '' GROUP BY 1
+),
+vc_r AS (
+  SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk FROM vc_v
+)"""
+        + "\nUNION ALL\n".join(parts)
+    )
+
+
+def q_graph_reciprocity(spark, sf_dir):
+    """Reciprocity of the DIRECTED triple graph: the share of distinct
+    (subj → obj) edges whose reverse also exists — co-occurrence
+    extraction orders pairs by span position, so high reciprocity
+    means the same entity pair keeps appearing in both orders (a
+    symmetric-relation signal the directed predicates should not
+    carry).
+
+    Scale shape: one distinct reduce, one self equi-join on the
+    flipped key, a 1-row agg."""
+    t = q_kg_triples(spark, sf_dir)
+    e = (
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = e.selectExpr("dst AS src", "src AS dst", "1 AS has_rev")
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.sum(F.coalesce("has_rev", F.lit(0))).cast("bigint").alias("n_reciprocal"),
+        )
+        .selectExpr(
+            "n_edges", "n_reciprocal",
+            "n_reciprocal * 10000 DIV n_edges AS reciprocity_bp",
+        )
+    )
+
+
+def _graph_reciprocity_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+rc_e AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM triples WHERE subj != obj
+)
+SELECT CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+       CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // CAST(count(*) AS BIGINT) AS reciprocity_bp
+FROM rc_e e
+LEFT JOIN rc_e r ON r.src = e.dst AND r.dst = e.src
+"""
+
+
+def q_dedup_survivor_bias(spark, sf_dir):
+    """Does min-id survivor selection keep the LONGEST copy?  Per
+    near-dup cluster the kept doc's length is compared to the cluster
+    max — a systematic deficit argues for quality-aware survivor
+    selection (keep-longest / keep-highest-quality) before the next
+    petabyte dedup run.  Integer chars only.
+
+    Scale shape: doc-keyed join of the memoized survivor map onto the
+    thin (doc, n_chars) projection, one cluster agg, one 1-row
+    rollup."""
+    cmap = _doc_dedup_map_memo(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_chars"
+    )
+    per = (
+        cmap.join(d, "doc_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.count("*").alias("sz"),
+            F.max("n_chars").alias("max_len"),
+            # the survivor IS the member whose id equals canonical_id
+            # (doc_dedup_map's min-id convention)
+            F.max(
+                F.when(F.col("doc_id") == F.col("canonical_id"), F.col("n_chars"))
+            ).alias("surv_len"),
+        )
+        .filter((F.col("sz") >= 2) & F.col("surv_len").isNotNull())
+        .select("canonical_id", "max_len", "surv_len")
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("surv_len") == F.col("max_len"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_survivor_longest"),
+        F.sum("max_len").cast("bigint").alias("sum_max_len"),
+        F.sum("surv_len").cast("bigint").alias("sum_surv_len"),
+    ).selectExpr(
+        "n_clusters",
+        "n_survivor_longest",
+        "sum_max_len",
+        "sum_surv_len",
+        "(sum_max_len - sum_surv_len) * 10000 DIV sum_max_len AS deficit_bp",
+    )
+
+
+def _dedup_survivor_bias_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import doc_dedup_map_sql
+
+    return f"""
+WITH sv_map AS ({doc_dedup_map_sql()}),
+sv_j AS (
+  SELECT m.canonical_id, m.doc_id, d.n_chars
+  FROM sv_map m JOIN documents d ON CAST(d.doc_id AS VARCHAR) = m.doc_id
+),
+sv_per AS (
+  SELECT canonical_id, count(*) AS sz, max(n_chars) AS max_len,
+         max(CASE WHEN doc_id = canonical_id THEN n_chars END) AS surv_len
+  FROM sv_j GROUP BY 1
+  HAVING count(*) >= 2 AND max(CASE WHEN doc_id = canonical_id THEN n_chars END) IS NOT NULL
+)
+SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN surv_len = max_len THEN 1 ELSE 0 END) AS BIGINT) AS n_survivor_longest,
+       CAST(sum(max_len) AS BIGINT) AS sum_max_len,
+       CAST(sum(surv_len) AS BIGINT) AS sum_surv_len,
+       (CAST(sum(max_len) AS BIGINT) - CAST(sum(surv_len) AS BIGINT)) * 10000
+         // CAST(sum(max_len) AS BIGINT) AS deficit_bp
+FROM sv_per
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12033,6 +12224,9 @@ SPARK_QUERIES = {
     "simhash_bit_balance": q_simhash_bit_balance,
     "event_value_benford": q_event_value_benford,
     "conv_label_purity": q_conv_label_purity,
+    "vocab_coverage_curve": q_vocab_coverage_curve,
+    "graph_reciprocity": q_graph_reciprocity,
+    "dedup_survivor_bias": q_dedup_survivor_bias,
 }
 
 ORACLE_SQL = {
@@ -12300,4 +12494,7 @@ ORACLE_SQL = {
     "simhash_bit_balance": SQL_SIMHASH_BIT_BALANCE,
     "event_value_benford": _event_value_benford_sql(),
     "conv_label_purity": _conv_label_purity_sql(),
+    "vocab_coverage_curve": _vocab_coverage_curve_sql(),
+    "graph_reciprocity": _graph_reciprocity_sql(),
+    "dedup_survivor_bias": _dedup_survivor_bias_sql(),
 }

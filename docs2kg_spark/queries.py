@@ -11906,6 +11906,189 @@ FROM sv_per
 """
 
 
+def q_centrality_rank_corr(spark, sf_dir):
+    """Spearman rank correlation between PageRank and degree on the
+    entity graph — the 'is PageRank buying anything over a degree
+    count' read that decides whether the iterative centrality is worth
+    its joins at the next scale-up.  ρ = 1 − 6Σd²/(n(n²−1)) with the
+    rank difference sum exact BIGINT (ranks are total-ordered by the
+    6dp-rounded score then node, identical in the twin).
+
+    Scale shape: both rankings are windows over the |entities| vocab
+    table (small relative to the corpus; two-phase numbering is the
+    documented swap at web scale), then a 1-row moment agg."""
+    from docs2kg_spark.operators.graphq import pagerank, undirect
+
+    t = q_kg_triples(spark, sf_dir)
+    # same input convention as q_graph_pagerank (unfiltered symmetric
+    # closure — the twin reuses that exact CTE chain); the degree leg
+    # drops self-loops
+    e = undirect(t.select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    pr = pagerank(e, iters=5, damping=0.85).select(
+        "node", F.round("pr", 6).alias("pr")
+    )
+    deg = (
+        e.filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").cast("bigint").alias("deg"))
+    )
+    j = pr.join(deg, "node")
+    wp = Window.orderBy(F.col("pr").desc(), "node")
+    wd = Window.orderBy(F.col("deg").desc(), "node")
+    ranked = j.withColumn("rp", F.row_number().over(wp)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    return (
+        ranked.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.expr("CAST((rp - rd) * (rp - rd) AS BIGINT)")).alias("sum_d2"),
+        )
+        .selectExpr(
+            "n",
+            "sum_d2",
+            "ROUND(1.0 - 6.0 * sum_d2 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)), 6) AS rho",
+        )
+    )
+
+
+def _centrality_rank_corr_sql(iters: int = 5) -> str:
+    # extend the pagerank twin's CTE chain in place: strip its final
+    # SELECT and continue with the ranking CTEs (so the pr values are
+    # definitionally the oracled q_graph_pagerank values)
+    base = _graph_pagerank_sql(iters)
+    final = f"\nSELECT node, ROUND(pr, 6) AS pr FROM pr{iters}"
+    assert base.endswith(final), "pagerank twin tail changed"
+    prefix = base[: -len(final)].rstrip()
+    return (
+        prefix
+        + f""",
+cr_pr AS (SELECT node, ROUND(pr, 6) AS pr FROM pr{iters}),
+cr_deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+  FROM und WHERE src <> dst GROUP BY 1
+),
+cr_r AS (
+  SELECT p.node,
+         ROW_NUMBER() OVER (ORDER BY p.pr DESC, p.node) AS rp,
+         ROW_NUMBER() OVER (ORDER BY d.deg DESC, p.node) AS rd
+  FROM cr_pr p JOIN cr_deg d USING (node)
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum((rp - rd) * (rp - rd)) AS BIGINT) AS sum_d2,
+       ROUND(1.0 - 6.0 * sum((rp - rd) * (rp - rd))
+             / (CAST(count(*) AS DOUBLE) * (CAST(count(*) AS DOUBLE) * count(*) - 1)), 6) AS rho
+FROM cr_r
+"""
+    )
+
+
+def q_conv_lang_mix(spark, sf_dir):
+    """Language mixing inside conversations: per conversation the
+    distinct source-document languages, the dominant language and its
+    turn share — mixed-language conversations need language-aware
+    chunking before SFT assembly.
+
+    Scale shape: (conv, lang) agg → conv argmax window + totals join
+    (same shape as conv_label_purity, over turns)."""
+    d = _t(spark, sf_dir, "documents")
+    # language is a document attribute; the conv↔doc mapping is the
+    # transcript derivation's (doc_id % 50)
+    t = d.select(
+        F.format_string("conv-%04d", (F.col("doc_id") % 50).cast("int")).alias(
+            "conv_id"
+        ),
+        "lang",
+    )
+    cl = t.groupBy("conv_id", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("conv_id").orderBy(F.desc("n"), "lang")
+    top = cl.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+    tot = cl.groupBy("conv_id").agg(
+        F.sum("n").alias("n_turns"), F.count("*").alias("n_langs")
+    )
+    return top.join(tot, "conv_id").selectExpr(
+        "conv_id",
+        "lang AS top_lang",
+        "CAST(n_turns AS BIGINT) AS n_turns",
+        "CAST(n_langs AS BIGINT) AS n_langs",
+        "n * 10000 DIV n_turns AS dominance_bp",
+    )
+
+
+SQL_CONV_LANG_MIX = """
+WITH lm_t AS (
+  SELECT printf('conv-%04d', CAST(doc_id % 50 AS INT)) AS conv_id, lang
+  FROM documents
+),
+lm_cl AS (
+  SELECT conv_id, lang, CAST(count(*) AS BIGINT) AS n FROM lm_t GROUP BY 1, 2
+),
+lm_top AS (
+  SELECT conv_id, lang, n FROM (
+    SELECT conv_id, lang, n,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY n DESC, lang) AS rk
+    FROM lm_cl
+  ) WHERE rk = 1
+),
+lm_tot AS (
+  SELECT conv_id, CAST(sum(n) AS BIGINT) AS n_turns,
+         CAST(count(*) AS BIGINT) AS n_langs
+  FROM lm_cl GROUP BY 1
+)
+SELECT t.conv_id, t.lang AS top_lang, o.n_turns, o.n_langs,
+       t.n * 10000 // o.n_turns AS dominance_bp
+FROM lm_top t JOIN lm_tot o USING (conv_id)
+"""
+
+
+def q_doc_line_stats(spark, sf_dir):
+    """C4-style line profile per source: line counts, blank-line and
+    short-line (<20 chars) shares — the pre-filter read before
+    line-level cleaning rules are chosen.
+
+    Scale shape: row-local line split + size/filter folds, one
+    |sources|-row agg."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.split(F.col("text"), "\n")
+    n_lines = F.size(lines).cast("bigint")
+    blanks = F.size(F.filter(lines, lambda s: F.length(F.trim(s)) == 0)).cast("bigint")
+    shorts = F.size(
+        F.filter(lines, lambda s: (F.length(s) < 20) & (F.length(F.trim(s)) > 0))
+    ).cast("bigint")
+    return (
+        d.select("source", n_lines.alias("nl"), blanks.alias("nb"), shorts.alias("ns"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("nl").cast("bigint").alias("n_lines"),
+            F.sum("nb").cast("bigint").alias("n_blank"),
+            F.sum("ns").cast("bigint").alias("n_short"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_lines", "n_blank", "n_short",
+            "n_blank * 10000 DIV n_lines AS blank_bp",
+            "n_short * 10000 DIV n_lines AS short_bp",
+        )
+    )
+
+
+SQL_DOC_LINE_STATS = r"""
+WITH ls AS (
+  SELECT source,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS nl,
+         CAST(len(list_filter(string_split(text, chr(10)), s -> length(trim(s)) = 0)) AS BIGINT) AS nb,
+         CAST(len(list_filter(string_split(text, chr(10)), s -> length(s) < 20 AND length(trim(s)) > 0)) AS BIGINT) AS ns
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(nl) AS BIGINT) AS n_lines,
+       CAST(sum(nb) AS BIGINT) AS n_blank,
+       CAST(sum(ns) AS BIGINT) AS n_short,
+       CAST(sum(nb) AS BIGINT) * 10000 // CAST(sum(nl) AS BIGINT) AS blank_bp,
+       CAST(sum(ns) AS BIGINT) * 10000 // CAST(sum(nl) AS BIGINT) AS short_bp
+FROM ls GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12227,6 +12410,9 @@ SPARK_QUERIES = {
     "vocab_coverage_curve": q_vocab_coverage_curve,
     "graph_reciprocity": q_graph_reciprocity,
     "dedup_survivor_bias": q_dedup_survivor_bias,
+    "centrality_rank_corr": q_centrality_rank_corr,
+    "conv_lang_mix": q_conv_lang_mix,
+    "doc_line_stats": q_doc_line_stats,
 }
 
 ORACLE_SQL = {
@@ -12497,4 +12683,7 @@ ORACLE_SQL = {
     "vocab_coverage_curve": _vocab_coverage_curve_sql(),
     "graph_reciprocity": _graph_reciprocity_sql(),
     "dedup_survivor_bias": _dedup_survivor_bias_sql(),
+    "centrality_rank_corr": _centrality_rank_corr_sql(),
+    "conv_lang_mix": SQL_CONV_LANG_MIX,
+    "doc_line_stats": SQL_DOC_LINE_STATS,
 }

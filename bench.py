@@ -494,6 +494,19 @@ HEADLINE = [
     "split_balance_audit",
     "embedding_knn_purity",
     "graph_jdd",
+    # round-4 batch 45-48: Markov stationary, sketch-health, Benford,
+    # label purity, vocab curve, reciprocity, survivor bias,
+    # centrality agreement, language mix, line profile
+    "event_markov_stationary",
+    "simhash_bit_balance",
+    "event_value_benford",
+    "conv_label_purity",
+    "vocab_coverage_curve",
+    "graph_reciprocity",
+    "dedup_survivor_bias",
+    "centrality_rank_corr",
+    "conv_lang_mix",
+    "doc_line_stats",
 ]
 
 

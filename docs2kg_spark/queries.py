@@ -12089,6 +12089,197 @@ FROM ls GROUP BY 1
 """
 
 
+def q_kg_pred_pattern_entropy(spark, sf_dir):
+    """Predicate schema-tightness: per predicate, how many distinct
+    (subj_label, obj_label) patterns it connects and the entropy of
+    that pattern distribution — a tight predicate (one pattern, H≈0)
+    is schema-backed; a high-entropy one is a catch-all that should be
+    split in the next ontology revision.  H = ln N − (Σ n·ln n)/N with
+    ln pre-scaled to BIGINT micro-units (the repo's cross-engine
+    convention).
+
+    Scale shape: one (pred, pattern) hash agg over memoized triples,
+    then a per-pred rollup — both bounded by |labels|²·|preds|."""
+    t = q_kg_triples(spark, sf_dir)
+    pat = t.groupBy(
+        "pred", "subj_label", "obj_label"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    lnln = F.expr("CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)")
+    per = pat.select("pred", "n", (F.col("n") * lnln).alias("nln"))
+    return (
+        per.groupBy("pred")
+        .agg(
+            F.count("*").cast("bigint").alias("n_patterns"),
+            F.sum("n").cast("bigint").alias("n_triples"),
+            F.sum("nln").alias("sum_nln"),
+        )
+        .selectExpr(
+            "pred",
+            "n_patterns",
+            "n_triples",
+            "CAST(ROUND(ln(CAST(n_triples AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - sum_nln DIV n_triples AS entropy_micro",
+        )
+    )
+
+
+def _kg_pred_pattern_entropy_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+pe_pat AS (
+  SELECT pred, subj_label, obj_label, CAST(count(*) AS BIGINT) AS n
+  FROM triples GROUP BY 1, 2, 3
+),
+pe_nln AS (
+  SELECT pred, n,
+         n * CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS nln
+  FROM pe_pat
+)
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_patterns,
+       CAST(sum(n) AS BIGINT) AS n_triples,
+       CAST(ROUND(ln(CAST(sum(n) AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(sum(nln) AS BIGINT) // CAST(sum(n) AS BIGINT) AS entropy_micro
+FROM pe_nln GROUP BY 1
+"""
+
+
+def q_dup_span_position_profile(spark, sf_dir):
+    """WHERE the duplication lives: corpus-duplicated 8-gram
+    occurrences bucketed by their position third (head / body / tail
+    of the document) — prefix/suffix-heavy duplication is boilerplate
+    (headers, footers, signatures) and argues for template stripping
+    instead of whole-doc dedup.
+
+    Scale shape: the same (doc, gram)-deduped relation and per-gram df
+    window as dup_spans; position thirds are row-local; one 3-row
+    agg."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.split(F.lower(F.trim("text")), WS_RE).alias("toks"),
+    )
+    n = 8
+    grams = (
+        toks.select(
+            "id",
+            F.size("toks").alias("len"),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0)))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "id",
+            "len",
+            "i",
+            F.concat_ws(" ", F.slice("toks", F.col("i") + 1, n)).alias("gram"),
+        )
+        .filter(F.length("gram") > 0)
+    )
+    dup = (
+        grams.select("id", "gram")
+        .distinct()
+        .withColumn("df", F.count("*").over(Window.partitionBy("gram")))
+        .filter(F.col("df") >= 2)
+        .select("id", "gram")
+    )
+    occ = grams.join(dup, ["id", "gram"]).select(
+        F.when(F.col("i") * 3 < F.col("len"), "head")
+        .when(F.col("i") * 3 < 2 * F.col("len"), "body")
+        .otherwise("tail")
+        .alias("third")
+    )
+    tot = occ.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        occ.groupBy("third")
+        .agg(F.count("*").cast("bigint").alias("n_occ"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "third", "n_occ",
+            "n_occ * 10000 DIV n_total AS share_bp",
+        )
+    )
+
+
+SQL_DUP_SPAN_POSITION = r"""
+WITH dp_toks AS (
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS w
+  FROM documents
+), dp_g AS (
+  SELECT id, len(w) AS length, i, array_to_string(w[i+1:i+8], ' ') AS gram
+  FROM dp_toks, unnest(range(0, greatest(len(w) - 8, 0) + 1)) t(i)
+  WHERE len(array_to_string(w[i+1:i+8], ' ')) > 0
+), dp_dup AS (
+  SELECT id, gram FROM (
+    SELECT id, gram, COUNT(*) OVER (PARTITION BY gram) AS df
+    FROM (SELECT DISTINCT id, gram FROM dp_g)
+  ) WHERE df >= 2
+), dp_occ AS (
+  SELECT CASE WHEN g.i * 3 < g.length THEN 'head'
+              WHEN g.i * 3 < 2 * g.length THEN 'body'
+              ELSE 'tail' END AS third
+  FROM dp_g g JOIN dp_dup d ON d.id = g.id AND d.gram = g.gram
+), dp_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dp_occ)
+SELECT third, CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(*) AS BIGINT) * 10000 // t.n_total AS share_bp
+FROM dp_occ CROSS JOIN dp_tot t GROUP BY 1, t.n_total
+"""
+
+
+def q_doc_encoding_artifacts(spark, sf_dir):
+    """Encoding-damage QA per source: replacement characters (U+FFFD),
+    C0 control characters (excluding tab/newline/CR), and the classic
+    UTF-8-as-Latin-1 mojibake digraphs ('Ã©'-style: Ã or Â followed by
+    a non-ASCII char) — the triage counts that decide whether a source
+    needs re-decoding before any text op trusts it.
+
+    Scale shape: three row-local regexp counts, one |sources|-row
+    agg."""
+    d = _t(spark, sf_dir, "documents")
+    repl = F.size(F.expr("regexp_extract_all(text, '\\uFFFD', 0)")).cast("bigint")
+    ctrl = F.size(
+        F.expr(r"regexp_extract_all(text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', 0)")
+    ).cast("bigint")
+    moji = F.size(
+        F.expr("regexp_extract_all(text, '[\\u00C3\\u00C2][\\u0080-\\u00FF]', 0)")
+    ).cast("bigint")
+    return (
+        d.select("source", repl.alias("r"), ctrl.alias("c"), moji.alias("m"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("r").cast("bigint").alias("n_replacement"),
+            F.sum("c").cast("bigint").alias("n_control"),
+            F.sum("m").cast("bigint").alias("n_mojibake"),
+            F.sum(
+                F.when((F.col("r") + F.col("c") + F.col("m")) > 0, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_damaged_docs"),
+        )
+    )
+
+
+SQL_DOC_ENCODING_ARTIFACTS = r"""
+WITH ea AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS BIGINT) AS r,
+         CAST(len(regexp_extract_all(text, '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]')) AS BIGINT) AS c,
+         CAST(len(regexp_extract_all(text, '[\x{C3}\x{C2}][\x{80}-\x{FF}]')) AS BIGINT) AS m
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(r) AS BIGINT) AS n_replacement,
+       CAST(sum(c) AS BIGINT) AS n_control,
+       CAST(sum(m) AS BIGINT) AS n_mojibake,
+       CAST(sum(CASE WHEN r + c + m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_damaged_docs
+FROM ea GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12413,6 +12604,9 @@ SPARK_QUERIES = {
     "centrality_rank_corr": q_centrality_rank_corr,
     "conv_lang_mix": q_conv_lang_mix,
     "doc_line_stats": q_doc_line_stats,
+    "kg_pred_pattern_entropy": q_kg_pred_pattern_entropy,
+    "dup_span_position": q_dup_span_position_profile,
+    "doc_encoding_artifacts": q_doc_encoding_artifacts,
 }
 
 ORACLE_SQL = {
@@ -12686,4 +12880,7 @@ ORACLE_SQL = {
     "centrality_rank_corr": _centrality_rank_corr_sql(),
     "conv_lang_mix": SQL_CONV_LANG_MIX,
     "doc_line_stats": SQL_DOC_LINE_STATS,
+    "kg_pred_pattern_entropy": _kg_pred_pattern_entropy_sql(),
+    "dup_span_position": SQL_DUP_SPAN_POSITION,
+    "doc_encoding_artifacts": SQL_DOC_ENCODING_ARTIFACTS,
 }

@@ -12280,6 +12280,157 @@ FROM ea GROUP BY 1
 """
 
 
+def q_kg_alias_edit_profile(spark, sf_dir):
+    """Linking-QA: within each multi-surface canonical entity, the
+    levenshtein distance from every alias to the canonical surface —
+    near-zero distances mean the linker is merging typo variants
+    (good); large ones mean it's merging on shingle overlap alone
+    (inspect).  Per-cluster integer stats.
+
+    Scale shape: cmap self-join keyed on canonical_id (clusters are
+    small — same bound as the dedup-cluster reads); levenshtein is
+    row-local on short surfaces; one cluster agg."""
+    cm = q_kg_canonical_map(spark, sf_dir)
+    surv = cm.filter(F.col("node_id") == F.col("canonical_id")).selectExpr(
+        "canonical_id", "text AS canon_text"
+    )
+    members = cm.filter(F.col("node_id") != F.col("canonical_id")).selectExpr(
+        "canonical_id", "text AS alias_text"
+    )
+    d = F.levenshtein("alias_text", "canon_text")
+    return (
+        members.join(surv, "canonical_id")
+        .select("canonical_id", "canon_text", d.alias("dist"))
+        .groupBy("canonical_id", "canon_text")
+        .agg(
+            F.count("*").cast("bigint").alias("n_aliases"),
+            F.min("dist").cast("bigint").alias("min_dist"),
+            F.max("dist").cast("bigint").alias("max_dist"),
+            F.sum("dist").cast("bigint").alias("sum_dist"),
+        )
+    )
+
+
+def _kg_alias_edit_profile_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+ae_s AS (
+  SELECT canonical_id, text AS canon_text FROM cmap WHERE node_id = canonical_id
+),
+ae_m AS (
+  SELECT canonical_id, text AS alias_text FROM cmap WHERE node_id != canonical_id
+)
+SELECT m.canonical_id, s.canon_text,
+       CAST(count(*) AS BIGINT) AS n_aliases,
+       CAST(min(levenshtein(m.alias_text, s.canon_text)) AS BIGINT) AS min_dist,
+       CAST(max(levenshtein(m.alias_text, s.canon_text)) AS BIGINT) AS max_dist,
+       CAST(sum(levenshtein(m.alias_text, s.canon_text)) AS BIGINT) AS sum_dist
+FROM ae_m m JOIN ae_s s USING (canonical_id)
+GROUP BY 1, 2
+"""
+
+
+def q_doc_markup_profile(spark, sf_dir):
+    """Markdown-structure census per source: header lines, bullet
+    lines, fenced-code blocks, and inline links — the structure signal
+    that routes a source to the layout-aware segmenter (many headers)
+    vs the plain-prose path (none).
+
+    Scale shape: four row-local regexp counts, one |sources|-row
+    agg."""
+    d = _t(spark, sf_dir, "documents")
+    headers = F.size(
+        F.expr("regexp_extract_all(text, '(?m)^#{1,6} ', 0)")
+    ).cast("bigint")
+    bullets = F.size(
+        F.expr("regexp_extract_all(text, '(?m)^[-*] ', 0)")
+    ).cast("bigint")
+    fences = F.size(F.expr("regexp_extract_all(text, '```', 0)")).cast("bigint")
+    links = F.size(
+        F.expr(r"regexp_extract_all(text, '\\[[^\\]]+\\]\\([^)]+\\)', 0)")
+    ).cast("bigint")
+    return (
+        d.select(
+            "source",
+            headers.alias("h"),
+            bullets.alias("b"),
+            fences.alias("f"),
+            links.alias("l"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("h").cast("bigint").alias("n_headers"),
+            F.sum("b").cast("bigint").alias("n_bullets"),
+            F.sum("f").cast("bigint").alias("n_fence_marks"),
+            F.sum("l").cast("bigint").alias("n_links"),
+            F.sum(F.when(F.col("h") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_structured_docs"),
+        )
+    )
+
+
+SQL_DOC_MARKUP_PROFILE = r"""
+WITH mp AS (
+  SELECT source,
+         CAST(len(regexp_extract_all(text, '(?m)^#{1,6} ')) AS BIGINT) AS h,
+         CAST(len(regexp_extract_all(text, '(?m)^[-*] ')) AS BIGINT) AS b,
+         CAST(len(regexp_extract_all(text, '```')) AS BIGINT) AS f,
+         CAST(len(regexp_extract_all(text, '\[[^\]]+\]\([^)]+\)')) AS BIGINT) AS l
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(h) AS BIGINT) AS n_headers,
+       CAST(sum(b) AS BIGINT) AS n_bullets,
+       CAST(sum(f) AS BIGINT) AS n_fence_marks,
+       CAST(sum(l) AS BIGINT) AS n_links,
+       CAST(sum(CASE WHEN h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_structured_docs
+FROM mp GROUP BY 1
+"""
+
+
+def q_turn_question_profile(spark, sf_dir):
+    """Question-turn share per role: how often each role's turns end
+    with a question mark (before trailing whitespace) — user-heavy
+    question share is the expected dialogue shape; an assistant that
+    mostly asks is deflecting, a tool that asks is malformed.
+
+    Scale shape: one row-local regexp flag, a |roles|-row agg."""
+    t = derive_transcripts(spark, sf_dir)
+    isq = F.when(
+        F.expr(r"regexp_extract(text, '\\?\\s*$', 0)") != "", 1
+    ).otherwise(0)
+    return (
+        t.select("role", isq.alias("q"))
+        .groupBy("role")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.sum("q").cast("bigint").alias("n_questions"),
+        )
+        .selectExpr(
+            "role", "n_turns", "n_questions",
+            "n_questions * 10000 DIV n_turns AS question_bp",
+        )
+    )
+
+
+SQL_TURN_QUESTION_PROFILE = f"""
+WITH {TRANSCRIPTS_CTE},
+tq AS (
+  SELECT role,
+         CASE WHEN regexp_extract(text, '\\?\\s*$') != '' THEN 1 ELSE 0 END AS q
+  FROM transcripts
+)
+SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(q) AS BIGINT) AS n_questions,
+       CAST(sum(q) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS question_bp
+FROM tq GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12607,6 +12758,9 @@ SPARK_QUERIES = {
     "kg_pred_pattern_entropy": q_kg_pred_pattern_entropy,
     "dup_span_position": q_dup_span_position_profile,
     "doc_encoding_artifacts": q_doc_encoding_artifacts,
+    "kg_alias_edit_profile": q_kg_alias_edit_profile,
+    "doc_markup_profile": q_doc_markup_profile,
+    "turn_question_profile": q_turn_question_profile,
 }
 
 ORACLE_SQL = {
@@ -12883,4 +13037,7 @@ ORACLE_SQL = {
     "kg_pred_pattern_entropy": _kg_pred_pattern_entropy_sql(),
     "dup_span_position": SQL_DUP_SPAN_POSITION,
     "doc_encoding_artifacts": SQL_DOC_ENCODING_ARTIFACTS,
+    "kg_alias_edit_profile": _kg_alias_edit_profile_sql(),
+    "doc_markup_profile": SQL_DOC_MARKUP_PROFILE,
+    "turn_question_profile": SQL_TURN_QUESTION_PROFILE,
 }

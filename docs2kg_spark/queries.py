@@ -12431,6 +12431,150 @@ FROM tq GROUP BY 1
 """
 
 
+def q_source_vocab_overlap(spark, sf_dir):
+    """Source-pair similarity by top-200 vocabulary overlap (Jaccard of
+    the per-source frequency-top token sets) — finds near-duplicate
+    SOURCES (mirrors, re-crawls under a new name) at the catalog level
+    before any document-level dedup spends compute on them.
+
+    Scale shape: one (source, token) agg; per-source top-200 via a
+    source-partitioned window; the pair join runs on the top-token
+    table only (|sources|·200 rows)."""
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "source", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), "tok")
+    top = (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 200")
+        .select("source", "tok")
+        .localCheckpoint(eager=False)
+    )
+    sz = top.groupBy("source").agg(F.count("*").alias("n"))
+    inter = (
+        top.selectExpr("source AS sa", "tok")
+        .join(top.selectExpr("source AS sb", "tok"), "tok")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(F.broadcast(sz).selectExpr("source AS sa", "n AS na"), "sa")
+        .join(F.broadcast(sz).selectExpr("source AS sb", "n AS nb"), "sb")
+        .selectExpr(
+            "sa", "sb", "n_common",
+            "n_common * 10000 DIV (na + nb - n_common) AS jaccard_bp",
+        )
+        .filter("n_common >= 10")
+    )
+
+
+SQL_SOURCE_VOCAB_OVERLAP = """
+WITH sv_tf AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+    FROM documents
+  ) WHERE tok != '' GROUP BY 1, 2
+),
+sv_top AS (
+  SELECT source, tok FROM (
+    SELECT source, tok,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rk
+    FROM sv_tf
+  ) WHERE rk <= 200
+),
+sv_sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sv_top GROUP BY 1),
+sv_i AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS n_common
+  FROM sv_top a JOIN sv_top b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.sa, i.sb, i.n_common,
+       i.n_common * 10000 // (za.n + zb.n - i.n_common) AS jaccard_bp
+FROM sv_i i
+JOIN sv_sz za ON za.source = i.sa
+JOIN sv_sz zb ON zb.source = i.sb
+WHERE i.n_common >= 10
+"""
+
+
+def q_conv_entity_recurrence(spark, sf_dir):
+    """Narrative-coherence read: per conversation, the share of
+    distinct entities that are mentioned in MORE than one segment — a
+    conversation whose entities never recur is a topic dump; recurring
+    entities mean a thread the KG's co-occurrence edges can anchor.
+
+    Scale shape: (conv, entity) distinct-segment agg over memoized
+    mentions → conv rollup."""
+    _, m = _kg_stack(spark, sf_dir)
+    per_ent = m.groupBy("conv_id", "text", "label").agg(
+        F.countDistinct("seg_id").alias("n_segs")
+    )
+    return (
+        per_ent.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_entities"),
+            F.sum(F.when(F.col("n_segs") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_recurring"),
+        )
+        .selectExpr(
+            "conv_id", "n_entities", "n_recurring",
+            "n_recurring * 10000 DIV n_entities AS recurrence_bp",
+        )
+    )
+
+
+def _conv_entity_recurrence_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+er_pe AS (
+  SELECT conv_id, text, label, count(DISTINCT seg_id) AS n_segs
+  FROM mentions GROUP BY 1, 2, 3
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(CASE WHEN n_segs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_recurring,
+       CAST(sum(CASE WHEN n_segs >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // CAST(count(*) AS BIGINT) AS recurrence_bp
+FROM er_pe GROUP BY 1
+"""
+
+
+def q_kg_node_type_mix(spark, sf_dir):
+    """Census of the materialized KG node table: per node type, node
+    count and distinct canonical targets — the one-glance shape check
+    (entity share vs structural scaffolding) run after every
+    materialization.
+
+    Scale shape: one hash agg over the memoized node table."""
+    nodes = q_kg_nodes(spark, sf_dir)
+    return nodes.groupBy("type").agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.countDistinct("canonical_id").cast("bigint").alias("n_canonical"),
+    )
+
+
+def _kg_node_type_mix_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_nodes_sql
+
+    return f"""
+WITH ntm AS ({kg_nodes_sql(TRANSCRIPTS_CTE)})
+SELECT type,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(count(DISTINCT canonical_id) AS BIGINT) AS n_canonical
+FROM ntm GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12761,6 +12905,9 @@ SPARK_QUERIES = {
     "kg_alias_edit_profile": q_kg_alias_edit_profile,
     "doc_markup_profile": q_doc_markup_profile,
     "turn_question_profile": q_turn_question_profile,
+    "source_vocab_overlap": q_source_vocab_overlap,
+    "conv_entity_recurrence": q_conv_entity_recurrence,
+    "kg_node_type_mix": q_kg_node_type_mix,
 }
 
 ORACLE_SQL = {
@@ -13040,4 +13187,7 @@ ORACLE_SQL = {
     "kg_alias_edit_profile": _kg_alias_edit_profile_sql(),
     "doc_markup_profile": SQL_DOC_MARKUP_PROFILE,
     "turn_question_profile": SQL_TURN_QUESTION_PROFILE,
+    "source_vocab_overlap": SQL_SOURCE_VOCAB_OVERLAP,
+    "conv_entity_recurrence": _conv_entity_recurrence_sql(),
+    "kg_node_type_mix": _kg_node_type_mix_sql(),
 }

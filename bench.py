@@ -507,6 +507,18 @@ HEADLINE = [
     "centrality_rank_corr",
     "conv_lang_mix",
     "doc_line_stats",
+    # round-4 batch 49-51: predicate entropy, dup positions, encoding
+    # QA, alias edits, markup census, question share, source overlap,
+    # entity recurrence, node census
+    "kg_pred_pattern_entropy",
+    "dup_span_position",
+    "doc_encoding_artifacts",
+    "kg_alias_edit_profile",
+    "doc_markup_profile",
+    "turn_question_profile",
+    "source_vocab_overlap",
+    "conv_entity_recurrence",
+    "kg_node_type_mix",
 ]
 
 

@@ -12575,6 +12575,108 @@ FROM ntm GROUP BY 1
 """
 
 
+def q_kg_walk_pairs(spark, sf_dir):
+    """Deterministic 2-step random-walk context pairs over the entity
+    graph — the node2vec/DeepWalk training-pair generator with the
+    randomness replaced by per-step hash argmins (next hop = the
+    neighbor minimizing md5(salt|cur|nbr)), so the pair corpus is
+    byte-reproducible across runs and engines.  Emits (anchor,
+    context, hop) for hop 1 and 2.
+
+    Scale shape: each step is one per-node argmin aggregate over the
+    undirected edge list (min_by on a row-local hash key — no window,
+    no shuffle beyond the node key), then an equi-join chains step 2;
+    longer walks are the same join repeated."""
+    from docs2kg_spark.operators.graphq import undirect
+
+    t = q_kg_triples(spark, sf_dir)
+    e = undirect(
+        t.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    ).filter(F.col("src") != F.col("dst"))
+
+    def step(salt):
+        key = F.md5(F.concat_ws("|", F.lit(salt), "src", "dst"))
+        return e.groupBy("src").agg(
+            F.min_by("dst", key).alias("nxt")
+        )
+
+    s1 = step("walk-s1")
+    s2 = step("walk-s2")
+    hop1 = s1.selectExpr("src AS anchor", "nxt AS context", "CAST(1 AS INT) AS hop")
+    hop2 = (
+        s1.join(s2.selectExpr("src AS nxt", "nxt AS nxt2"), "nxt")
+        .filter(F.col("src") != F.col("nxt2"))
+        .selectExpr("src AS anchor", "nxt2 AS context", "CAST(2 AS INT) AS hop")
+    )
+    return hop1.unionByName(hop2)
+
+
+def _kg_walk_pairs_sql() -> str:
+    return (
+        _entity_graph_prefix()
+        + """,
+wk_und AS (
+  SELECT src, dst FROM (
+    SELECT src, dst FROM eg_e UNION SELECT dst, src FROM eg_e
+  ) WHERE src <> dst
+),
+wk_s1 AS (
+  SELECT src, min_by(dst, md5('walk-s1' || '|' || src || '|' || dst)) AS nxt
+  FROM wk_und GROUP BY 1
+),
+wk_s2 AS (
+  SELECT src, min_by(dst, md5('walk-s2' || '|' || src || '|' || dst)) AS nxt
+  FROM wk_und GROUP BY 1
+)
+SELECT src AS anchor, nxt AS context, CAST(1 AS INT) AS hop FROM wk_s1
+UNION ALL
+SELECT a.src AS anchor, b.nxt AS context, CAST(2 AS INT) AS hop
+FROM wk_s1 a JOIN wk_s2 b ON b.src = a.nxt
+WHERE a.src != b.nxt
+"""
+    )
+
+
+def q_event_rolling_24h(spark, sf_dir):
+    """Per-event rolling 24-hour window over each user's stream: how
+    many events and how much value the trailing day held at that
+    moment — the RANGE-interval window frame (time-based, not
+    row-based: the frame width follows the clock, so bursts and gaps
+    change the row count per frame).  Value summed in exact cents.
+
+    Scale shape: one user-keyed RANGE window over epoch seconds —
+    user-bounded partitions, O(frame) running state, no self-join
+    formulation."""
+    e = _t(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-86399, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_24h"),
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .over(w)
+        .cast("bigint")
+        .alias("value_cents_24h"),
+    )
+
+
+SQL_EVENT_ROLLING_24H = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS value_cents_24h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch(ts)
+  RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -12908,6 +13010,8 @@ SPARK_QUERIES = {
     "source_vocab_overlap": q_source_vocab_overlap,
     "conv_entity_recurrence": q_conv_entity_recurrence,
     "kg_node_type_mix": q_kg_node_type_mix,
+    "kg_walk_pairs": q_kg_walk_pairs,
+    "event_rolling_24h": q_event_rolling_24h,
 }
 
 ORACLE_SQL = {
@@ -13190,4 +13294,6 @@ ORACLE_SQL = {
     "source_vocab_overlap": SQL_SOURCE_VOCAB_OVERLAP,
     "conv_entity_recurrence": _conv_entity_recurrence_sql(),
     "kg_node_type_mix": _kg_node_type_mix_sql(),
+    "kg_walk_pairs": _kg_walk_pairs_sql(),
+    "event_rolling_24h": SQL_EVENT_ROLLING_24H,
 }

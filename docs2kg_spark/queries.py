@@ -12677,6 +12677,142 @@ WINDOW w AS (
 """
 
 
+def q_kg_entity_cluster_sizes(spark, sf_dir):
+    """Canonicalization impact histogram: how many canonical entities
+    merged 1, 2, 3… surface forms — the linking analog of
+    dedup_cluster_sizes (singleton share = surfaces linking touched
+    nothing; the tail = alias families).
+
+    Scale shape: two stacked hash aggs on the memoized canonical
+    map."""
+    cm = q_kg_canonical_map(spark, sf_dir)
+    return (
+        cm.groupBy("canonical_id")
+        .agg(F.count("*").cast("bigint").alias("sz"))
+        .groupBy("sz")
+        .agg(F.count("*").cast("bigint").alias("n_entities"))
+        .selectExpr("CAST(sz AS BIGINT) AS cluster_size", "n_entities")
+    )
+
+
+def _kg_entity_cluster_sizes_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_canonical_ctes
+
+    return f"""
+{kg_canonical_ctes(TRANSCRIPTS_CTE)},
+ec_sz AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz FROM cmap GROUP BY 1
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_entities
+FROM ec_sz GROUP BY 1
+"""
+
+
+def q_kg_edge_weight_hist(spark, sf_dir):
+    """Edge-weight distribution of the canonical co-occurrence graph:
+    log2 bands of per-pair co-occurrence counts — the thresholding
+    read before pruning weak edges (1-count edges are usually noise;
+    the heavy tail is the backbone).
+
+    Scale shape: canonical pair agg (the comention shape) → ≤64-row
+    band histogram."""
+    t = q_kg_triples(spark, sf_dir)
+    cm = q_kg_canonical_map(spark, sf_dir)
+    pairs = (
+        t.join(
+            cm.selectExpr("text AS subj", "label AS subj_label", "canonical_id AS ca"),
+            ["subj", "subj_label"],
+        )
+        .join(
+            cm.selectExpr("text AS obj", "label AS obj_label", "canonical_id AS cb"),
+            ["obj", "obj_label"],
+        )
+        .filter(F.col("ca") != F.col("cb"))
+        .selectExpr("least(ca, cb) AS a", "greatest(ca, cb) AS b")
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    return (
+        pairs.groupBy(F.expr("CAST(floor(log2(w)) AS INT)").alias("weight_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_edges"),
+            F.min("w").cast("bigint").alias("min_w"),
+            F.max("w").cast("bigint").alias("max_w"),
+        )
+    )
+
+
+def _kg_edge_weight_hist_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_full_ctes
+
+    return f"""
+{kg_full_ctes(TRANSCRIPTS_CTE)},
+ew_p AS (
+  SELECT least(cs.canonical_id, co.canonical_id) AS a,
+         greatest(cs.canonical_id, co.canonical_id) AS b,
+         CAST(count(*) AS BIGINT) AS w
+  FROM triples t
+  JOIN cmap cs ON cs.text = t.subj AND cs.label = t.subj_label
+  JOIN cmap co ON co.text = t.obj AND co.label = t.obj_label
+  WHERE cs.canonical_id != co.canonical_id
+  GROUP BY 1, 2
+)
+SELECT CAST(floor(log2(w)) AS INT) AS weight_band,
+       CAST(count(*) AS BIGINT) AS n_edges,
+       CAST(min(w) AS BIGINT) AS min_w,
+       CAST(max(w) AS BIGINT) AS max_w
+FROM ew_p GROUP BY 1
+"""
+
+
+def q_turn_position_length_curve(spark, sf_dir):
+    """Turn length vs conversation position: per position band (first
+    5 turns, 6-15, 16-40, 40+), the per-role length profile — the
+    'conversations trail off' curve that decides truncation points for
+    SFT context assembly.
+
+    Scale shape: row-local banding over the already-windowed turn
+    index, one (band, role) agg."""
+    t = derive_transcripts(spark, sf_dir)
+    band = (
+        F.when(F.col("turn_idx") < 5, "00-04")
+        .when(F.col("turn_idx") < 15, "05-14")
+        .when(F.col("turn_idx") < 40, "15-39")
+        .otherwise("40+")
+    )
+    return (
+        t.select(band.alias("pos_band"), "role", F.length("text").cast("bigint").alias("n_chars"))
+        .groupBy("pos_band", "role")
+        .agg(
+            F.count("*").cast("bigint").alias("n_turns"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .selectExpr(
+            "pos_band", "role", "n_turns", "n_chars",
+            "n_chars DIV n_turns AS mean_chars",
+        )
+    )
+
+
+SQL_TURN_POSITION_LENGTH = f"""
+WITH {TRANSCRIPTS_CTE},
+tp AS (
+  SELECT CASE WHEN turn_idx < 5 THEN '00-04'
+              WHEN turn_idx < 15 THEN '05-14'
+              WHEN turn_idx < 40 THEN '15-39'
+              ELSE '40+' END AS pos_band,
+         role, CAST(length(text) AS BIGINT) AS n_chars
+  FROM transcripts
+)
+SELECT pos_band, role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(sum(n_chars) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_chars
+FROM tp GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13012,6 +13148,9 @@ SPARK_QUERIES = {
     "kg_node_type_mix": q_kg_node_type_mix,
     "kg_walk_pairs": q_kg_walk_pairs,
     "event_rolling_24h": q_event_rolling_24h,
+    "kg_entity_cluster_sizes": q_kg_entity_cluster_sizes,
+    "kg_edge_weight_hist": q_kg_edge_weight_hist,
+    "turn_position_length": q_turn_position_length_curve,
 }
 
 ORACLE_SQL = {
@@ -13296,4 +13435,7 @@ ORACLE_SQL = {
     "kg_node_type_mix": _kg_node_type_mix_sql(),
     "kg_walk_pairs": _kg_walk_pairs_sql(),
     "event_rolling_24h": SQL_EVENT_ROLLING_24H,
+    "kg_entity_cluster_sizes": _kg_entity_cluster_sizes_sql(),
+    "kg_edge_weight_hist": _kg_edge_weight_hist_sql(),
+    "turn_position_length": SQL_TURN_POSITION_LENGTH,
 }

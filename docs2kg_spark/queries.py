@@ -12813,6 +12813,119 @@ FROM tp GROUP BY 1, 2
 """
 
 
+def q_user_type_dominance(spark, sf_dir):
+    """User-level event-type dominance histogram: for each user the
+    share of their most frequent event type, bucketed to 10%-wide
+    bands — single-behavior users (dominance ≈ 100%) need different
+    sampling treatment than explorers.
+
+    Scale shape: (user, type) agg → user argmax window (type-bounded)
+    → ≤10-row band agg."""
+    e = _t(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), "event_type")
+    top = ut.withColumn("rk", F.row_number().over(w)).filter("rk = 1")
+    tot = ut.groupBy("user_id").agg(F.sum("n").alias("n_events"))
+    dom = top.join(tot, "user_id").selectExpr(
+        "user_id", "n * 10 DIV n_events AS band"
+    )
+    return (
+        dom.groupBy("band")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .selectExpr("CAST(band AS INT) AS dominance_decile", "n_users")
+    )
+
+
+SQL_USER_TYPE_DOMINANCE = """
+WITH ud_ut AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+ud_top AS (
+  SELECT user_id, n FROM (
+    SELECT user_id, n,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+    FROM ud_ut
+  ) WHERE rk = 1
+),
+ud_tot AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events FROM ud_ut GROUP BY 1)
+SELECT CAST(t.n * 10 // o.n_events AS INT) AS dominance_decile,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ud_top t JOIN ud_tot o USING (user_id)
+GROUP BY 1
+"""
+
+
+def q_tool_bigrams(spark, sf_dir):
+    """Tool-chain bigrams: which tool follows which across each
+    conversation's TOOL turns (intervening user/assistant turns
+    skipped) — the agent's actual tool-composition patterns, the
+    transcripts analog of event_trigrams.
+
+    Scale shape: filter to tool turns first (narrow), one conv-keyed
+    lag window over the reduced stream, a ≤|tools|² agg."""
+    t = derive_transcripts(spark, sf_dir)
+    tools = t.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool")
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        tools.withColumn("prev_tool", F.lag("tool").over(w))
+        .filter(F.col("prev_tool").isNotNull())
+        .groupBy("prev_tool", "tool")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        )
+    )
+
+
+SQL_TOOL_BIGRAMS = f"""
+WITH {TRANSCRIPTS_CTE},
+tb AS (
+  SELECT conv_id, tool,
+         lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM transcripts WHERE tool IS NOT NULL
+)
+SELECT prev_tool, tool,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM tb WHERE prev_tool IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_kg_pred_confidence(spark, sf_dir):
+    """Per-predicate confidence profile of the emitted triples
+    (integer milli-units): extraction confidence is the edge-trust
+    signal a KG consumer filters on; a predicate whose confidence
+    floor is low inherits every gazetteer fuzzy match.
+
+    Scale shape: one hash agg over memoized triples."""
+    t = q_kg_triples(spark, sf_dir)
+    c = F.expr("CAST(ROUND(confidence * 1000) AS BIGINT)")
+    return t.select("pred", c.alias("cm")).groupBy("pred").agg(
+        F.count("*").cast("bigint").alias("n_triples"),
+        F.min("cm").cast("bigint").alias("min_conf_milli"),
+        F.max("cm").cast("bigint").alias("max_conf_milli"),
+        F.sum("cm").cast("bigint").alias("sum_conf_milli"),
+    )
+
+
+def _kg_pred_confidence_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+pc AS (
+  SELECT pred, CAST(ROUND(confidence * 1000) AS BIGINT) AS cm FROM triples
+)
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(min(cm) AS BIGINT) AS min_conf_milli,
+       CAST(max(cm) AS BIGINT) AS max_conf_milli,
+       CAST(sum(cm) AS BIGINT) AS sum_conf_milli
+FROM pc GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13151,6 +13264,9 @@ SPARK_QUERIES = {
     "kg_entity_cluster_sizes": q_kg_entity_cluster_sizes,
     "kg_edge_weight_hist": q_kg_edge_weight_hist,
     "turn_position_length": q_turn_position_length_curve,
+    "user_type_dominance": q_user_type_dominance,
+    "tool_bigrams": q_tool_bigrams,
+    "kg_pred_confidence": q_kg_pred_confidence,
 }
 
 ORACLE_SQL = {
@@ -13438,4 +13554,7 @@ ORACLE_SQL = {
     "kg_entity_cluster_sizes": _kg_entity_cluster_sizes_sql(),
     "kg_edge_weight_hist": _kg_edge_weight_hist_sql(),
     "turn_position_length": SQL_TURN_POSITION_LENGTH,
+    "user_type_dominance": SQL_USER_TYPE_DOMINANCE,
+    "tool_bigrams": SQL_TOOL_BIGRAMS,
+    "kg_pred_confidence": _kg_pred_confidence_sql(),
 }

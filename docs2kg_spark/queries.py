@@ -12926,6 +12926,135 @@ FROM pc GROUP BY 1
 """
 
 
+def q_conv_closing_tone(spark, sf_dir):
+    """How conversations END: the final turn's role and lexicon
+    polarity, classed as positive / negative / neutral — unresolved
+    endings (negative tone, or a tool turn with no follow-up) are the
+    trajectories an agent-training curator inspects first.
+
+    Scale shape: conv-keyed max_by picks the last turn (no full sort);
+    token scoring semi-joins the 20-row broadcast lexicon; one ≤|roles|·3
+    agg."""
+    lex = spark.createDataFrame(list(_POLARITY_LEXICON), "word string, score int")
+    t = derive_transcripts(spark, sf_dir)
+    last = t.groupBy("conv_id").agg(
+        F.max_by(F.struct("role", "text"), "turn_idx").alias("lt")
+    ).select("conv_id", F.col("lt.role").alias("role"), F.col("lt.text").alias("text"))
+    pol = (
+        last.select(
+            "conv_id",
+            "role",
+            F.explode(F.split(F.lower("text"), WS_RE)).alias("rawtok"),
+        )
+        .select(
+            "conv_id", "role",
+            F.regexp_replace("rawtok", r"^[^a-z0-9]+|[^a-z0-9]+$", "").alias("tok"),
+        )
+        .join(F.broadcast(lex), F.col("tok") == F.col("word"), "left")
+        .groupBy("conv_id", "role")
+        .agg(F.sum(F.coalesce("score", F.lit(0))).cast("bigint").alias("pol"))
+    )
+    tone = (
+        F.when(F.col("pol") > 0, "positive")
+        .when(F.col("pol") < 0, "negative")
+        .otherwise("neutral")
+    )
+    return (
+        pol.groupBy("role", tone.alias("tone"))
+        .agg(F.count("*").cast("bigint").alias("n_convs"))
+    )
+
+
+def _conv_closing_tone_sql() -> str:
+    vals = ", ".join(f"('{w}', {s})" for w, s in _POLARITY_LEXICON)
+    return f"""
+WITH {TRANSCRIPTS_CTE},
+ct_lex(word, score) AS (VALUES {vals}),
+ct_last AS (
+  SELECT conv_id,
+         max_by(role, turn_idx) AS role,
+         max_by(text, turn_idx) AS text
+  FROM transcripts GROUP BY 1
+),
+ct_tok AS (
+  SELECT conv_id, role,
+         regexp_replace(t.tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS tok
+  FROM ct_last, unnest(regexp_split_to_array(lower(ct_last.text), '[ \\t\\n\\r\\f\\x0B]+')) t(tok)
+),
+ct_pol AS (
+  SELECT conv_id, role, CAST(sum(COALESCE(l.score, 0)) AS BIGINT) AS pol
+  FROM ct_tok k LEFT JOIN ct_lex l ON l.word = k.tok
+  GROUP BY 1, 2
+)
+SELECT role,
+       CASE WHEN pol > 0 THEN 'positive'
+            WHEN pol < 0 THEN 'negative'
+            ELSE 'neutral' END AS tone,
+       CAST(count(*) AS BIGINT) AS n_convs
+FROM ct_pol GROUP BY 1, 2
+"""
+
+
+def q_embedding_distance_hist(spark, sf_dir):
+    """Pairwise-distance concentration histogram over the embedding
+    space (deterministic (i, i+17) pair sample, quantized squared
+    Euclidean distance in log2 bands) — the hubness/concentration
+    check for ANN tuning: a narrow histogram means distances carry
+    little contrast and LSH/IVF recall will be poor at any setting.
+
+    Exactness: floor(v·1e3) quantization → BIGINT dist²; the
+    histogram is integer.
+
+    Scale shape: equi-join on the shifted id (no sampling shuffle),
+    row-local fold, ≤64-row agg."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    a = e.select(F.col("vec_id").alias("ia"), q.alias("qa"))
+    b = e.select((F.col("vec_id") - 17).alias("ia"), q.alias("qb"))
+    d2 = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, "ia")
+        .select(d2.alias("d2"))
+        .groupBy(F.expr("CAST(floor(log2(d2 + 1)) AS INT)").alias("dist_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.min("d2").cast("bigint").alias("min_d2"),
+            F.max("d2").cast("bigint").alias("max_d2"),
+        )
+    )
+
+
+SQL_EMBEDDING_DISTANCE_HIST = """
+WITH dh_q AS (
+  SELECT vec_id, gs.d,
+         CAST(floor(CAST(embedding[gs.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings, generate_series(0, 63) gs(d)
+),
+dh_p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 17
+),
+dh_d AS (
+  SELECT p.ia, CAST(sum((qa.q - qb.q) * (qa.q - qb.q)) AS BIGINT) AS d2
+  FROM dh_p p
+  JOIN dh_q qa ON qa.vec_id = p.ia
+  JOIN dh_q qb ON qb.vec_id = p.ib AND qb.d = qa.d
+  GROUP BY 1
+)
+SELECT CAST(floor(log2(d2 + 1)) AS INT) AS dist_band,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(d2) AS BIGINT) AS min_d2,
+       CAST(max(d2) AS BIGINT) AS max_d2
+FROM dh_d GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13267,6 +13396,8 @@ SPARK_QUERIES = {
     "user_type_dominance": q_user_type_dominance,
     "tool_bigrams": q_tool_bigrams,
     "kg_pred_confidence": q_kg_pred_confidence,
+    "conv_closing_tone": q_conv_closing_tone,
+    "embedding_distance_hist": q_embedding_distance_hist,
 }
 
 ORACLE_SQL = {
@@ -13557,4 +13688,6 @@ ORACLE_SQL = {
     "user_type_dominance": SQL_USER_TYPE_DOMINANCE,
     "tool_bigrams": SQL_TOOL_BIGRAMS,
     "kg_pred_confidence": _kg_pred_confidence_sql(),
+    "conv_closing_tone": _conv_closing_tone_sql(),
+    "embedding_distance_hist": SQL_EMBEDDING_DISTANCE_HIST,
 }

@@ -519,6 +519,19 @@ HEADLINE = [
     "source_vocab_overlap",
     "conv_entity_recurrence",
     "kg_node_type_mix",
+    # round-4 batch 52-55: walk pairs, RANGE window, cluster sizes,
+    # edge weights, position curve, dominance, tool chains, predicate
+    # confidence, closing tone, distance histogram
+    "kg_walk_pairs",
+    "event_rolling_24h",
+    "kg_entity_cluster_sizes",
+    "kg_edge_weight_hist",
+    "turn_position_length",
+    "user_type_dominance",
+    "tool_bigrams",
+    "kg_pred_confidence",
+    "conv_closing_tone",
+    "embedding_distance_hist",
 ]
 
 

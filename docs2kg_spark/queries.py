@@ -13055,6 +13055,131 @@ FROM dh_d GROUP BY 1
 """
 
 
+def q_lineitem_tax_profile(spark, sf_dir):
+    """Effective-tax profile: per (tax percent, return flag), item
+    counts plus exact revenue and tax cents (tax = price·(1−disc)·tax
+    rounded per line, the invoice arithmetic) — closes the one lineitem
+    column (l_tax) no other query touched.
+
+    Scale shape: row-local integer projections, one small hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.expr("CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)")
+    tax = F.expr(
+        "CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100) AS BIGINT)"
+    )
+    return (
+        li.select(
+            F.expr("CAST(round(l_tax * 100) AS INT)").alias("tax_pct"),
+            "l_returnflag",
+            rev.alias("rev"),
+            tax.alias("tx"),
+        )
+        .groupBy("tax_pct", "l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("rev").cast("bigint").alias("revenue_cents"),
+            F.sum("tx").cast("bigint").alias("tax_cents"),
+        )
+    )
+
+
+SQL_LINEITEM_TAX_PROFILE = """
+SELECT CAST(round(l_tax * 100) AS INT) AS tax_pct, l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * l_tax * 100) AS BIGINT)) AS BIGINT) AS tax_cents
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_order_size_value_matrix(spark, sf_dir):
+    """2-D order census: line-count band × totalprice log10 band →
+    order counts and revenue cents — the joint read that catches
+    many-line/low-value anomalies a 1-D histogram hides.
+
+    Scale shape: one (orderkey) count agg joined to orders, row-local
+    banding, ≤ bands² agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    sizes = li.groupBy("l_orderkey").agg(F.count("*").alias("n_lines"))
+    j = o.join(sizes, o.o_orderkey == sizes.l_orderkey)
+    size_band = (
+        F.when(F.col("n_lines") <= 2, "1-2")
+        .when(F.col("n_lines") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    val_band = F.expr("CAST(floor(log10(o_totalprice)) AS INT)")
+    return (
+        j.select(
+            size_band.alias("size_band"),
+            val_band.alias("value_decade"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("size_band", "value_decade")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+SQL_ORDER_SIZE_VALUE_MATRIX = """
+WITH sv_sz AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+)
+SELECT CASE WHEN s.n_lines <= 2 THEN '1-2'
+            WHEN s.n_lines <= 4 THEN '3-4'
+            ELSE '5+' END AS size_band,
+       CAST(floor(log10(o.o_totalprice)) AS INT) AS value_decade,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders o JOIN sv_sz s ON s.l_orderkey = o.o_orderkey
+GROUP BY 1, 2
+"""
+
+
+def q_mention_method_mix(spark, sf_dir):
+    """Extraction-method mix per entity label: gazetteer vs
+    LLM-standin mention counts, segment spread, and the gazetteer
+    share — which labels the curated lexicon actually covers and which
+    ride on the model extractor alone.
+
+    Scale shape: one (label, method) hash agg over memoized mentions +
+    a label totals join."""
+    _, m = _kg_stack(spark, sf_dir)
+    lm = m.groupBy("label", "method").agg(
+        F.count("*").cast("bigint").alias("n_mentions"),
+        F.countDistinct("seg_id").cast("bigint").alias("n_segs"),
+    )
+    tot = lm.groupBy("label").agg(F.sum("n_mentions").alias("n_label"))
+    return (
+        lm.join(tot, "label")
+        .selectExpr(
+            "label", "method", "n_mentions", "n_segs",
+            "n_mentions * 10000 DIV n_label AS method_share_bp",
+        )
+    )
+
+
+def _mention_method_mix_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+mm AS (
+  SELECT label, method,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(count(DISTINCT seg_id) AS BIGINT) AS n_segs
+  FROM mentions GROUP BY 1, 2
+),
+mm_t AS (SELECT label, CAST(sum(n_mentions) AS BIGINT) AS n_label FROM mm GROUP BY 1)
+SELECT m.label, m.method, m.n_mentions, m.n_segs,
+       m.n_mentions * 10000 // t.n_label AS method_share_bp
+FROM mm m JOIN mm_t t USING (label)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13398,6 +13523,9 @@ SPARK_QUERIES = {
     "kg_pred_confidence": q_kg_pred_confidence,
     "conv_closing_tone": q_conv_closing_tone,
     "embedding_distance_hist": q_embedding_distance_hist,
+    "lineitem_tax_profile": q_lineitem_tax_profile,
+    "order_size_value_matrix": q_order_size_value_matrix,
+    "mention_method_mix": q_mention_method_mix,
 }
 
 ORACLE_SQL = {
@@ -13690,4 +13818,7 @@ ORACLE_SQL = {
     "kg_pred_confidence": _kg_pred_confidence_sql(),
     "conv_closing_tone": _conv_closing_tone_sql(),
     "embedding_distance_hist": SQL_EMBEDDING_DISTANCE_HIST,
+    "lineitem_tax_profile": SQL_LINEITEM_TAX_PROFILE,
+    "order_size_value_matrix": SQL_ORDER_SIZE_VALUE_MATRIX,
+    "mention_method_mix": _mention_method_mix_sql(),
 }

@@ -13180,6 +13180,174 @@ FROM mm m JOIN mm_t t USING (label)
 """
 
 
+def q_event_gap_survival(spark, sf_dir):
+    """Inter-event gap survival curve: for thresholds 1m / 10m / 1h /
+    1d, how many adjacent same-user gaps EXCEED each — the read that
+    picks a session timeout empirically instead of by convention (the
+    knee of this curve is where sessionize's gap parameter should
+    sit).
+
+    Scale shape: one user-keyed lag window, then four conditional sums
+    in one pass → 4 rows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+            .cast("long")
+            .alias("gap")
+        )
+        .filter(F.col("gap").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    tot = gaps.agg(F.count("*").alias("n_gaps"))
+    out = None
+    for name, secs in (("1m", 60), ("10m", 600), ("1h", 3600), ("1d", 86400)):
+        row = (
+            gaps.agg(
+                F.lit(name).alias("threshold"),
+                F.lit(secs).cast("long").alias("threshold_s"),
+                F.sum(F.when(F.col("gap") > secs, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_exceed"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .selectExpr(
+                "threshold", "threshold_s", "n_exceed",
+                "CAST(n_gaps AS BIGINT) AS n_gaps",
+                "n_exceed * 10000 DIV n_gaps AS exceed_bp",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_EVENT_GAP_SURVIVAL = """
+WITH gs_g AS (
+  SELECT epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+), gs_f AS (SELECT CAST(gap AS BIGINT) AS gap FROM gs_g WHERE gap IS NOT NULL),
+gs_t AS (SELECT CAST(count(*) AS BIGINT) AS n_gaps FROM gs_f),
+gs_c(threshold, threshold_s) AS (VALUES ('1m', 60), ('10m', 600), ('1h', 3600), ('1d', 86400))
+SELECT c.threshold, CAST(c.threshold_s AS BIGINT) AS threshold_s,
+       CAST(sum(CASE WHEN g.gap > c.threshold_s THEN 1 ELSE 0 END) AS BIGINT) AS n_exceed,
+       t.n_gaps,
+       CAST(sum(CASE WHEN g.gap > c.threshold_s THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // t.n_gaps AS exceed_bp
+FROM gs_c c CROSS JOIN gs_f g CROSS JOIN gs_t t
+GROUP BY 1, 2, t.n_gaps
+"""
+
+
+def q_seg_label_transitions(spark, sf_dir):
+    """Layout-flow profile: (previous label → label) adjacency counts
+    over each conversation's segment sequence — the structural grammar
+    of the corpus (H1 → P → CODE chains), the segment-level analog of
+    role_transitions.
+
+    Scale shape: one conv-keyed lag window over the memoized segments,
+    ≤|labels|² agg."""
+    segs, _ = _kg_stack(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy("seg_idx")
+    return (
+        segs.select("conv_id", "label", F.lag("label").over(w).alias("prev_label"))
+        .filter(F.col("prev_label").isNotNull())
+        .groupBy("prev_label", "label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.countDistinct("conv_id").cast("bigint").alias("n_convs"),
+        )
+    )
+
+
+def _seg_label_transitions_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+st AS (
+  SELECT conv_id, label,
+         lag(label) OVER (PARTITION BY conv_id ORDER BY seg_idx) AS prev_label
+  FROM segs
+)
+SELECT prev_label, label,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM st WHERE prev_label IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_lang_margin_profile(spark, sf_dir):
+    """Language-ID confidence margin per labeled language: the gap
+    between the best and second-best stopword-signal scores, banded —
+    margin 0 documents are the ones the n-gram heuristic effectively
+    guesses on, and a language whose margins concentrate at 0 needs a
+    richer signal set before its labels are trusted.
+
+    Scale shape: the lang score expressions are row-local regexp
+    counts; the second-max is the max-over-pairwise-min identity (6
+    terms for 4 scores); one (lang, band) agg."""
+    from docs2kg_spark.operators.text import lang_scores
+
+    d = _t(spark, sf_dir, "documents")
+    sc = lang_scores("text")
+    langs = sorted(sc)
+    cols = [sc[lang].alias(f"s_{lang}") for lang in langs]
+    names = [f"s_{lang}" for lang in langs]
+    top1 = F.greatest(*[F.col(c) for c in names])
+    import itertools
+
+    top2 = F.greatest(
+        *[
+            F.least(F.col(a), F.col(b))
+            for a, b in itertools.combinations(names, 2)
+        ]
+    )
+    band = (
+        F.when(F.col("margin") == 0, "0")
+        .when(F.col("margin") <= 2, "1-2")
+        .when(F.col("margin") <= 5, "3-5")
+        .otherwise("6+")
+    )
+    return (
+        d.select("lang", *cols)
+        .select("lang", (top1 - top2).cast("long").alias("margin"))
+        .groupBy("lang", band.alias("margin_band"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
+def _lang_margin_profile_sql() -> str:
+    import itertools
+
+    from docs2kg_spark.operators.text import LANG_SIGNALS
+
+    langs = sorted(LANG_SIGNALS)
+    scores = ", ".join(
+        f"{_sql_lang_score(LANG_SIGNALS[lang])} AS s_{lang}" for lang in langs
+    )
+    names = [f"s_{lang}" for lang in langs]
+    top1 = "GREATEST(" + ", ".join(names) + ")"
+    top2 = "GREATEST(" + ", ".join(
+        f"LEAST({a}, {b})" for a, b in itertools.combinations(names, 2)
+    ) + ")"
+    return f"""
+WITH lmp_s AS (
+  SELECT lang, {scores} FROM documents
+),
+lmp_m AS (
+  SELECT lang, CAST({top1} - {top2} AS BIGINT) AS margin FROM lmp_s
+)
+SELECT lang,
+       CASE WHEN margin = 0 THEN '0'
+            WHEN margin <= 2 THEN '1-2'
+            WHEN margin <= 5 THEN '3-5'
+            ELSE '6+' END AS margin_band,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM lmp_m GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13526,6 +13694,9 @@ SPARK_QUERIES = {
     "lineitem_tax_profile": q_lineitem_tax_profile,
     "order_size_value_matrix": q_order_size_value_matrix,
     "mention_method_mix": q_mention_method_mix,
+    "event_gap_survival": q_event_gap_survival,
+    "seg_label_transitions": q_seg_label_transitions,
+    "lang_margin_profile": q_lang_margin_profile,
 }
 
 ORACLE_SQL = {
@@ -13821,4 +13992,7 @@ ORACLE_SQL = {
     "lineitem_tax_profile": SQL_LINEITEM_TAX_PROFILE,
     "order_size_value_matrix": SQL_ORDER_SIZE_VALUE_MATRIX,
     "mention_method_mix": _mention_method_mix_sql(),
+    "event_gap_survival": SQL_EVENT_GAP_SURVIVAL,
+    "seg_label_transitions": _seg_label_transitions_sql(),
+    "lang_margin_profile": _lang_margin_profile_sql(),
 }

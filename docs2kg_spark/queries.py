@@ -13348,6 +13348,133 @@ FROM lmp_m GROUP BY 1, 2
 """
 
 
+def q_kg_conv_coverage(spark, sf_dir):
+    """Extraction coverage funnel at conversation grain: of all
+    conversations, how many yielded ≥1 mention and ≥1 triple — the
+    first number a KG owner reports (a conversation with zero mentions
+    contributes nothing downstream; a mention-but-no-triple
+    conversation has entities that never co-occur in a segment).
+
+    Scale shape: two conv-keyed distinct reductions over the memoized
+    chain + one 1-row rollup.  (Note: canonical clusters can never mix
+    labels — linking bands include the label — so the cross-label QA
+    lives at the surface level in mention_ambiguity, not here.)"""
+    t = derive_transcripts(spark, sf_dir).select("conv_id").distinct()
+    _, m = _kg_stack(spark, sf_dir)
+    tr = q_kg_triples(spark, sf_dir)
+    wm = m.select("conv_id").distinct().withColumn("has_m", F.lit(1))
+    wt = tr.select("conv_id").distinct().withColumn("has_t", F.lit(1))
+    return (
+        t.join(wm, "conv_id", "left")
+        .join(wt, "conv_id", "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_convs"),
+            F.sum(F.coalesce("has_m", F.lit(0))).cast("bigint").alias("n_with_mentions"),
+            F.sum(F.coalesce("has_t", F.lit(0))).cast("bigint").alias("n_with_triples"),
+        )
+        .selectExpr(
+            "n_convs", "n_with_mentions", "n_with_triples",
+            "n_with_mentions * 10000 DIV n_convs AS mention_coverage_bp",
+            "n_with_triples * 10000 DIV n_convs AS triple_coverage_bp",
+        )
+    )
+
+
+def _kg_conv_coverage_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)},
+cc_all AS (SELECT DISTINCT conv_id FROM transcripts),
+cc_m AS (SELECT DISTINCT conv_id FROM mentions),
+cc_t AS (SELECT DISTINCT conv_id FROM triples)
+SELECT CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(CASE WHEN m.conv_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_mentions,
+       CAST(sum(CASE WHEN t.conv_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_triples,
+       CAST(sum(CASE WHEN m.conv_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // CAST(count(*) AS BIGINT) AS mention_coverage_bp,
+       CAST(sum(CASE WHEN t.conv_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000
+         // CAST(count(*) AS BIGINT) AS triple_coverage_bp
+FROM cc_all a
+LEFT JOIN cc_m m ON m.conv_id = a.conv_id
+LEFT JOIN cc_t t ON t.conv_id = a.conv_id
+"""
+
+
+def q_tool_parrot_profile(spark, sf_dir):
+    """Parroting detector: for every turn that directly FOLLOWS a tool
+    turn, the share of its distinct tokens already present in the tool
+    output — a follow-up that mostly restates the tool output verbatim
+    is low-value SFT data (and an assistant doing it is the classic
+    copy-through failure).  Per conversation: pair count,
+    high-containment (>80%) count, and summed containment in basis
+    points (exact integers).
+
+    Scale shape: one conv-keyed lag window carries the previous turn's
+    token SET (row-local split+dedup); containment is a row-local
+    array_intersect; one conv agg."""
+    t = derive_transcripts(spark, sf_dir)
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower("text"), WS_RE), lambda x: F.length(x) > 0
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    pairs = (
+        t.select(
+            "conv_id",
+            toks.alias("toks"),
+            F.lag("role").over(w).alias("prev_role"),
+            F.lag(toks).over(w).alias("prev_toks"),
+        )
+        .filter(F.col("prev_role") == "tool")
+        .select(
+            "conv_id",
+            F.size("toks").cast("bigint").alias("n_tok"),
+            F.size(F.array_intersect("toks", "prev_toks")).cast("bigint").alias("n_shared"),
+        )
+        .filter(F.col("n_tok") > 0)
+    )
+    return pairs.groupBy("conv_id").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("n_shared") * 10 > 8 * F.col("n_tok"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_parrot"),
+        F.sum(F.expr("n_shared * 10000 DIV n_tok")).cast("bigint").alias("sum_containment_bp"),
+    )
+
+
+SQL_TOOL_PARROT_PROFILE = f"""
+WITH {TRANSCRIPTS_CTE},
+pp_t AS (
+  SELECT conv_id, turn_idx, role,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[ \\t\\n\\r\\f\\x0B]+'),
+                                   x -> length(x) > 0)) AS toks
+  FROM transcripts
+),
+pp_p AS (
+  SELECT conv_id, toks,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+         lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_toks
+  FROM pp_t
+),
+pp_c AS (
+  SELECT conv_id,
+         CAST(len(toks) AS BIGINT) AS n_tok,
+         CAST(len(list_intersect(toks, prev_toks)) AS BIGINT) AS n_shared
+  FROM pp_p
+  WHERE prev_role = 'tool' AND len(toks) > 0
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN n_shared * 10 > 8 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_parrot,
+       CAST(sum(n_shared * 10000 // n_tok) AS BIGINT) AS sum_containment_bp
+FROM pp_c GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13697,6 +13824,8 @@ SPARK_QUERIES = {
     "event_gap_survival": q_event_gap_survival,
     "seg_label_transitions": q_seg_label_transitions,
     "lang_margin_profile": q_lang_margin_profile,
+    "kg_conv_coverage": q_kg_conv_coverage,
+    "tool_parrot_profile": q_tool_parrot_profile,
 }
 
 ORACLE_SQL = {
@@ -13995,4 +14124,6 @@ ORACLE_SQL = {
     "event_gap_survival": SQL_EVENT_GAP_SURVIVAL,
     "seg_label_transitions": _seg_label_transitions_sql(),
     "lang_margin_profile": _lang_margin_profile_sql(),
+    "kg_conv_coverage": _kg_conv_coverage_sql(),
+    "tool_parrot_profile": SQL_TOOL_PARROT_PROFILE,
 }

@@ -532,6 +532,17 @@ HEADLINE = [
     "kg_pred_confidence",
     "conv_closing_tone",
     "embedding_distance_hist",
+    # round-4 batch 56-58: tax profile, size-value matrix, method mix,
+    # gap survival, label transitions, lang margins, coverage funnel,
+    # parroting detector
+    "lineitem_tax_profile",
+    "order_size_value_matrix",
+    "mention_method_mix",
+    "event_gap_survival",
+    "seg_label_transitions",
+    "lang_margin_profile",
+    "kg_conv_coverage",
+    "tool_parrot_profile",
 ]
 
 

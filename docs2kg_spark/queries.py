@@ -13475,6 +13475,102 @@ FROM pp_c GROUP BY 1
 """
 
 
+def q_doc_scrub_savings(spark, sf_dir):
+    """Executive summary of the exact-substring scrub: per source, how
+    many tokens the corpus-duplicated 8-gram removal would delete —
+    the template-load ranking that decides WHERE scrubbing pays before
+    running it corpus-wide.
+
+    Scale shape: the scrub's count columns only (the rebuilt text is
+    never materialized here — column pruning drops the reassembly
+    expressions), one |sources|-row agg."""
+    from docs2kg_spark.operators.dedup import exact_substr_scrub
+
+    d = _t(spark, sf_dir, "documents")
+    s = exact_substr_scrub(d, n=8, min_df=2).select("doc_id", "n_toks", "n_removed")
+    return (
+        s.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("n_toks"),
+            F.sum("n_removed").cast("bigint").alias("n_removed"),
+            F.sum(F.when(F.col("n_removed") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_touched"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_toks", "n_removed", "n_docs_touched",
+            "n_removed * 10000 DIV n_toks AS removed_bp",
+        )
+    )
+
+
+def _doc_scrub_savings_sql() -> str:
+    # compose on the scrub twin, dropping its text reassembly
+    return f"""
+WITH sc_base AS ({SQL_DOC_SCRUB})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_toks) AS BIGINT) AS n_toks,
+       CAST(sum(b.n_removed) AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN b.n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+       CAST(sum(b.n_removed) AS BIGINT) * 10000 // CAST(sum(b.n_toks) AS BIGINT) AS removed_bp
+FROM sc_base b JOIN documents d USING (doc_id)
+GROUP BY 1
+"""
+
+
+def q_event_hour_entropy(spark, sf_dir):
+    """Timing regularity per event type: entropy of the hour-of-day
+    distribution (24 buckets, the ln·1e6 integer convention) — H near
+    ln 24 means the type fires around the clock (machine traffic);
+    low H means a human or cron pattern concentrated in a few hours.
+
+    Scale shape: one (type, hour) hash agg → per-type rollup, both
+    bounded by |types|·24."""
+    e = _t(spark, sf_dir, "events")
+    th = e.groupBy(
+        "event_type", F.hour("ts").alias("h")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    lnln = F.expr("CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)")
+    per = th.select("event_type", "n", (F.col("n") * lnln).alias("nln"))
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hours"),
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("nln").alias("sum_nln"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_hours",
+            "n_events",
+            "CAST(ROUND(ln(CAST(n_events AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - sum_nln DIV n_events AS entropy_micro",
+        )
+    )
+
+
+SQL_EVENT_HOUR_ENTROPY = """
+WITH he_th AS (
+  SELECT event_type, hour(ts) AS h, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+he_n AS (
+  SELECT event_type, n,
+         n * CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS nln
+  FROM he_th
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(ROUND(ln(CAST(sum(n) AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(sum(nln) AS BIGINT) // CAST(sum(n) AS BIGINT) AS entropy_micro
+FROM he_n GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13826,6 +13922,8 @@ SPARK_QUERIES = {
     "lang_margin_profile": q_lang_margin_profile,
     "kg_conv_coverage": q_kg_conv_coverage,
     "tool_parrot_profile": q_tool_parrot_profile,
+    "doc_scrub_savings": q_doc_scrub_savings,
+    "event_hour_entropy": q_event_hour_entropy,
 }
 
 ORACLE_SQL = {
@@ -14126,4 +14224,6 @@ ORACLE_SQL = {
     "lang_margin_profile": _lang_margin_profile_sql(),
     "kg_conv_coverage": _kg_conv_coverage_sql(),
     "tool_parrot_profile": SQL_TOOL_PARROT_PROFILE,
+    "doc_scrub_savings": _doc_scrub_savings_sql(),
+    "event_hour_entropy": SQL_EVENT_HOUR_ENTROPY,
 }

@@ -543,6 +543,9 @@ HEADLINE = [
     "lang_margin_profile",
     "kg_conv_coverage",
     "tool_parrot_profile",
+    # round-4 batch 59: scrub savings, hour entropy
+    "doc_scrub_savings",
+    "event_hour_entropy",
 ]
 
 

@@ -13571,6 +13571,126 @@ FROM he_n GROUP BY 1
 """
 
 
+def q_token_len_distribution(spark, sf_dir):
+    """Token-length histogram over the corpus (char-length bands 1-2 /
+    3-5 / 6-10 / 11-20 / 21+) — long-token mass predicts subword
+    fragmentation (fertility) before any tokenizer is trained; the
+    21+ band is usually URLs/ids that want their own normalizer.
+
+    Scale shape: tokens explode once, row-local banding, one 5-row
+    agg."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower("text"), WS_RE)).alias("tok")
+    ).filter(F.col("tok") != "")
+    band = (
+        F.when(F.length("tok") <= 2, "01-02")
+        .when(F.length("tok") <= 5, "03-05")
+        .when(F.length("tok") <= 10, "06-10")
+        .when(F.length("tok") <= 20, "11-20")
+        .otherwise("21+")
+    )
+    tot = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.groupBy(band.alias("len_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.countDistinct("tok").cast("bigint").alias("n_types"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "len_band", "n_tokens", "n_types",
+            "n_tokens * 10000 DIV n_total AS share_bp",
+        )
+    )
+
+
+SQL_TOKEN_LEN_DISTRIBUTION = r"""
+WITH tl_t AS (
+  SELECT tok FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n\r\f\x0B]+')) AS tok
+    FROM documents
+  ) WHERE tok != ''
+),
+tl_b AS (
+  SELECT CASE WHEN length(tok) <= 2 THEN '01-02'
+              WHEN length(tok) <= 5 THEN '03-05'
+              WHEN length(tok) <= 10 THEN '06-10'
+              WHEN length(tok) <= 20 THEN '11-20'
+              ELSE '21+' END AS len_band, tok
+  FROM tl_t
+),
+tl_tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tl_t)
+SELECT len_band,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT tok) AS BIGINT) AS n_types,
+       CAST(count(*) AS BIGINT) * 10000 // t.n_total AS share_bp
+FROM tl_b CROSS JOIN tl_tot t GROUP BY 1, t.n_total
+"""
+
+
+def q_order_volume_autocorr(spark, sf_dir):
+    """Weekly seasonality strength of order volume: lag-1 and lag-7
+    Pearson autocorrelation of the DAILY order-count series — the
+    statistical form of the weekday profile (lag-7 ≫ lag-1 means the
+    weekly cycle dominates day-to-day drift).  Moments are exact
+    BIGINT; only the final ratio is a rounded double.
+
+    Scale shape: one (date) count agg (series-sized), a 1-day/7-day
+    self-join on the date key (no window over the fact table), 1-row
+    moment aggs."""
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for lag in (1, 7):
+        pairs = daily.alias("a").join(
+            daily.alias("b"),
+            F.expr(f"date_add(a.d, {lag})") == F.col("b.d"),
+        ).select(F.col("a.n").alias("x"), F.col("b.n").alias("y"))
+        row = pairs.agg(
+            F.lit(lag).cast("int").alias("lag_days"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.expr("x * y")).alias("sxy"),
+            F.sum(F.expr("x * x")).alias("sxx"),
+            F.sum(F.expr("y * y")).alias("syy"),
+        ).selectExpr(
+            "lag_days",
+            "n_pairs",
+            """ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+               / NULLIF(sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                             * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 0.0), 6) AS r""",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_ORDER_VOLUME_AUTOCORR = """
+WITH av_d AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+),
+av_l(lag_days) AS (VALUES (1), (7)),
+av_p AS (
+  SELECT l.lag_days, a.n AS x, b.n AS y
+  FROM av_l l
+  JOIN av_d a ON TRUE
+  JOIN av_d b ON b.d = a.d + to_days(l.lag_days)
+)
+SELECT lag_days,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+             / NULLIF(sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                           * CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)), 0.0), 6) AS r
+FROM av_p GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -13924,6 +14044,8 @@ SPARK_QUERIES = {
     "tool_parrot_profile": q_tool_parrot_profile,
     "doc_scrub_savings": q_doc_scrub_savings,
     "event_hour_entropy": q_event_hour_entropy,
+    "token_len_distribution": q_token_len_distribution,
+    "order_volume_autocorr": q_order_volume_autocorr,
 }
 
 ORACLE_SQL = {
@@ -14226,4 +14348,6 @@ ORACLE_SQL = {
     "tool_parrot_profile": SQL_TOOL_PARROT_PROFILE,
     "doc_scrub_savings": _doc_scrub_savings_sql(),
     "event_hour_entropy": SQL_EVENT_HOUR_ENTROPY,
+    "token_len_distribution": SQL_TOKEN_LEN_DISTRIBUTION,
+    "order_volume_autocorr": SQL_ORDER_VOLUME_AUTOCORR,
 }

@@ -13691,6 +13691,114 @@ FROM av_p GROUP BY 1
 """
 
 
+def q_kg_mention_span_profile(spark, sf_dir):
+    """Extractor-QA: mention span lengths (end − start) per
+    (method, label) — gazetteer spans are bounded by the longest
+    surface; an LLM-standin span distribution drifting long means the
+    chunk extractor is swallowing neighbors.  Exact integer stats.
+
+    Scale shape: one (method, label) hash agg over memoized
+    mentions."""
+    _, m = _kg_stack(spark, sf_dir)
+    ln = (F.col("end") - F.col("start")).cast("long")
+    return m.select("method", "label", ln.alias("span_len")).groupBy(
+        "method", "label"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_mentions"),
+        F.min("span_len").cast("bigint").alias("min_len"),
+        F.max("span_len").cast("bigint").alias("max_len"),
+        F.sum("span_len").cast("bigint").alias("sum_len"),
+    )
+
+
+def _kg_mention_span_profile_sql() -> str:
+    from docs2kg_spark.oracle.sql_twins import kg_triples_ctes
+
+    return f"""
+WITH {kg_triples_ctes(TRANSCRIPTS_CTE)}
+SELECT method, label,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(min("end" - start) AS BIGINT) AS min_len,
+       CAST(max("end" - start) AS BIGINT) AS max_len,
+       CAST(sum("end" - start) AS BIGINT) AS sum_len
+FROM mentions GROUP BY 1, 2
+"""
+
+
+def q_source_gram_novelty(spark, sf_dir):
+    """Marginal-novelty attribution: processing sources in name order,
+    how many of each source's distinct 8-grams were NOT contributed by
+    any earlier source — the acquisition read ('does adding this
+    source buy new content or re-buy the template core?').  Computed
+    without any iterative scan: a gram's novelty owner IS its minimum
+    source, so one (gram → min source) agg attributes the whole
+    corpus.
+
+    Scale shape: (source, gram) dedup, a per-gram min agg, one
+    |sources|-row rollup joined to per-source distinct counts."""
+    d = _t(spark, sf_dir, "documents")
+    n = 8
+    toks = d.select(
+        "source", F.split(F.lower(F.trim("text")), WS_RE).alias("toks")
+    )
+    grams = (
+        toks.select(
+            "source",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0)))
+            ).alias("i"),
+            "toks",
+        )
+        .select(
+            "source", F.concat_ws(" ", F.slice("toks", F.col("i") + 1, n)).alias("gram")
+        )
+        .filter(F.length("gram") > 0)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    per_src = grams.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_grams")
+    )
+    owners = (
+        grams.groupBy("gram")
+        .agg(F.min("source").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    return (
+        per_src.join(owners, "source", "left")
+        .selectExpr(
+            "source",
+            "n_grams",
+            "CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel",
+            "coalesce(n_novel, 0) * 10000 DIV n_grams AS novelty_bp",
+        )
+    )
+
+
+SQL_SOURCE_GRAM_NOVELTY = r"""
+WITH gn_t AS (
+  SELECT source, regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS w
+  FROM documents
+),
+gn_g AS (
+  SELECT DISTINCT source, array_to_string(w[i+1:i+8], ' ') AS gram
+  FROM gn_t, unnest(range(0, greatest(len(w) - 8, 0) + 1)) t(i)
+  WHERE len(array_to_string(w[i+1:i+8], ' ')) > 0
+),
+gn_s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM gn_g GROUP BY 1),
+gn_o AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_novel FROM (
+    SELECT gram, min(source) AS source FROM gn_g GROUP BY 1
+  ) GROUP BY 1
+)
+SELECT s.source, s.n_grams,
+       CAST(COALESCE(o.n_novel, 0) AS BIGINT) AS n_novel,
+       COALESCE(o.n_novel, 0) * 10000 // s.n_grams AS novelty_bp
+FROM gn_s s LEFT JOIN gn_o o USING (source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14046,6 +14154,8 @@ SPARK_QUERIES = {
     "event_hour_entropy": q_event_hour_entropy,
     "token_len_distribution": q_token_len_distribution,
     "order_volume_autocorr": q_order_volume_autocorr,
+    "kg_mention_span_profile": q_kg_mention_span_profile,
+    "source_gram_novelty": q_source_gram_novelty,
 }
 
 ORACLE_SQL = {
@@ -14350,4 +14460,6 @@ ORACLE_SQL = {
     "event_hour_entropy": SQL_EVENT_HOUR_ENTROPY,
     "token_len_distribution": SQL_TOKEN_LEN_DISTRIBUTION,
     "order_volume_autocorr": SQL_ORDER_VOLUME_AUTOCORR,
+    "kg_mention_span_profile": _kg_mention_span_profile_sql(),
+    "source_gram_novelty": SQL_SOURCE_GRAM_NOVELTY,
 }

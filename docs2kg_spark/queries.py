@@ -13799,6 +13799,136 @@ FROM gn_s s LEFT JOIN gn_o o USING (source)
 """
 
 
+def q_rolling_7d_users_hll(spark, sf_dir):
+    """Trailing-7-day distinct users per day, answered by WINDOWED
+    HyperLogLog register merges — the composition a dashboard needs at
+    100 TB (exact trailing distincts are a 7× re-count; register
+    tables merge with max and each day's window is just the max over
+    its 7 daily register sets).  The exact trailing distinct rides
+    along so the sketch's daily error is itself an oracled quantity.
+
+    Exactness: registers, fixed-point harmonic sums and the final
+    6dp-rounded estimate follow the repo's HLL convention
+    (register-exact twin); truth is an exact distinct.
+
+    Scale shape: ONE daily (day, bucket) register agg over the events
+    scan; the 7-day merge replicates register ROWS (≤ 64/day) across
+    ≤7 window keys — never the event stream; truth dedups (day, user)
+    FIRST, then replicates the deduped pairs."""
+    e = _t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hll|"), F.col("user_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    base = e.select(F.to_date("ts").alias("day"), h.alias("h")).select(
+        "day",
+        F.col("h").bitwiseAND(63).alias("bucket"),
+        F.shiftright("h", 6).alias("h2"),
+    )
+    rho = F.when(F.col("h2") > 0, F.lit(43) - F.length(F.expr("bin(h2)"))).otherwise(
+        F.lit(43)
+    )
+    daily = (
+        base.select("day", "bucket", rho.cast("int").alias("rho"))
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("r"))
+        .localCheckpoint(eager=False)
+    )
+    days = daily.select("day").distinct()
+    win = (
+        daily.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select(F.expr("date_add(day, off)").alias("wday"), "bucket", "r")
+        .join(days.withColumnRenamed("day", "wday"), "wday")
+        .groupBy("wday", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    comb = win.groupBy("wday").agg(
+        F.count("*").cast("bigint").alias("v_nonempty"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - r)")).alias("hsum"),
+    )
+    est_raw = F.round(
+        F.lit(0.709) * 64 * 64 * F.lit(float(2**50))
+        / (F.col("hsum") + (64 - F.col("v_nonempty")) * (2**50)),
+        6,
+    )
+    lc = F.round(
+        F.lit(64.0) * F.log(F.lit(64.0) / (64 - F.col("v_nonempty")).cast("double")), 6
+    )
+    est = F.when((est_raw <= 160.0) & (F.col("v_nonempty") < 64), lc).otherwise(
+        est_raw
+    )
+    pairs = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    truth = (
+        pairs.withColumn("off", F.explode(F.sequence(F.lit(0), F.lit(6))))
+        .select(F.expr("date_add(day, off)").alias("wday"), "user_id")
+        .join(days.withColumnRenamed("day", "wday"), "wday")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_true"))
+    )
+    return (
+        comb.select("wday", "v_nonempty", est.alias("est"))
+        .join(truth, "wday")
+        .selectExpr(
+            "wday AS day",
+            "v_nonempty",
+            "est",
+            "n_true",
+            "CAST(abs(CAST(round(est) AS BIGINT) - n_true) * 10000 DIV n_true AS BIGINT) AS rel_err_bp",
+        )
+    )
+
+
+SQL_ROLLING_7D_USERS_HLL = """
+WITH r7_h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(CAST(('0x' || substr(md5('hll|' || CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT) AS BIGINT) AS h
+  FROM events
+),
+r7_b AS (SELECT day, h & 63 AS bucket, h >> 6 AS h2 FROM r7_h),
+r7_d AS (
+  SELECT day, bucket,
+         max(CASE WHEN h2 > 0 THEN 43 - length(bin(h2)) ELSE 43 END) AS r
+  FROM r7_b GROUP BY 1, 2
+),
+r7_days AS (SELECT DISTINCT day FROM r7_d),
+r7_w AS (
+  SELECT d.day + to_days(CAST(o.off AS INTEGER)) AS wday, d.bucket, max(d.r) AS r
+  FROM r7_d d, unnest(range(0, 7)) o(off)
+  JOIN r7_days x ON x.day = d.day + to_days(CAST(o.off AS INTEGER))
+  GROUP BY 1, 2
+),
+r7_c AS (
+  SELECT wday, CAST(count(*) AS BIGINT) AS v_nonempty,
+         SUM(CAST(1 AS BIGINT) << (50 - r)) AS hsum
+  FROM r7_w GROUP BY 1
+),
+r7_e AS (
+  SELECT wday, v_nonempty,
+         ROUND(CAST(0.709 AS DOUBLE) * 64 * 64 * CAST(1125899906842624 AS DOUBLE)
+               / (hsum + (64 - v_nonempty) * CAST(1125899906842624 AS BIGINT)), 6) AS raw_est
+  FROM r7_c
+),
+r7_f AS (
+  SELECT wday, v_nonempty,
+         CASE WHEN raw_est <= 160.0 AND v_nonempty < 64
+              THEN ROUND(64.0 * ln(64.0 / CAST(64 - v_nonempty AS DOUBLE)), 6)
+              ELSE raw_est END AS est
+  FROM r7_e
+),
+r7_p AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+r7_t AS (
+  SELECT p.day + to_days(CAST(o.off AS INTEGER)) AS wday, CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_true
+  FROM r7_p p, unnest(range(0, 7)) o(off)
+  JOIN r7_days x ON x.day = p.day + to_days(CAST(o.off AS INTEGER))
+  GROUP BY 1
+)
+SELECT CAST(f.wday AS DATE) AS day, f.v_nonempty, f.est, t.n_true,
+       CAST(abs(CAST(round(f.est) AS BIGINT) - t.n_true) * 10000 // t.n_true AS BIGINT) AS rel_err_bp
+FROM r7_f f JOIN r7_t t ON t.wday = f.wday
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14156,6 +14286,7 @@ SPARK_QUERIES = {
     "order_volume_autocorr": q_order_volume_autocorr,
     "kg_mention_span_profile": q_kg_mention_span_profile,
     "source_gram_novelty": q_source_gram_novelty,
+    "rolling_7d_users_hll": q_rolling_7d_users_hll,
 }
 
 ORACLE_SQL = {
@@ -14462,4 +14593,5 @@ ORACLE_SQL = {
     "order_volume_autocorr": SQL_ORDER_VOLUME_AUTOCORR,
     "kg_mention_span_profile": _kg_mention_span_profile_sql(),
     "source_gram_novelty": SQL_SOURCE_GRAM_NOVELTY,
+    "rolling_7d_users_hll": SQL_ROLLING_7D_USERS_HLL,
 }

@@ -543,9 +543,15 @@ HEADLINE = [
     "lang_margin_profile",
     "kg_conv_coverage",
     "tool_parrot_profile",
-    # round-4 batch 59: scrub savings, hour entropy
+    # round-4 batch 59-62: scrub savings, hour entropy, token lengths,
+    # autocorrelation, span profile, gram novelty, windowed HLL
     "doc_scrub_savings",
     "event_hour_entropy",
+    "token_len_distribution",
+    "order_volume_autocorr",
+    "kg_mention_span_profile",
+    "source_gram_novelty",
+    "rolling_7d_users_hll",
 ]
 
 

@@ -13929,6 +13929,90 @@ FROM r7_f f JOIN r7_t t ON t.wday = f.wday
 """
 
 
+def q_type_share_by_month(spark, sf_dir):
+    """Event-type mix drift by month: per (month, type) counts and the
+    within-month share — the composition drift a training-data owner
+    watches before re-weighting a mixture (absolute counts rise and
+    fall with traffic; SHARE drift is the signal).
+
+    Scale shape: one (month, type) hash agg + month totals joined
+    back; integer basis points."""
+    e = _t(spark, sf_dir, "events")
+    mt = e.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = mt.groupBy("month").agg(F.sum("n").alias("n_month"))
+    return (
+        mt.join(tot, "month")
+        .selectExpr(
+            "month", "event_type", "n",
+            "n * 10000 DIV n_month AS share_bp",
+        )
+    )
+
+
+SQL_TYPE_SHARE_BY_MONTH = """
+WITH tm AS (
+  SELECT strftime(ts, '%Y-%m') AS month, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+tm_t AS (SELECT month, CAST(sum(n) AS BIGINT) AS n_month FROM tm GROUP BY 1)
+SELECT m.month, m.event_type, m.n,
+       m.n * 10000 // t.n_month AS share_bp
+FROM tm m JOIN tm_t t USING (month)
+"""
+
+
+def q_sentence_len_profile(spark, sf_dir):
+    """Sentence-length profile per source: sentences split on [.!?]
+    runs, length bands in whitespace tokens (1-5 / 6-15 / 16-30 / 31+)
+    — wall-of-text sources (heavy 31+) and fragment dumps (heavy 1-5)
+    both need different cleaning than prose.
+
+    Scale shape: row-local double split (sentences, then tokens per
+    sentence inside a transform — no explode of the token stream),
+    one (source, band) agg."""
+    d = _t(spark, sf_dir, "documents")
+    sent_lens = F.expr(
+        r"""transform(
+              filter(split(text, '[.!?]+'), s -> length(trim(s)) > 0),
+              s -> size(split(trim(s), '[ \\t\\n\\r\\f\\x0B]+')))"""
+    )
+    sents = d.select("source", F.explode(sent_lens).alias("n_tok"))
+    band = (
+        F.when(F.col("n_tok") <= 5, "01-05")
+        .when(F.col("n_tok") <= 15, "06-15")
+        .when(F.col("n_tok") <= 30, "16-30")
+        .otherwise("31+")
+    )
+    return (
+        sents.groupBy("source", band.alias("len_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sentences"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
+SQL_SENTENCE_LEN_PROFILE = r"""
+WITH sl AS (
+  SELECT source, len(regexp_split_to_array(trim(s.sent), '[ \t\n\r\f\x0B]+')) AS n_tok
+  FROM documents,
+       unnest(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                          x -> length(trim(x)) > 0)) s(sent)
+)
+SELECT source,
+       CASE WHEN n_tok <= 5 THEN '01-05'
+            WHEN n_tok <= 15 THEN '06-15'
+            WHEN n_tok <= 30 THEN '16-30'
+            ELSE '31+' END AS len_band,
+       CAST(count(*) AS BIGINT) AS n_sentences,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM sl GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14287,6 +14371,8 @@ SPARK_QUERIES = {
     "kg_mention_span_profile": q_kg_mention_span_profile,
     "source_gram_novelty": q_source_gram_novelty,
     "rolling_7d_users_hll": q_rolling_7d_users_hll,
+    "type_share_by_month": q_type_share_by_month,
+    "sentence_len_profile": q_sentence_len_profile,
 }
 
 ORACLE_SQL = {
@@ -14594,4 +14680,6 @@ ORACLE_SQL = {
     "kg_mention_span_profile": _kg_mention_span_profile_sql(),
     "source_gram_novelty": SQL_SOURCE_GRAM_NOVELTY,
     "rolling_7d_users_hll": SQL_ROLLING_7D_USERS_HLL,
+    "type_share_by_month": SQL_TYPE_SHARE_BY_MONTH,
+    "sentence_len_profile": SQL_SENTENCE_LEN_PROFILE,
 }

@@ -552,6 +552,9 @@ HEADLINE = [
     "kg_mention_span_profile",
     "source_gram_novelty",
     "rolling_7d_users_hll",
+    # round-4 batch 63: composition drift, sentence lengths
+    "type_share_by_month",
+    "sentence_len_profile",
 ]
 
 

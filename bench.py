@@ -555,6 +555,8 @@ HEADLINE = [
     # round-4 batch 63: composition drift, sentence lengths
     "type_share_by_month",
     "sentence_len_profile",
+    "mktsegment_profile",
+    "conv_role_balance",
 ]
 
 

@@ -14013,6 +14013,106 @@ FROM sl GROUP BY 1, 2
 """
 
 
+def q_mktsegment_profile(spark, sf_dir):
+    """Market-segment book of business: customers, active customers,
+    orders, exact revenue cents and average order value per
+    c_mktsegment — the one-glance segment rollup (Q3 slices one
+    segment; this profiles all of them).
+
+    Scale shape: orders reduce to per-customer counts/cents first,
+    then a broadcast-joined |segments|-row rollup."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"),
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum(F.when(F.col("n_orders").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_active"),
+            F.sum(F.coalesce("n_orders", F.lit(0))).cast("bigint").alias("n_orders"),
+            F.sum(F.coalesce("cents", F.lit(0))).cast("bigint").alias("revenue_cents"),
+        )
+        .selectExpr(
+            "c_mktsegment", "n_customers", "n_active", "n_orders", "revenue_cents",
+            "CASE WHEN n_orders > 0 THEN revenue_cents DIV n_orders ELSE 0 END AS aov_cents",
+        )
+    )
+
+
+SQL_MKTSEGMENT_PROFILE = """
+WITH ms_pc AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CASE WHEN p.n_orders IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+       CAST(sum(COALESCE(p.n_orders, 0)) AS BIGINT) AS n_orders,
+       CAST(sum(COALESCE(p.cents, 0)) AS BIGINT) AS revenue_cents,
+       CASE WHEN sum(COALESCE(p.n_orders, 0)) > 0
+            THEN CAST(sum(COALESCE(p.cents, 0)) AS BIGINT) // CAST(sum(COALESCE(p.n_orders, 0)) AS BIGINT)
+            ELSE 0 END AS aov_cents
+FROM customer c LEFT JOIN ms_pc p ON p.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+def q_conv_role_balance(spark, sf_dir):
+    """Role-balance entropy per conversation (ln·1e6 integer
+    convention over the role distribution) — H near ln 4 is a balanced
+    four-role dialogue; H ≈ 0 is a monologue masquerading as a
+    conversation, which SFT assembly should route differently.
+
+    Scale shape: one (conv, role) agg → conv rollup, both
+    conv-bounded."""
+    t = derive_transcripts(spark, sf_dir)
+    cr = t.groupBy("conv_id", "role").agg(F.count("*").cast("bigint").alias("n"))
+    lnln = F.expr("CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)")
+    per = cr.select("conv_id", "n", (F.col("n") * lnln).alias("nln"))
+    return (
+        per.groupBy("conv_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_roles"),
+            F.sum("n").cast("bigint").alias("n_turns"),
+            F.sum("nln").alias("sum_nln"),
+        )
+        .selectExpr(
+            "conv_id",
+            "n_roles",
+            "n_turns",
+            "CAST(ROUND(ln(CAST(n_turns AS DOUBLE)) * 1000000) AS BIGINT)"
+            " - sum_nln DIV n_turns AS entropy_micro",
+        )
+    )
+
+
+SQL_CONV_ROLE_BALANCE = f"""
+WITH {TRANSCRIPTS_CTE},
+rb_cr AS (
+  SELECT conv_id, role, CAST(count(*) AS BIGINT) AS n
+  FROM transcripts GROUP BY 1, 2
+),
+rb_n AS (
+  SELECT conv_id, n,
+         n * CAST(ROUND(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS nln
+  FROM rb_cr
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_roles,
+       CAST(sum(n) AS BIGINT) AS n_turns,
+       CAST(ROUND(ln(CAST(sum(n) AS DOUBLE)) * 1000000) AS BIGINT)
+         - CAST(sum(nln) AS BIGINT) // CAST(sum(n) AS BIGINT) AS entropy_micro
+FROM rb_n GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14373,6 +14473,8 @@ SPARK_QUERIES = {
     "rolling_7d_users_hll": q_rolling_7d_users_hll,
     "type_share_by_month": q_type_share_by_month,
     "sentence_len_profile": q_sentence_len_profile,
+    "mktsegment_profile": q_mktsegment_profile,
+    "conv_role_balance": q_conv_role_balance,
 }
 
 ORACLE_SQL = {
@@ -14682,4 +14784,6 @@ ORACLE_SQL = {
     "rolling_7d_users_hll": SQL_ROLLING_7D_USERS_HLL,
     "type_share_by_month": SQL_TYPE_SHARE_BY_MONTH,
     "sentence_len_profile": SQL_SENTENCE_LEN_PROFILE,
+    "mktsegment_profile": SQL_MKTSEGMENT_PROFILE,
+    "conv_role_balance": SQL_CONV_ROLE_BALANCE,
 }

@@ -5,7 +5,7 @@ queries()     — one callable per implemented operator (SURVEY.md §2 plus
                 the training-data / graph-read additions), defined in
                 docs2kg_spark/queries.py.
 oracle_sql()  — a DuckDB twin for every query except the lossy-DCT
-                JPEG leg (295/296): the UDF-backed
+                JPEG leg (296/297): the UDF-backed
                 stages use mechanically-generated SQL built from the
                 same seeded constants (docs2kg_spark/oracle/sql_twins.py),
                 and are additionally verified in tests/ against the

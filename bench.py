@@ -557,6 +557,7 @@ HEADLINE = [
     "sentence_len_profile",
     "mktsegment_profile",
     "conv_role_balance",
+    "top_boilerplate_grams",
 ]
 
 

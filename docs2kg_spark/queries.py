@@ -14113,6 +14113,70 @@ FROM rb_n GROUP BY 1
 """
 
 
+def q_top_boilerplate_grams(spark, sf_dir):
+    """The actual boilerplate: top-15 word-8-grams by document
+    frequency (df ≥ 2) with document and occurrence counts — the
+    concrete strings a template-stripping rule would target (the
+    dup-span profiles say HOW MUCH duplication exists; this says
+    WHAT it is).
+
+    Scale shape: the same (doc, gram)-deduped relation as dup_spans;
+    one gram agg; top-15 = TakeOrdered on the (df DESC, occ DESC,
+    gram) total order — never a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    n = 8
+    toks = d.select(
+        F.col("doc_id").alias("id"),
+        F.split(F.lower(F.trim("text")), WS_RE).alias("toks"),
+    )
+    grams = (
+        toks.select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0)))
+            ).alias("i"),
+            "toks",
+        )
+        .select("id", F.concat_ws(" ", F.slice("toks", F.col("i") + 1, n)).alias("gram"))
+        .filter(F.length("gram") > 0)
+    )
+    stats = (
+        grams.groupBy("id", "gram")
+        .agg(F.count("*").alias("occ"))
+        .groupBy("gram")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("occ").cast("bigint").alias("n_occ"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+    return (
+        stats.orderBy(F.desc("df"), F.desc("n_occ"), "gram")
+        .limit(15)
+        .select("gram", "df", "n_occ")
+    )
+
+
+SQL_TOP_BOILERPLATE_GRAMS = r"""
+WITH bg_t AS (
+  SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '[ \t\n\r\f\x0B]+') AS w
+  FROM documents
+),
+bg_g AS (
+  SELECT id, array_to_string(w[i+1:i+8], ' ') AS gram
+  FROM bg_t, unnest(range(0, greatest(len(w) - 8, 0) + 1)) t(i)
+  WHERE len(array_to_string(w[i+1:i+8], ' ')) > 0
+),
+bg_s AS (
+  SELECT gram, CAST(count(*) AS BIGINT) AS df, CAST(sum(occ) AS BIGINT) AS n_occ
+  FROM (SELECT id, gram, count(*) AS occ FROM bg_g GROUP BY 1, 2)
+  GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT gram, df, n_occ FROM bg_s
+ORDER BY df DESC, n_occ DESC, gram LIMIT 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -14475,6 +14539,7 @@ SPARK_QUERIES = {
     "sentence_len_profile": q_sentence_len_profile,
     "mktsegment_profile": q_mktsegment_profile,
     "conv_role_balance": q_conv_role_balance,
+    "top_boilerplate_grams": q_top_boilerplate_grams,
 }
 
 ORACLE_SQL = {
@@ -14786,4 +14851,5 @@ ORACLE_SQL = {
     "sentence_len_profile": SQL_SENTENCE_LEN_PROFILE,
     "mktsegment_profile": SQL_MKTSEGMENT_PROFILE,
     "conv_role_balance": SQL_CONV_ROLE_BALANCE,
+    "top_boilerplate_grams": SQL_TOP_BOILERPLATE_GRAMS,
 }

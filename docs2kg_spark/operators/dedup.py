@@ -752,14 +752,17 @@ def minhash_estimator_audit(
     # worker, not p times, and Python's str hash caching makes each
     # per-pair intersection pure pre-hashed probes (the JVM
     # array_intersect alternative re-hashes every element every row —
-    # measured slower at sf0.1).  Keyed by the text itself (dataset-safe
-    # within a shared session), bounded by a clear-at-128k guard; at
+    # measured slower at sf0.1).  Keyed by (shingle_k, text) — reused
+    # Python workers (spark.python.worker.reuse) share this module
+    # global across calls, so a later audit with a different k must
+    # not see shingles computed at the old k; the per-k subdict makes
+    # entries parameter-correct.  Bounded by a clear-at-128k guard; at
     # audit scale beyond worker memory, audit a deterministic pair
     # sample instead — an audit needs statistical power, not every
     # pair.
     @pandas_udf(T.ArrayType(T.LongType()))
     def iu(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        cache: dict = _IU_SHINGLE_CACHE
+        cache: dict = _IU_SHINGLE_CACHE.setdefault(k, {})
 
         def sh(s):
             s = s or ""
@@ -984,10 +987,20 @@ def exact_substr_scrub(
     :func:`dup_span_profile`, whose profile is this operator's
     threshold-picking input).
 
-    Tokenization is byte-identical to :func:`dup_span_profile`
-    (lower + trim + ``WS_RE`` split), so the scrubbed text is exact and
-    cross-engine reproducible — the DuckDB twin reproduces it
-    char-for-char.
+    Tokenization is lower + trim + ``WS_RE`` split — the same dialect
+    as :func:`dup_span_profile` — PLUS a zero-length-token filter the
+    profile family deliberately omits: ``trim`` strips ASCII spaces
+    only, so a text with a leading/trailing tab or newline yields an
+    empty first/last token under the bare split.  The scrub drops
+    those (an empty token can't carry a gram or survive reassembly);
+    the profile counts them, matching ``ngram_jaccard_pairs`` /
+    contamination.  Consequence: on such texts the profile used to
+    pick ``min_df``/``n`` sees one more gram position than the scrub
+    removes from — thresholds chosen from the profile remain valid
+    (the divergence is ≤1 gram at each affected edge), but the gram
+    sets are not byte-identical.  The DuckDB twin mirrors the scrub's
+    filter, so the scrubbed text itself is exact and cross-engine
+    reproducible char-for-char.
 
     Scale shape (100 TB):
     - gram generation and interval expansion are narrow (explode over

@@ -595,11 +595,22 @@ def pca_fit(
     cov = gram / n - np.outer(mean, mean)
     vals, vecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(vals)[::-1]
+    comps = vecs[:, order].T.copy()
+    # Pin a sign convention: eigh's eigenvector signs are arbitrary
+    # (and float accumulation across partitions is order-dependent),
+    # so flip each component so its largest-|coeff| entry — first
+    # index on ties — is positive.  Makes refits of the same data
+    # reproducible up to float noise, matching the repo-wide
+    # reproducibility discipline should a fit ever be persisted.
+    for r in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
     return {
         "n": int(n),
         "mean": mean,
         "eigvals": np.clip(vals[order], 0.0, None),
-        "components": vecs[:, order].T.copy(),
+        "components": comps,
     }
 
 

@@ -1,0 +1,68 @@
+"""Round-5 ADVICE regression tests.
+
+1. _IU_SHINGLE_CACHE must be keyed by (shingle_k, text): with reused
+   Python workers, a second minhash_estimator_audit call at a
+   DIFFERENT shingle_k used to silently reuse shingle sets computed at
+   the old k, corrupting n_inter/n_union (ADVICE r4 item 1).
+2. pca_fit must pin eigenvector signs (largest-|coeff| entry positive)
+   so refits of the same data are reproducible (ADVICE r4 item 3).
+"""
+
+import numpy as np
+import pytest
+
+from docs2kg_spark.config import PipelineConfig
+from docs2kg_spark.operators.dedup import minhash_estimator_audit
+from docs2kg_spark.operators.similarity import pca_fit
+
+
+def _truth(texts, k):
+    """Exact shingle intersection/union, same tokenization as iu()."""
+    def sh(s):
+        t = (s or "").lower()
+        return {t} if len(t) <= k else {t[i:i + k] for i in range(len(t) - k + 1)}
+    sets = {i: sh(s) for i, s in texts}
+    return sets
+
+
+def test_shingle_cache_keyed_by_k(spark):
+    # Texts crafted so the k=5 and k=2 shingle sets differ materially.
+    texts = [
+        (0, "the cat sat on the mat tonight"),
+        (1, "the cat sat on the mat tonight!"),
+        (2, "the dog sat on the mat tonight"),
+        (3, "the dog sat on the mat tonight!"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+
+    for k in (5, 2, 7, 5):  # revisit k=5 AFTER other ks to catch stale reuse
+        cfg = PipelineConfig(shingle_k=k, jaccard_threshold=0.1, lsh_bands=8)
+        rows = minhash_estimator_audit(df, cfg=cfg).collect()
+        assert rows, f"no candidate pairs at k={k}"
+        sets = _truth(texts, k)
+        for r in rows:
+            a, b = sets[r["a"]], sets[r["b"]]
+            ni = len(a & b)
+            assert r["n_inter"] == ni, (k, r["a"], r["b"])
+            assert r["n_union"] == len(a) + len(b) - ni, (k, r["a"], r["b"])
+
+
+def test_pca_sign_convention(spark):
+    rng = np.random.RandomState(3)
+    M = rng.randn(200, 16) * 0.05
+    M[:, 4] = rng.randn(200) * 5.0
+    M[:, 9] = rng.randn(200) * 2.0
+    M = np.asarray(M, dtype=np.float32)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(len(M))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    fit1 = pca_fit(df, dim=16)
+    fit2 = pca_fit(df.repartition(7), dim=16)  # different partition order
+    for fit in (fit1, fit2):
+        for r in range(fit["components"].shape[0]):
+            j = int(np.argmax(np.abs(fit["components"][r])))
+            assert fit["components"][r, j] > 0, f"component {r} not sign-pinned"
+    # top components (well-separated eigvals) must now agree exactly in
+    # sign and to float tolerance in value across refits
+    np.testing.assert_allclose(
+        fit1["components"][:2], fit2["components"][:2], atol=1e-6
+    )

@@ -70,3 +70,53 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rk",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY …)`` over an UNBOUNDED relation
+    without the single-reducer global sort (round-4 verdict perf item
+    2) — the general-ordering sibling of
+    ``relations.number_by_sorted_rank`` (which needs a lexicographic
+    string key; this takes any Column ordering, e.g. count DESC, tok).
+
+    Two-phase: range-repartition on the sort key (partition i holds
+    sort-order-contiguous rows, all before partition i+1), rank locally
+    within each range partition (window partitioned by
+    spark_partition_id — evaluated map-side, before the window's own
+    exchange), then add per-partition prefix offsets.  The only
+    un-partitioned window runs over the per-partition COUNT aggregate —
+    ≤ ``n_parts`` rows, constant-bounded — broadcast back.  Range
+    boundaries come from sampling, so partition SIZES vary run-to-run,
+    but rank = offset + local rank is exact for any boundary placement;
+    with a total-order key the output is deterministic.
+
+    Cost: one range exchange (with its sampling pass) + one pid-keyed
+    window exchange, vs the naive plan's everything-to-one-reducer sort
+    that stops scaling at the first vocabulary-sized relation.
+    """
+    spark = df.sparkSession
+    if n_parts is None:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(n_parts, *order_by).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = ranged.withColumn(
+        "_lrk", F.row_number().over(Window.partitionBy("_pid").orderBy(*order_by))
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    )
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_off")), on="_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_lrk")).cast("bigint"))
+        .drop("_pid", "_lrk", "_off")
+    )

@@ -66,3 +66,18 @@ def test_pca_sign_convention(spark):
     np.testing.assert_allclose(
         fit1["components"][:2], fit2["components"][:2], atol=1e-6
     )
+
+
+def test_global_row_number_exact_and_shaped(spark):
+    """skew.global_row_number == row_number() OVER (ORDER BY …) exactly,
+    with no partition-less ordered window over the data relation."""
+    from pyspark.sql import functions as F
+
+    from docs2kg_spark.functions.skew import global_row_number
+    from docs2kg_spark.plans.audit import global_ordered_windows, physical_plan
+
+    df = spark.range(5000).select((F.col("id") * 37 % 5000).alias("v"))
+    out = global_row_number(df, [F.col("v").desc()], "rk")
+    assert not global_ordered_windows(physical_plan(out))
+    rows = sorted((r["v"], r["rk"]) for r in out.collect())
+    assert rows == [(v, 5000 - v) for v in range(5000)]

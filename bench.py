@@ -10,6 +10,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 The flagship measurement is the end-to-end KG pipeline
 (extract → link → canonicalize → materialize, BASELINE.json::metric)
 over a deterministically synthesized transcript table sized to the SF.
+The default artifact also embeds `cluster_probe` — a compact 1-round
+1-vs-4-worker multi-JVM standalone-cluster span (reduced conv count,
+SPARK_GRAFT_CLUSTER_PROBE_CONVS, skip with SPARK_GRAFT_SKIP_CLUSTER=1)
+— so every round records fresh executor-granularity scaling alongside
+the stored full-methodology spans under `scaling`.
 
 --pipeline-only : run just the KG pipeline, print its JSON (used by the
                   scaling mode so each parallelism level gets a fresh JVM).
@@ -634,6 +639,13 @@ def main() -> None:
     }
     if probe is not None:
         out["local8_probe"] = probe
+    # executor-granularity evidence refreshed EVERY round (VERDICT r4
+    # item 8): a compact 1-vs-4-worker multi-JVM span rides the default
+    # artifact; skip with SPARK_GRAFT_SKIP_CLUSTER=1
+    if os.environ.get("SPARK_GRAFT_SKIP_CLUSTER", "0") != "1":
+        cprobe = _cluster_probe()
+        if cprobe is not None:
+            out["cluster_probe"] = cprobe
     scaling = _latest_scaling_blocks()
     if scaling:
         out["scaling"] = scaling
@@ -896,26 +908,30 @@ def _daemon_env() -> dict:
     return env
 
 
-def cluster_main() -> None:
-    """north_rule scaling evidence on a REAL multi-JVM standalone cluster
-    (VERDICT r3 item 5): master + K taskset-pinned 2-core Worker JVMs on
-    this box; each worker launches a separate executor JVM; reduce tasks
-    fetch shuffle blocks from other executors' block servers over TCP —
-    the serialized shuffle-read path that local[N] (one JVM, all blocks
-    process-local) never exercises.  Levels: 1 worker (N=2 cores) vs 4
-    workers (4N=8 cores) — N vs 4N EXECUTORS at executor granularity.
+def _cluster_span(
+    convs: str,
+    n_rounds: int,
+    run_timeout: int,
+) -> tuple[dict, dict]:
+    """Shared machinery for the multi-JVM standalone-cluster span: master
+    + K taskset-pinned Worker JVMs on this box; each worker launches a
+    separate executor JVM; reduce tasks fetch shuffle blocks from other
+    executors' block servers over TCP — the serialized shuffle-read path
+    that local[N] (one JVM, all blocks process-local) never exercises.
+    Levels: 1 worker (N=2 cores) vs 4 workers (4N=8 cores) — N vs 4N
+    EXECUTORS at executor granularity.
     efficiency = tput(4 workers) / (4 · tput(1 worker)).
 
     The driver + master are pinned to a DISJOINT high core set at both
     levels (a fleet's driver is a separate node; letting it steal worker
     cores would bias the low level, which has more driver-time per
-    worker-core).  Same warmup / tmpfs / idle-gating / interleaving /
-    best-of-N methodology as --scaling."""
+    worker-core).  Returns (summary, extras) where extras carries the
+    per-run detail the narrative .md wants.  Callers: cluster_main (the
+    full --scaling-cluster experiment) and _cluster_probe (the compact
+    per-round regression probe the default bench embeds, VERDICT r4
+    item 8)."""
     cores_per = int(os.environ.get("SPARK_GRAFT_EXECUTOR_CORES", "2"))
     lo_w, hi_w = 1, 4
-    n_rounds = int(os.environ.get("SPARK_GRAFT_CLUSTER_ROUNDS", "3"))
-    convs = os.environ.get("SPARK_GRAFT_SCALING_CONVS", "1280000")
-    run_timeout = int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "1800"))
     port = int(os.environ.get("SPARK_GRAFT_MASTER_PORT", "7901"))
     driver_cores = os.environ.get("SPARK_GRAFT_DRIVER_CORES", "28-31")
     jars = os.path.join(_pyspark_home(), "jars", "*")
@@ -1086,6 +1102,39 @@ def cluster_main() -> None:
         "n_turns": b_hi["n_turns"],
         "n_convs": b_hi["n_convs"],
     }
+    extras = {
+        "b_lo": b_lo,
+        "b_hi": b_hi,
+        "m_lo": m_lo,
+        "m_hi": m_hi,
+        "runs_lo": runs_lo,
+        "runs_hi": runs_hi,
+        "n_rounds": n_rounds,
+        "cores_per": cores_per,
+        "lo_w": lo_w,
+        "hi_w": hi_w,
+        "driver_cores": driver_cores,
+    }
+    return summary, extras
+
+
+def cluster_main() -> None:
+    """The full --scaling-cluster experiment (VERDICT r3 item 5): the
+    north_rule's N-vs-4N-executor criterion measured on a real
+    standalone cluster via _cluster_span at the compute-dominated input
+    size, best-of-N interleaved rounds; writes the BENCH/span_cluster
+    artifacts the default bench echoes."""
+    summary, ex = _cluster_span(
+        convs=os.environ.get("SPARK_GRAFT_SCALING_CONVS", "1280000"),
+        n_rounds=int(os.environ.get("SPARK_GRAFT_CLUSTER_ROUNDS", "3")),
+        run_timeout=int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "1800")),
+    )
+    b_lo, b_hi, m_lo, m_hi = ex["b_lo"], ex["b_hi"], ex["m_lo"], ex["m_hi"]
+    runs_lo, runs_hi, n_rounds = ex["runs_lo"], ex["runs_hi"], ex["n_rounds"]
+    cores_per, lo_w, hi_w = ex["cores_per"], ex["lo_w"], ex["hi_w"]
+    driver_cores = ex["driver_cores"]
+    eff, eff_med = summary["efficiency"], summary["efficiency_median"]
+    lo_c, hi_c = summary["lo"], summary["hi"]
     with open(f"BENCH/span_cluster_{lo_c}_{hi_c}.json", "w") as f:
         json.dump(summary, f)
     with open(f"BENCH/span_cluster_{lo_c}_{hi_c}.md", "w") as f:
@@ -1118,6 +1167,37 @@ def cluster_main() -> None:
             f"- per-stage seconds, 4 workers (best run): {json.dumps(b_hi.get('stage_secs', {}))}\n"
         )
     print(json.dumps(summary))
+
+
+def _cluster_probe() -> dict | None:
+    """Compact per-round multi-JVM cluster span for the DEFAULT bench
+    artifact (VERDICT r4 item 8): one interleaved round of the
+    1-vs-4-worker standalone-cluster experiment at a fixed reduced conv
+    count, so every round's BENCH JSON records executor-granularity
+    scaling without the separate ~20-min --scaling-cluster run.
+
+    At this input size fixed per-run costs (cluster spin-up, driver
+    job latency) are a larger share of the 4-worker wall than at the
+    full experiment's 1.28M convs, so the probe UNDERSTATES true
+    efficiency — compare probe-vs-probe across rounds (the same
+    contract as local8_probe); the full --scaling-cluster number
+    remains the criterion evidence.  Never fails the bench."""
+    convs = os.environ.get("SPARK_GRAFT_CLUSTER_PROBE_CONVS", "320000")
+    try:
+        summary, _ = _cluster_span(
+            convs=convs,
+            n_rounds=1,
+            run_timeout=int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "900")),
+        )
+        summary["mode"] = "cluster_probe"
+        summary["note"] = (
+            "1-round reduced-size probe; fixed costs understate efficiency — "
+            "compare across rounds, criterion evidence is --scaling-cluster"
+        )
+        return summary
+    except BaseException as exc:  # noqa: BLE001 — incl. SystemExit; diagnostic-only
+        print(f"cluster probe failed: {type(exc).__name__}: {exc}", file=sys.stderr)
+        return None
 
 
 def _wait_idle(threshold: float = 1.5, bound_s: int = 600) -> float:

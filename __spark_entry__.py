@@ -3,7 +3,7 @@
 entry()       — flagship end-to-end KG query on sf0.001.
 queries()     — one callable per implemented operator (SURVEY.md §2 plus
                 the training-data / graph-read additions), defined in
-                docs2kg_spark/queries.py.
+                the docs2kg_spark/queries/ package (per-family modules).
 oracle_sql()  — a DuckDB twin for every query except the lossy-DCT
                 JPEG leg (296/297): the UDF-backed
                 stages use mechanically-generated SQL built from the

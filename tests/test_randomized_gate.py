@@ -1,11 +1,24 @@
-"""Randomized-input engine-parity gate for the math-heavy queries.
+"""Randomized-input engine-parity gate for the math-heavy queries
+(broadened to 45+ queries, round-4 verdict item 7).
 
 The driver gate runs fixed tables at two scale factors; integer-scaled
 log/moment arithmetic could still hide a rounding boundary that those
-particular values never hit.  This test regenerates random documents
-and events tables (seeded) and replays the DRIVER compare (row count +
-positional schema + order-insensitive name-sorted values) against each
-query's DuckDB twin on the SAME data."""
+particular values never hit.  This test regenerates random documents /
+events / embeddings / orders / lineitem tables (seeded) and replays the
+DRIVER compare (row count + positional schema + order-insensitive
+name-sorted values, floats at 9 dp) against each query's DuckDB twin on
+the SAME data.
+
+Tables are injected through the `_shared._TABLE_OVERRIDES` seam under a
+per-seed sentinel sf_dir, so (a) every family module resolves the same
+override regardless of how it imported `_t`, and (b) the `_kg_memo`
+entries for randomized runs are keyed apart from the real sf dirs.
+
+Embedding values are quantized to 1/2048 steps so they are exactly
+representable in float32 — Spark stores array<float>, DuckDB float64;
+any value not exact in both would fail the compare for dialect reasons
+rather than real bugs.
+"""
 
 import math
 import random
@@ -15,8 +28,7 @@ import pandas as pd
 import pytest
 
 import docs2kg_spark.queries as Q
-
-SF_DIR = "/root/testdata/sf0.001"  # only used as the memo key / _t fallback
+from docs2kg_spark.queries._shared import _TABLE_OVERRIDES
 
 VOCAB = [
     "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
@@ -55,7 +67,7 @@ def _rand_events(rng, n=600):
                 i,
                 ts,
                 rng.randint(1, 40),
-                rng.choice(["view", "click", "buy", "ship"]),
+                rng.choice(["view", "click", "buy", "ship", "purchase", "signup"]),
                 round(v, 4),
                 None,
             )
@@ -65,15 +77,102 @@ def _rand_events(rng, n=600):
     )
 
 
+def _rand_embeddings(rng, n=120, dim=64):
+    rows = []
+    for i in range(n):
+        lab = rng.randint(0, 9)
+        # f32-exact values: k/2048 with a +1.5 bump on the label's dims
+        vec = [
+            (rng.randint(-4096, 4096) / 2048.0)
+            + (1.5 if d % 10 == lab else 0.0)
+            for d in range(dim)
+        ]
+        rows.append((i, vec, lab))
+    return pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+
+
+def _rand_orders(rng, n=500):
+    rows = []
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                rng.randint(0, 60),
+                rng.choice(["O", "F", "P"]),
+                round(rng.uniform(900.0, 450_000.0), 2),
+                pd.Timestamp("1995-01-01")
+                + pd.Timedelta(days=rng.randint(0, 2400)),
+                rng.choice(pri),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+
+
+def _rand_lineitem(rng, n=1500, n_orders=500):
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                rng.randint(0, n_orders - 1),
+                rng.randint(0, 200),
+                rng.randint(0, 30),
+                rng.randint(1, 7),
+                float(rng.randint(1, 50)),
+                round(rng.uniform(1000.0, 100_000.0), 2),
+                rng.randint(0, 10) / 100.0,
+                rng.randint(0, 8) / 100.0,
+                rng.choice(["A", "N", "R"]),
+                rng.choice(["O", "F"]),
+                pd.Timestamp("1995-01-01")
+                + pd.Timedelta(days=rng.randint(0, 2500)),
+            )
+        )
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_returnflag", "l_linestatus", "l_shipdate",
+        ],
+    )
+
+
+# the broadened gate: every name has a DuckDB twin and nontrivial
+# float/rounding/boundary arithmetic (anomalies, Gini, KL, Benford,
+# autocorr, assortativity, JL, sketches, LM scoring, moments)
 MATH_QUERIES = [
-    "zipf_slope",
-    "tokenizer_fertility",
-    "source_kl",
-    "user_gini",
-    "transition_entropy",
-    "event_winsorize",
-    "event_hour_heatmap",
+    # original eight
+    "zipf_slope", "tokenizer_fertility", "source_kl", "user_gini",
+    "transition_entropy", "event_winsorize", "event_hour_heatmap",
     "quality_length_corr",
+    # event-stream boundary math
+    "event_anomalies", "event_mad_anomalies", "event_value_benford",
+    "event_burstiness", "event_hour_entropy", "user_retention",
+    "user_churn", "user_rfm_bands", "purchase_attribution",
+    # corpus statistics
+    "char_entropy", "ttr_by_source", "hapax_by_lang", "doc_repetition",
+    "flesch_readability", "doc_oov_rate",
+    # LM scoring
+    "doc_logprob", "doc_bigram_logprob", "perplexity_bands", "dsir_weights",
+    # sketches
+    "cms_user_counts", "cms_merge_audit", "hll_user_distinct",
+    "hll_type_distinct", "rolling_7d_users_hll", "bloom_membership",
+    # embedding-space math
+    "embedding_quantize", "ann_int8_recall", "embedding_norm_profile",
+    "embedding_second_moment", "label_centroid_cos", "jl_distortion",
+    "kmeans_centroids",
+    # graph / KG float pipelines (derived from the random documents)
+    "graph_pagerank", "graph_assortativity", "graph_clustering",
+    "kg_pred_pattern_entropy", "centrality_rank_corr",
+    # star-schema rounding/lag math
+    "order_volume_autocorr", "shipping_backlog",
 ]
 
 
@@ -90,44 +189,53 @@ def _norm(v):
     return v
 
 
-@pytest.mark.parametrize("seed", [11, 47])
+@pytest.mark.parametrize("seed", [11, 47, 101, 263, 997])
 def test_math_queries_match_twins_on_random_tables(spark, seed):
     rng = random.Random(seed)
-    docs_pd, ev_pd = _rand_documents(rng), _rand_events(rng)
-    docs_df = spark.createDataFrame(docs_pd)
-    ev_df = spark.createDataFrame(ev_pd)
+    tables_pd = {
+        "documents": _rand_documents(rng),
+        "events": _rand_events(rng),
+        "embeddings": _rand_embeddings(rng),
+        "orders": _rand_orders(rng),
+        "lineitem": _rand_lineitem(rng),
+    }
+    sentinel = f"randomized://{seed}"
+    tables_df = {
+        "documents": spark.createDataFrame(tables_pd["documents"]),
+        "events": spark.createDataFrame(tables_pd["events"]),
+        "embeddings": spark.createDataFrame(
+            tables_pd["embeddings"],
+            "vec_id long, embedding array<float>, label int",
+        ),
+        "orders": spark.createDataFrame(tables_pd["orders"]),
+        "lineitem": spark.createDataFrame(tables_pd["lineitem"]),
+    }
 
     con = duckdb.connect()
-    con.register("documents", docs_pd)
-    con.register("events", ev_pd)
+    for name, pdf in tables_pd.items():
+        con.register(name, pdf)
 
-    orig = Q._t
-
-    def patched(spark, sf_dir, name):
-        if name == "documents":
-            return docs_df
-        if name == "events":
-            return ev_df
-        return orig(spark, sf_dir, name)
-
-    oracles = Q.ORACLE_SQL
     bad = []
+    _TABLE_OVERRIDES[sentinel] = tables_df
     try:
-        Q._t = patched
         for name in MATH_QUERIES:
-            df = Q.SPARK_QUERIES[name](spark, SF_DIR)
+            df = Q.SPARK_QUERIES[name](spark, sentinel)
             scols = df.columns
             srows = sorted(
-                tuple(_norm(r[c]) for c in sorted(scols)) for r in df.collect()
+                (tuple(_norm(r[c]) for c in sorted(scols)) for r in df.collect()),
+                key=repr,
             )
-            res = con.execute(oracles[name])
+            res = con.execute(Q.ORACLE_SQL[name])
             ocols = [d[0] for d in res.description]
             orows = sorted(
-                tuple(_norm(v) for _, v in sorted(zip(ocols, r)))
-                for r in res.fetchall()
+                (
+                    tuple(_norm(v) for _, v in sorted(zip(ocols, r)))
+                    for r in res.fetchall()
+                ),
+                key=repr,
             )
             if scols != ocols or srows != orows:
                 bad.append((name, scols == ocols, len(srows), len(orows)))
     finally:
-        Q._t = orig
+        _TABLE_OVERRIDES.pop(sentinel, None)
     assert not bad, f"engine mismatch on random tables (seed {seed}): {bad}"

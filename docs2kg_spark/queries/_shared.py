@@ -46,6 +46,34 @@ import threading as _threading
 _IN_PKG_T = _threading.local()
 
 
+def _pkg_patchable(fn):
+    """Honor test patches of the PACKAGE attribute (``Q.<name> = …``)
+    for a function whose callers hold an import-time binding.  The
+    crafted-input suites patch q_kg_triples / derive_transcripts /
+    q_kg_mentions / q_graph_communities this way; pre-split those
+    assignments rebound the single module global every caller read.
+    The per-name thread-local guard keeps a patch's own call to the
+    original (which IS the wrapper) from re-entering the patch."""
+    import functools
+
+    name = fn.__name__
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        import docs2kg_spark.queries as _pkg
+
+        cur = _pkg.__dict__.get(name)
+        if cur is not None and cur is not wrapper and not getattr(_IN_PKG_T, name, False):
+            setattr(_IN_PKG_T, name, True)
+            try:
+                return cur(*args, **kwargs)
+            finally:
+                setattr(_IN_PKG_T, name, False)
+        return fn(*args, **kwargs)
+
+    return wrapper
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ov = _TABLE_OVERRIDES.get(sf_dir)
     if ov is not None:
@@ -92,6 +120,7 @@ transcripts AS (
 """
 
 
+@_pkg_patchable
 def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic transcript table derived from documents — the exact
     Spark twin of TRANSCRIPTS_CTE."""

@@ -19,6 +19,7 @@ from docs2kg_spark.oracle.sql_twins import (
     minhash_near_dup_sql,
 )
 
+from docs2kg_spark.queries._shared import _pkg_patchable
 from docs2kg_spark.queries._shared import (
     TRANSCRIPTS_CTE,
     _entity_graph_prefix,
@@ -281,6 +282,7 @@ FROM gj_common JOIN gj_deg da ON da.node = a JOIN gj_deg db ON db.node = b
     )
 
 
+@_pkg_patchable
 def q_graph_communities(spark, sf_dir):
     """Synchronous label-propagation communities (4 fixed iterations,
     min-label tie-break) over the entity co-occurrence graph — the

@@ -19,6 +19,7 @@ from docs2kg_spark.oracle.sql_twins import (
     minhash_near_dup_sql,
 )
 
+from docs2kg_spark.queries._shared import _pkg_patchable
 from docs2kg_spark.queries._shared import (
     TRANSCRIPTS_CTE,
     _POLARITY_LEXICON,
@@ -102,11 +103,13 @@ SELECT DISTINCT 'doc_' || conv_id, 'tool_' || tool, 'HAS_TOOL' FROM transcripts 
 """
 
 
+@_pkg_patchable
 def q_kg_mentions(spark, sf_dir):
     _, m = _kg_stack(spark, sf_dir)
     return m
 
 
+@_pkg_patchable
 def q_kg_triples(spark, sf_dir):
     from docs2kg_spark.operators.relations import cooccurrence_triples
 

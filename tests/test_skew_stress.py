@@ -138,3 +138,20 @@ def test_skewed_tables_keep_linking_and_dedup_invariants(spark, tmp_path):
     counts = {r["k"]: r["n"] for r in
               salted_count(ev.selectExpr("user_id AS k"), "k", n_salts=8).collect()}
     assert counts[7] == ev.filter("user_id = 7").count()
+
+
+def test_stress_generator_is_partitioning_invariant(spark, tmp_path):
+    """Every value is a pure function of (row id, seed): generating the
+    same fixture at different parallelism must produce identical tables
+    (the determinism contract fixtures/stress.py promises)."""
+    from docs2kg_spark.fixtures.stress import gen_tables
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    gen_tables(spark, a, scale=0.002, partitions=2)
+    gen_tables(spark, b, scale=0.002, partitions=7)
+    for t in ("documents", "events", "embeddings", "lineitem"):
+        da = spark.read.parquet(f"{a}/{t}.parquet")
+        db = spark.read.parquet(f"{b}/{t}.parquet")
+        assert da.count() == db.count()
+        assert da.exceptAll(db).count() == 0, t
+        assert db.exceptAll(da).count() == 0, t

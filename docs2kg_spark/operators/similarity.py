@@ -669,7 +669,7 @@ def knn_label_purity(
     embeddings: DataFrame,
     k: int = 3,
     anchor_mod: int = 10,
-    exact_above: int = 100_000,
+    exact_above: int = 10_000,
     n_tables: int = 4,
     n_planes: int = 8,
     n_rows: int | None = None,

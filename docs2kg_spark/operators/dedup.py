@@ -331,7 +331,7 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bucket_above: int = 1_000_000,
+    bucket_above: int = 10_000,
     n_planes: int = 8,
     n_rows: int | None = None,
 ) -> DataFrame:

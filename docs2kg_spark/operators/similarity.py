@@ -311,14 +311,24 @@ FROM c{iters}, unnest(generate_series(1, {dim})) AS t(k)
     )
 
 
+def semdedup_auto_k(n_rows: int, target_cluster: int = 625, floor: int = 16) -> int:
+    """The paper's own scaling argument made executable: pick
+    n_clusters ∝ N so expected cluster size stays ≤ ``target_cluster``
+    and the within-cluster pair cost Σ|c|² grows LINEARLY in N instead
+    of quadratically.  Floor 16 keeps the driver-oracle scales (500 and
+    2,000 rows) on the twin's exact LIMIT-16 centroid seeding."""
+    return max(floor, n_rows // target_cluster)
+
+
 def semdedup(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     tau: float = 0.3,
     centroids: DataFrame | None = None,
     cfg=None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and removing within-cluster
@@ -347,6 +357,10 @@ def semdedup(
     from docs2kg_spark.config import PipelineConfig
     from docs2kg_spark.operators.linking import connected_components
 
+    if n_clusters is None:
+        if n_rows is None:
+            n_rows = embeddings.count()
+        n_clusters = semdedup_auto_k(n_rows)
     cent_rows = _centroid_rows(embeddings, centroids, n_clusters, id_col, vec_col)
     scored = F.array(
         *[

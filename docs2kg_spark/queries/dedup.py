@@ -305,14 +305,20 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 
 
 def q_semdedup(spark, sf_dir):
-    """SemDeDup over the embeddings table: 16 min-id-seeded clusters,
+    """SemDeDup over the embeddings table: min-id-seeded clusters,
     within-cluster cosine ≥ 0.3 duplicate groups, keep the member least
     similar to its centroid.  τ=0.3 because the synthetic embeddings
     have no true near-dups (max pairwise cos ≈ 0.51) — non-vacuous at
-    both SFs (≥180 within-cluster pairs)."""
+    both SFs (≥180 within-cluster pairs).
+
+    n_clusters auto-scales with the corpus (semdedup_auto_k: expected
+    cluster size ≤ 625, floor 16) so the within-cluster pair cost grows
+    linearly — the paper's own scaling argument, now implemented (r5
+    sf1 stress follow-up).  Both driver-oracle scales resolve to 16,
+    matching the twin's LIMIT-16 centroid seeding exactly."""
     from docs2kg_spark.operators.similarity import semdedup
 
-    return semdedup(_t(spark, sf_dir, "embeddings"), n_clusters=16, tau=0.3)
+    return semdedup(_t(spark, sf_dir, "embeddings"), n_clusters=None, tau=0.3)
 
 
 SQL_SEMDEDUP = """

@@ -120,3 +120,12 @@ def test_partitioning_independent(spark, vecs):
     a = sorted(semdedup(df, n_clusters=2, tau=0.9).collect())
     b = sorted(semdedup(df.repartition(5, "vec_id"), n_clusters=2, tau=0.9).collect())
     assert a == b
+
+
+def test_semdedup_auto_k_scales_linearly():
+    from docs2kg_spark.operators.similarity import semdedup_auto_k
+
+    assert semdedup_auto_k(500) == 16      # driver oracle scale (sf0.01)
+    assert semdedup_auto_k(2000) == 16     # bench scale (sf0.1)
+    assert semdedup_auto_k(20_000) == 32   # sf1 stress scale
+    assert semdedup_auto_k(10_000_000) == 16_000  # E[|cluster|] stays 625

@@ -155,3 +155,49 @@ def test_stress_generator_is_partitioning_invariant(spark, tmp_path):
         assert da.count() == db.count()
         assert da.exceptAll(db).count() == 0, t
         assert db.exceptAll(da).count() == 0, t
+
+
+def test_hundred_thousand_turn_conversation_bucketed(spark):
+    """The north_rule's literal long-conversation degenerate: ONE
+    conversation with 10^5 turns.  The bucketed segmentation must (a)
+    produce byte-identical output to the plain single-reducer window,
+    and (b) actually spread the conversation — its big window
+    partitions on (conv_id, bucket), never conv_id alone."""
+    from pyspark.sql import functions as F
+
+    from docs2kg_spark.operators.segments import (
+        segment_transcripts,
+        segment_transcripts_bucketed,
+    )
+
+    n = 100_000
+    t = (
+        spark.range(n)
+        .select(
+            F.lit("conv-giant").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("role"),
+            # every 97th turn whitespace-only (exercises the skip rule's
+            # interaction with prefix offsets mid-bucket)
+            F.when(F.col("id") % 97 == 0, F.lit("   ")).otherwise(
+                F.concat(F.lit("turn body number "), F.col("id"))
+            ).alias("text"),
+            F.when(F.col("id") % 4 == 3, F.lit("search")).alias("tool"),
+            F.to_timestamp(F.lit("2025-01-01 00:00:00")).alias("ts"),
+        )
+        .repartition(8)
+    )
+    plain = segment_transcripts(t)
+    bucketed = segment_transcripts_bucketed(t, bucket_turns=10_000)
+    # (b) plan shape: the local window partitions on the bucket column
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "_b" in plan
+    # (a) exact parity at 10^5 rows
+    cols = plain.columns
+    p = sorted(tuple(r[c] for c in cols) for r in plain.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in bucketed.collect())
+    assert len(p) == n - (n // 97 + 1)  # whitespace turns skipped
+    assert p == b

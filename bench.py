@@ -1187,7 +1187,10 @@ def _cluster_probe() -> dict | None:
         summary, _ = _cluster_span(
             convs=convs,
             n_rounds=1,
-            run_timeout=int(os.environ.get("SPARK_GRAFT_SCALING_TIMEOUT", "900")),
+            # tight per-run wall: the probe rides the DEFAULT bench (the
+            # driver's per-round artifact) — a wedged run must cost
+            # minutes, not the half-hour the full experiment tolerates
+            run_timeout=int(os.environ.get("SPARK_GRAFT_PROBE_TIMEOUT", "480")),
         )
         summary["mode"] = "cluster_probe"
         summary["note"] = (

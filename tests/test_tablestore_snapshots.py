@@ -78,3 +78,26 @@ def test_vlog_commit_is_atomic(spark, store, tmp_path):
     import os
 
     assert not os.path.exists(store._vlog_path("t") + ".tmp")
+
+
+def test_crash_mid_write_leaves_previous_snapshot_current(spark, store):
+    """A data dir written WITHOUT the log commit (the crash window of
+    snapshot_write) must be invisible: current read and snapshot ids
+    still reflect the last committed snapshot."""
+    import os
+
+    sid = store.snapshot_write(
+        spark.createDataFrame([(1, "a")], "k int, v string"), "t"
+    )
+    # simulate the crash: orphan snap dir, log untouched
+    orphan = os.path.join(store.path("t"), f"snap-{sid + 1}")
+    spark.createDataFrame([(9, "torn")], "k int, v string").write.parquet(orphan)
+    assert store.snapshot_ids("t") == [sid]
+    assert _rows(store, "t") == [(1, "a")]
+    # the NEXT committed write claims the id deterministically (ids come
+    # from the log, not the dirs) and overwrites the orphan dir
+    sid2 = store.snapshot_write(
+        spark.createDataFrame([(2, "b")], "k int, v string"), "t"
+    )
+    assert sid2 == sid + 1
+    assert _rows(store, "t") == [(2, "b")]

@@ -701,11 +701,23 @@ def winnow_containment(
     )
 
 
+def audit_sample_mod(n_docs: int, full_below: int = 12_500) -> int:
+    """Deterministic pair-sampling denominator for the estimator audit:
+    1 (audit every banded pair) below ``full_below`` documents — which
+    covers every driver-oracle and bench scale, so twins are untouched
+    — then growing ∝ N so the audited pair count stays bounded.  An
+    audit needs statistical power, not every pair (the operator
+    docstring's own scale note, made executable in round 5)."""
+    return max(1, n_docs // full_below)
+
+
 def minhash_estimator_audit(
     documents: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     cfg: PipelineConfig | None = None,
+    sample_mod: int | None = 1,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Estimator-vs-truth audit for the MinHash dedup path → one row
     per BANDED candidate pair (a, b, n_agree, n_inter, n_union): the
@@ -723,15 +735,30 @@ def minhash_estimator_audit(
     Scale shape: candidates come from the same _band_candidate_pairs
     blocking as the production query (never all-pairs); signatures are
     localCheckpoint'ed once; the exact counts run over the candidate
-    stream only, via one Arrow pass over the re-attached texts."""
+    stream only, via one Arrow pass over the re-attached texts.
+    ``sample_mod=None`` auto-scales a deterministic pair sample
+    (``audit_sample_mod``: every pair below 12.5k docs — all oracle
+    scales — then a bounded ∝N sample) so the audit's exact-truth legs
+    never dominate a large corpus run."""
     cfg = cfg or PipelineConfig(shingle_k=5, jaccard_threshold=0.7, lsh_bands=8)
     k = cfg.shingle_k
+    if sample_mod is None:
+        if n_rows is None:
+            n_rows = documents.count()
+        sample_mod = audit_sample_mod(n_rows)
     mh = make_minhash_udf(cfg)
     src = ensure_min_parallelism(
         documents.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     )
     sig = src.withColumn("sig", mh("text")).localCheckpoint()
     pairs = _band_candidate_pairs(sig, cfg)
+    if sample_mod > 1:
+        # deterministic pair sample via plain BIGINT arithmetic (Knuth
+        # multiplicative constant) — expressible identically in any SQL
+        # engine, unlike xxhash64, should a sampled audit ever be twinned
+        pairs = pairs.filter(
+            F.pmod(F.col("a") * F.lit(2654435761) + F.col("b"), F.lit(sample_mod)) == 0
+        )
 
     sa = sig.select(F.col("id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("b"), F.col("sig").alias("sig_b"))

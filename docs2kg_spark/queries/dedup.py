@@ -173,7 +173,8 @@ def q_minhash_estimator_audit(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     return _kg_memo(
-        spark, sf_dir, "minhash_audit", lambda: minhash_estimator_audit(d)
+        spark, sf_dir, "minhash_audit",
+        lambda: minhash_estimator_audit(d, sample_mod=None)
     )
 
 

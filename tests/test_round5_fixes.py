@@ -81,3 +81,30 @@ def test_global_row_number_exact_and_shaped(spark):
     assert not global_ordered_windows(physical_plan(out))
     rows = sorted((r["v"], r["rk"]) for r in out.collect())
     assert rows == [(v, 5000 - v) for v in range(5000)]
+
+
+def test_audit_sample_mod_thresholds():
+    from docs2kg_spark.operators.dedup import audit_sample_mod
+
+    assert audit_sample_mod(500) == 1       # driver oracle scale
+    assert audit_sample_mod(5_000) == 1     # bench scale
+    assert audit_sample_mod(50_000) == 4    # sf1 stress scale
+    assert audit_sample_mod(10_000_000) == 800
+
+
+def test_audit_pair_sampling_is_subset_and_deterministic(spark):
+    from docs2kg_spark.operators.dedup import minhash_estimator_audit
+
+    texts = [(i, f"the quick brown fox {i % 7} jumps over the lazy dog") for i in range(60)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    full = {(r["a"], r["b"]): (r["n_inter"], r["n_union"])
+            for r in minhash_estimator_audit(df).collect()}
+    samp = {(r["a"], r["b"]): (r["n_inter"], r["n_union"])
+            for r in minhash_estimator_audit(df, sample_mod=3).collect()}
+    assert samp, "sample must be non-empty on a dup-heavy fixture"
+    assert len(samp) < len(full)
+    for k, v in samp.items():
+        assert full[k] == v  # sampled rows are exact rows of the full audit
+    # deterministic: same predicate, same rows
+    samp2 = {(r["a"], r["b"]) for r in minhash_estimator_audit(df, sample_mod=3).collect()}
+    assert samp2 == set(samp)

@@ -362,35 +362,73 @@ def semdedup(
             n_rows = embeddings.count()
         n_clusters = semdedup_auto_k(n_rows)
     cent_rows = _centroid_rows(embeddings, centroids, n_clusters, id_col, vec_col)
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    -cosine_expr(
-                        F.col("v"), F.array(*[F.lit(float(x)) for x in row["centv"]])
-                    )
-                ).alias("neg"),
-                F.lit(row["cid"]).alias("cid"),
-            )
-            for row in cent_rows
-        ]
+    src = ensure_min_parallelism(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     )
-    top1 = F.sort_array(scored)[0]
-    # consumed three times (both sides of the pair join + final output):
-    # checkpoint so the corpus is scanned and assigned once
-    assigned = (
-        ensure_min_parallelism(
-            embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    if len(cent_rows) <= 64:
+        # oracle path: per-centroid literal expressions, twin-identical
+        # tie-break (max cos, then smallest cid via sort_array on
+        # (-cos, cid))
+        scored = F.array(
+            *[
+                F.struct(
+                    (
+                        -cosine_expr(
+                            F.col("v"), F.array(*[F.lit(float(x)) for x in row["centv"]])
+                        )
+                    ).alias("neg"),
+                    F.lit(row["cid"]).alias("cid"),
+                )
+                for row in cent_rows
+            ]
         )
-        .withColumn("_t", top1)
-        .select(
+        top1 = F.sort_array(scored)[0]
+        assigned = src.withColumn("_t", top1).select(
             "vec_id",
             "v",
             F.col("_t.cid").alias("cid"),
             F.round(-F.col("_t.neg"), 6).alias("cos_c"),
         )
-        .localCheckpoint(eager=False)
-    )
+    else:
+        # auto-k pushes n_clusters ∝ N: k×d literal expressions stop
+        # compiling long before they stop being slow (whole-stage
+        # codegen degrades past a few dozen 64-dim array literals), so
+        # large k assigns via ONE Arrow pass — the k×d centroid matrix
+        # ships in the UDF closure and each batch is a single
+        # BLAS matmul + argmax (first-max index = smallest cid on
+        # exact ties, matching the expression path's tie-break).
+        import pandas as pd
+
+        ordered = sorted(cent_rows, key=lambda r: r["cid"])
+        C = np.asarray([r["centv"] for r in ordered], dtype=np.float64)
+        Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+        cids = np.asarray([r["cid"] for r in ordered])
+
+        def part(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                Mn = M / np.maximum(
+                    np.linalg.norm(M, axis=1, keepdims=True), 1e-300
+                )
+                S = Mn @ Cn.T
+                ix = np.argmax(S, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "v": pdf["v"],
+                        "cid": cids[ix],
+                        "cos_c": np.round(S[np.arange(len(ix)), ix], 6),
+                    }
+                )
+
+        assigned = src.mapInPandas(
+            part, "vec_id long, v array<float>, cid long, cos_c double"
+        )
+    # consumed three times (both sides of the pair join + final output):
+    # checkpoint so the corpus is scanned and assigned once
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), "cid")
     b = assigned.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), "cid")
     edges = (

@@ -130,8 +130,13 @@ def doc_unigram_logprob(
         .select(
             "id",
             "n_tokens",
-            F.round(
-                F.col("lp_sum").cast("double") / F.col("n_tokens") / 1_000_000.0, 6
+            # exact 6dp: half-away-from-zero on the BIGINT rational
+            # lp_sum/n_tokens (ROUND(double) splits on .5 ties between
+            # engines — same class as the flesch fix; caught by the
+            # extended randomized gate)
+            F.expr(
+                "CAST(CASE WHEN lp_sum >= 0 THEN (2*lp_sum + n_tokens) DIV (2*n_tokens) "
+                "ELSE -((-2*lp_sum + n_tokens) DIV (2*n_tokens)) END AS DOUBLE) / 1000000.0"
             ).alias("avg_logprob"),
         )
     )
@@ -277,8 +282,10 @@ def dsir_weights(
         .select(
             "id",
             "n_tokens",
-            F.round(
-                F.col("lp_sum").cast("double") / F.col("n_tokens") / 1_000_000.0, 6
+            # exact 6dp (see avg_logprob note): seed-1201 gate catch
+            F.expr(
+                "CAST(CASE WHEN lp_sum >= 0 THEN (2*lp_sum + n_tokens) DIV (2*n_tokens) "
+                "ELSE -((-2*lp_sum + n_tokens) DIV (2*n_tokens)) END AS DOUBLE) / 1000000.0"
             ).alias("avg_llr"),
         )
     )
@@ -360,11 +367,15 @@ def doc_bigram_logprob(
         .groupBy("id")
         .agg(
             F.sum("m").cast("bigint").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("m") * F.col("lp_i")).cast("double")
-                / F.sum("m")
-                / F.lit(1_000_000.0),
-                6,
+            F.sum(F.col("m") * F.col("lp_i")).alias("_lp_sum"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            # exact 6dp (see avg_logprob note)
+            F.expr(
+                "CAST(CASE WHEN _lp_sum >= 0 THEN (2*_lp_sum + n_bigrams) DIV (2*n_bigrams) "
+                "ELSE -((-2*_lp_sum + n_bigrams) DIV (2*n_bigrams)) END AS DOUBLE) / 1000000.0"
             ).alias("avg_logprob"),
         )
     )

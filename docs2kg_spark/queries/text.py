@@ -282,7 +282,7 @@ lp AS (
 )
 SELECT tf.id AS doc_id,
        CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(tf.tf * lp.lp_i) AS DOUBLE) / SUM(tf.tf) / 1000000.0, 6) AS avg_logprob
+       CAST(CASE WHEN SUM(tf.tf * lp.lp_i) >= 0 THEN (2*(SUM(tf.tf * lp.lp_i)) + SUM(tf.tf)) // (2*(SUM(tf.tf))) ELSE -((-2*(SUM(tf.tf * lp.lp_i)) + SUM(tf.tf)) // (2*(SUM(tf.tf)))) END AS DOUBLE) / 1000000.0 AS avg_logprob
 FROM tf JOIN lp USING (tok)
 GROUP BY tf.id
 """
@@ -319,7 +319,7 @@ lp AS (
 )
 SELECT tf.id AS doc_id,
        CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-       ROUND(CAST(SUM(tf.tf * lp.lp_i) AS DOUBLE) / SUM(tf.tf) / 1000000.0, 6) AS avg_llr
+       CAST(CASE WHEN SUM(tf.tf * lp.lp_i) >= 0 THEN (2*(SUM(tf.tf * lp.lp_i)) + SUM(tf.tf)) // (2*(SUM(tf.tf))) ELSE -((-2*(SUM(tf.tf * lp.lp_i)) + SUM(tf.tf)) // (2*(SUM(tf.tf)))) END AS DOUBLE) / 1000000.0 AS avg_llr
 FROM tf JOIN lp USING (tok)
 GROUP BY tf.id
 """
@@ -494,7 +494,7 @@ lp AS (
 )
 SELECT t.id AS doc_id,
        CAST(SUM(t.m) AS BIGINT) AS n_bigrams,
-       ROUND(CAST(SUM(t.m * lp.lp_i) AS DOUBLE) / SUM(t.m) / 1000000.0, 6) AS avg_logprob
+       CAST(CASE WHEN SUM(t.m * lp.lp_i) >= 0 THEN (2*(SUM(t.m * lp.lp_i)) + SUM(t.m)) // (2*(SUM(t.m))) ELSE -((-2*(SUM(t.m * lp.lp_i)) + SUM(t.m)) // (2*(SUM(t.m)))) END AS DOUBLE) / 1000000.0 AS avg_logprob
 FROM tf_big t JOIN lp USING (w1, w2)
 GROUP BY 1
 """

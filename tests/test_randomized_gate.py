@@ -189,7 +189,7 @@ def _norm(v):
     return v
 
 
-@pytest.mark.parametrize("seed", [11, 47, 101, 263, 997])
+@pytest.mark.parametrize("seed", [11, 47, 101, 263, 997, 1201, 2333])
 def test_math_queries_match_twins_on_random_tables(spark, seed):
     rng = random.Random(seed)
     tables_pd = {
